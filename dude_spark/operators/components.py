@@ -1,0 +1,105 @@
+"""Connected components over a pair/edge DataFrame.
+
+Alternating large-star / small-star iterative self-joins (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SOCC'14) — the
+standard shuffle-based CC that converges in O(log n) rounds without
+GraphX/RDDs, expressed purely as DataFrame aggregations + joins so
+Catalyst/AQE manage the physical plan.
+
+This replaces DuDe's transitive grouping-by-identical-hash
+(/root/reference/internal/processing/hashing.go:321-382) for the
+near-dup detectors, where duplicate relations are pairwise and
+transitivity must be computed.  The final label is the component's
+minimum image_id — a deterministic representative, deliberately fixing
+the reference's nondeterministic map-iteration representative choice
+(hashing.go:370, comment "smallest name?").
+
+Scale notes: every round is two shuffles (groupBy min + join) with
+map-side partial aggregation; `localCheckpoint` each round truncates
+the lineage so plans don't grow; convergence is detected via a cheap
+count+hash aggregate.  Labels are the ids themselves (strings) — at
+10^12 rows a dictionary-encoding pass (zipWithIndex-style dense longs)
+would shrink shuffle width; noted, not needed for correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect strictly-larger neighbors to
+    min(Γ(u) ∪ {u})."""
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = und.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point each edge from larger to smaller; for each node u connect
+    all smaller neighbors (and u itself) to the minimum neighbor."""
+    directed = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    self_edge = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (
+        nbr.unionByName(self_edge)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 30, checkpoint: bool = True
+) -> DataFrame:
+    """pairs(a, b) → assignments(image_id, cluster_id).
+
+    cluster_id = min(image_id) over the component.  Only nodes that
+    appear in at least one pair are returned (singletons are dropped,
+    ≅ hashing.go:366-368).
+    """
+    edges = pairs.select("a", "b").where(F.col("a") != F.col("b")).distinct()
+    prev = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges))
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError("connected components did not converge")
+
+    # converged edge set is a star forest: every node points at its root
+    members = edges.select(
+        F.col("a").alias("image_id"), F.col("b").alias("cluster_id")
+    )
+    roots = edges.select(F.col("b").alias("image_id")).distinct().withColumn(
+        "cluster_id", F.col("image_id")
+    )
+    return members.unionByName(roots).distinct()

@@ -1,0 +1,60 @@
+"""SparkSession builder with the engine's standard configuration.
+
+Centralizes the settings that matter at scale (AQE, skew-join handling,
+Arrow batch sizing) so tests, bench, and spark-submit entrypoints all
+run the same way.  The reference's `CPUs` / `BufSize` knobs
+(/root/reference/internal/models/models.go:20-29, clamped in
+internal/handlers/validation/resolver.go:54-82) map to `parallelism` /
+`arrow_batch_rows` here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dude_spark",
+    master: str | None = None,
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 1024,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for the dedup pipeline.
+
+    On a real cluster ``master`` is left unset (taken from
+    ``spark-submit``); locally ``local[N]`` is used.  Shuffle
+    partitions default to the session parallelism — at 100 TB scale
+    AQE coalescing handles the rest.
+    """
+    if master is None:
+        import os
+
+        cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = int(master[6:-1])
+        else:
+            shuffle_partitions = 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # `bytes` rows can be large — cap Arrow batch row counts so a
+        # batch of encoded images fits in python-worker memory
+        # (reference analogue: BufSize bound, resolver.go:69-82).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
