@@ -37,10 +37,14 @@ class MinHashConfig:
     """D1: MinHash-LSH over caption shingles."""
 
     shingle_k: int = 5          # character shingle width
-    num_hashes: int = 128       # minhash signature length
-    bands: int = 32             # LSH bands (rows per band = num_hashes // bands)
+    num_hashes: int = 126       # minhash signature length
+    bands: int = 42             # LSH bands (rows per band = num_hashes // bands)
     seed: int = 42
-    jaccard_threshold: float = 0.7  # verify-stage exact-similarity floor
+    jaccard_threshold: float = 0.55  # verify-stage exact-similarity floor
+    # s-curve at (bands=42, r=3): P(bucket-share) = 1-(1-J^3)^42
+    #   J=0.55 → 0.9995   J=0.59 → 0.99994   J=0.3 → 0.68   J=0.15 → 0.13
+    # so pairs at/above the verify threshold are caught with prob > 0.999
+    # (BASELINE.json recall ≥ 0.99) while random pairs mostly never meet.
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.bands != 0:

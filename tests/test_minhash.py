@@ -1,0 +1,105 @@
+"""D1 MinHash-LSH: recall vs planted near-dup captions + plan hygiene.
+
+Recall target from BASELINE.json: dup-pair recall >= 0.99 at the
+reference shingle/signature configuration.  Caption-similarity targets
+in the fixture: `near_caption` (perturbed captions), `exact` /
+`same_caption` / `hot` (identical captions → Jaccard 1.0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dude_spark.config import MinHashConfig
+from dude_spark.detectors.minhash import (
+    _band_hashes,
+    _params,
+    _shingle_hashes,
+    minhash_buckets,
+    minhash_signatures,
+)
+from dude_spark.fixtures import IMAGES_COLUMNS, expected_pairs
+from dude_spark.operators.candidates import pairs_from_buckets
+from dude_spark.operators.components import connected_components
+from dude_spark.operators.verify import shingle_set, verify_jaccard
+
+CFG = MinHashConfig()
+
+CAPTION_KINDS = {"exact", "near_caption", "hot", "same_caption"}
+
+
+def test_shingle_hashes_match_shingle_set():
+    # the signature UDF and the verify stage must agree on shingling
+    for text in ["hello world shingles", "αβγδε ζηθ", "ab", "", "exactly5"]:
+        want = len(shingle_set(text, 5))
+        got = _shingle_hashes(text, 5).size
+        assert got == want, text
+
+
+def test_band_hashes_deterministic_and_similarity_sensitive():
+    a, b = _params(CFG)
+    s1 = _shingle_hashes("the quick brown fox jumps over the lazy dog", CFG.shingle_k)
+    s2 = _shingle_hashes("the quick brown fox jumped over the lazy dog", CFG.shingle_k)
+    s3 = _shingle_hashes("completely unrelated caption text here", CFG.shingle_k)
+    b1 = _band_hashes(s1, a, b, CFG.bands, CFG.rows_per_band)
+    b1x = _band_hashes(s1, a, b, CFG.bands, CFG.rows_per_band)
+    b2 = _band_hashes(s2, a, b, CFG.bands, CFG.rows_per_band)
+    b3 = _band_hashes(s3, a, b, CFG.bands, CFG.rows_per_band)
+    assert (b1 == b1x).all()                      # deterministic
+    assert (b1 == b2).any()                       # near-dup shares >=1 band
+    assert not (b1 == b3).any()                   # unrelated shares none
+    assert _band_hashes(np.empty(0, np.uint64), a, b, CFG.bands, CFG.rows_per_band) is None
+
+
+@pytest.fixture(scope="module")
+def verified_pairs(spark, images_df):
+    sigs = minhash_signatures(images_df, CFG)
+    buckets = minhash_buckets(sigs)
+    pairs, _overcap = pairs_from_buckets(buckets, bucket_cap=64)
+    return verify_jaccard(
+        pairs, images_df, CFG.shingle_k, CFG.jaccard_threshold
+    ).select("a", "b")
+
+
+def test_minhash_recall(verified_pairs, truth_pdf):
+    want = expected_pairs(truth_pdf, CAPTION_KINDS)
+    got = {(r["a"], r["b"]) for r in verified_pairs.collect()}
+    got = {tuple(sorted(p)) for p in got}
+    missed = want - got
+    recall = 1 - len(missed) / len(want)
+    assert recall >= 0.99, f"recall {recall:.4f}, missed {sorted(missed)[:5]}"
+
+
+def test_minhash_verify_kills_false_positives(verified_pairs, fixture_pdf):
+    # every surviving pair really is Jaccard >= threshold on raw captions
+    caps = dict(zip(fixture_pdf.image_id, fixture_pdf.caption))
+    for r in verified_pairs.collect():
+        sa = shingle_set(caps[r["a"]], CFG.shingle_k)
+        sb = shingle_set(caps[r["b"]], CFG.shingle_k)
+        j = len(sa & sb) / len(sa | sb)
+        assert j >= CFG.jaccard_threshold - 1e-9
+
+
+def test_minhash_components_group_near_dups(verified_pairs, truth_pdf):
+    assigns = connected_components(verified_pairs)
+    rows = assigns.collect()
+    label = {r["image_id"]: r["cluster_id"] for r in rows}
+    # all near_caption group members end up with one shared cluster id
+    nc = truth_pdf[truth_pdf.truth_kind == "near_caption"]
+    for _, grp in nc.groupby("truth_group_id"):
+        labels = {label.get(i) for i in grp.image_id}
+        assert len(labels) == 1 and None not in labels
+
+
+def test_minhash_scan_prunes_bytes(spark, fixture_pdf, tmp_path_factory):
+    # Catalyst column pruning: the signature scan must not read `bytes`
+    # (SURVEY.md §4 — the single biggest I/O lever at 10^12 rows).
+    path = str(tmp_path_factory.mktemp("prune") / "images.parquet")
+    spark.createDataFrame(fixture_pdf[IMAGES_COLUMNS]).write.parquet(path)
+    sigs = minhash_signatures(spark.read.parquet(path), CFG)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "bytes" not in read_schema
+    assert "caption" in read_schema
