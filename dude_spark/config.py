@@ -60,13 +60,15 @@ class SimHashConfig:
     """D2: 64-bit SimHash over phash bits + caption tokens, Hamming-ball
     bucketing via pigeonhole segmenting (radius <= segments - 1)."""
 
-    segments: int = 4           # 64-bit sig split into 4x16-bit segments
-    hamming_radius: int = 3     # must be <= segments - 1 for exact recall
-    seed: int = 42
-    use_phash: bool = True
-    use_caption: bool = True
+    segments: int = 8           # 64-bit sig split into 8x8-bit segments
+    hamming_radius: int = 3     # generalized pigeonhole: any (m-r)-subset
+    seed: int = 42              # of segments is a bucket table → C(m,r)
+    use_phash: bool = True      # tables with (m-r)*(64/m)-bit keys
+    use_caption: bool = True    # (40-bit at defaults — selective at 10^12)
 
     def __post_init__(self) -> None:
+        if 64 % self.segments != 0:
+            raise ConfigError("segments must divide 64")
         if self.hamming_radius > self.segments - 1:
             raise ConfigError(
                 "pigeonhole bucketing needs hamming_radius <= segments - 1"

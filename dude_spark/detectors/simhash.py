@@ -1,0 +1,188 @@
+"""D2 — SimHash near-duplicate detector over phash / caption-token features.
+
+Same fingerprint-then-group skeleton as D0/D1 (reference: MD5 project →
+group-by-hash, /root/reference/internal/processing/hashing.go:289-382),
+with a 64-bit similarity-preserving signature and Hamming-ball
+bucketing.  Two feature channels, each optional (SimHashConfig):
+
+  phash    the input column `phash` IS a 64-bit perceptual signature
+           (average-hash); used directly.  Catches visually-identical
+           re-encodes whose captions differ (fixture kind `near_image`).
+  caption  simhash over whitespace tokens: each token hashes to 64 bits
+           (same deterministic polynomial as D1); bit j of the signature
+           is the sign of Σ_tokens (±1 per token bit j).  Catches
+           same-token-bag captions.
+
+Bucketing — generalized pigeonhole (Manku/Jain/Sarma, "Detecting
+Near-Duplicates for Web Crawling", WWW'07, multi-table scheme): split
+the 64-bit signature into `segments` = m equal slices; for Hamming
+radius r, every (m−r)-subset of segments becomes one bucket key.  If
+two signatures differ in ≤ r bits, the errors touch ≤ r segments, so
+at least one subset is error-free and the pair shares that bucket —
+exact recall within the ball.  Key width is (m−r)·(64/m) bits: with
+the default m=8, r=3 that is 40 bits — at 10^12 rows the expected
+random bucket size stays O(1), unlike the naive m=r+1 scheme whose
+16-bit keys would each hold ~10^7 rows.  C(m,r) subsets per row is the
+candidate-generation cost knob.
+
+Everything except the caption-simhash pandas_udf is JVM-side: segment
+extraction is shiftright+mask, subset keys are concat, the explode is
+one `posexplode` of a precomputed expression array — all inside
+whole-stage codegen.  Verification is `bit_count(a^b) <= r` JVM-side
+(operators/verify.verify_hamming).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SimHashConfig
+
+NAME = "simhash"
+
+_POLY_B = np.uint64(1099511628211)  # FNV-64 prime, same base as D1
+
+
+def segment_subsets(segments: int, radius: int) -> list[tuple[int, ...]]:
+    """All (segments−radius)-subsets of segment indices — the bucket
+    tables.  Deterministic order (lexicographic) for reproducibility."""
+    return list(itertools.combinations(range(segments), segments - radius))
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """64-bit polynomial hashes of whitespace tokens, vectorized over
+    the caption's code points (no Python hash())."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(toks):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            h = np.uint64(14695981039346656037)  # FNV offset basis
+            for c in cp:
+                h = h * _POLY_B + c
+            out[i] = h
+    return out
+
+
+def simhash64(token_hashes: np.ndarray) -> int | None:
+    """Classic simhash: bit j = sign of Σ_tokens (2·bit_j(tok) − 1)."""
+    if token_hashes.size == 0:
+        return None
+    bits = (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for j in np.nonzero(votes > 0)[0]:
+        sig |= np.uint64(1) << np.uint64(j)
+    return int(sig.astype(np.int64))  # wrap into Spark LongType range
+
+
+def caption_simhash_udf():
+    """pandas_udf: caption → nullable long simhash."""
+
+    @F.pandas_udf("long")
+    def sim(captions: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in captions:
+            yield pd.Series(
+                [None if c is None else simhash64(_token_hashes(c)) for c in batch],
+                dtype="object",
+            )
+
+    return sim
+
+
+def simhash_signatures(images: DataFrame, cfg: SimHashConfig) -> DataFrame:
+    """images → (image_id, channel, sig).  One row per enabled channel.
+
+    The phash channel is a pure projection (no UDF at all); the caption
+    channel is one vectorized pandas_udf.  Neither reads `bytes`.
+    """
+    parts = []
+    if cfg.use_phash:
+        parts.append(
+            images.select(
+                "image_id", F.lit("phash").alias("channel"),
+                F.col("phash").alias("sig"),
+            ).where(F.col("sig").isNotNull())
+        )
+    if cfg.use_caption:
+        udf = caption_simhash_udf()
+        parts.append(
+            images.select("image_id", "caption")
+            .select(
+                "image_id", F.lit("caption").alias("channel"),
+                udf("caption").alias("sig"),
+            )
+            .where(F.col("sig").isNotNull())
+        )
+    if not parts:
+        raise ValueError("SimHashConfig enables no channels")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def simhash_buckets(signatures: DataFrame, cfg: SimHashConfig) -> DataFrame:
+    """(image_id, channel, sig) → (image_id, bucket).
+
+    bucket = 'sh:<channel>:<subset_id>:<seg values…>' for every
+    (m−r)-subset.  All JVM expressions; one posexplode.
+    """
+    m = cfg.segments
+    width = 64 // m
+    mask = (1 << width) - 1
+
+    def seg(i: int):
+        return F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit(mask))
+
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit("sh"),
+                F.col("channel"),
+                F.lit(str(si)),
+                *[seg(i).cast("string") for i in subset],
+            )
+            for si, subset in enumerate(segment_subsets(m, cfg.hamming_radius))
+        ]
+    )
+    return signatures.select(
+        "image_id", F.explode(keys).alias("bucket")
+    )
+
+
+def simhash_pairs_verified(
+    pairs: DataFrame, signatures: DataFrame, cfg: SimHashConfig
+) -> DataFrame:
+    """Exact Hamming recheck per channel: a pair survives if ANY enabled
+    channel has bit_count(sig_a ^ sig_b) <= radius.  JVM-side."""
+    by_channel = []
+    for ch in ("phash", "caption"):
+        sigs = signatures.where(F.col("channel") == ch).select("image_id", "sig")
+        j = (
+            pairs.join(
+                sigs.select(F.col("image_id").alias("a"), F.col("sig").alias("sig_a")), "a"
+            )
+            .join(
+                sigs.select(F.col("image_id").alias("b"), F.col("sig").alias("sig_b")), "b"
+            )
+            .where(
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                <= F.lit(cfg.hamming_radius)
+            )
+            .select("a", "b")
+        )
+        by_channel.append(j)
+    out = by_channel[0]
+    for p in by_channel[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
