@@ -1,0 +1,94 @@
+"""Per-partition lineage rows + run metrics (north_rule axis B).
+
+Generalizes the reference's progress/metrics surface — ProgressCounter/
+ProgressTracker atomic counters ticking to the GUI
+(/root/reference/internal/visuals/progress_counter.go:12-93,
+progress_tracker.go:14-90) and the timing log lines
+(internal/processing/runner.go:314-320) — into durable tables a
+resumed run can audit:
+
+  run_metrics(run_id, stage, detector, rows_out, wall_s, ts,
+              extra map<string,string>)
+      one row per completed stage (the "timing log", durable).
+  lineage(run_id, stage, detector, partition_id, rows)
+      one row per OUTPUT PARTITION per stage — the per-partition
+      lineage the north-star requires; computed distributed via
+      spark_partition_id() groupBy (a map-side count, no extra
+      shuffle beyond the tiny aggregation).
+
+Both are append-only parquet directories under the checkpoint root
+(Iceberg `MERGE INTO`/append in production — see pipeline.py module
+docstring for the swap); append-only means a resumed run's rows simply
+land next to the original run's, keyed by run_id + stage.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, detector string, rows_out long, "
+    "wall_s double, ts string, extra map<string,string>"
+)
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, detector string, partition_id int, rows long"
+)
+
+
+def partition_counts(df: DataFrame) -> DataFrame:
+    """(partition_id, rows) of df's current physical partitioning."""
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("rows"))
+    )
+
+
+def record_stage(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    run_id: str,
+    stage: str,
+    detector: str,
+    rows_out: int,
+    wall_s: float,
+    extra: dict[str, str] | None = None,
+    stage_output: DataFrame | None = None,
+) -> None:
+    """Append one run_metrics row and (if given a materialized stage
+    output) its per-partition lineage rows."""
+    ts = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    metrics = spark.createDataFrame(
+        [(run_id, stage, detector, rows_out, float(wall_s), ts, extra or {})],
+        METRICS_SCHEMA,
+    )
+    metrics.coalesce(1).write.mode("append").parquet(
+        os.path.join(checkpoint_dir, "run_metrics")
+    )
+    if stage_output is not None:
+        lineage = partition_counts(stage_output).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.lit(detector).alias("detector"),
+            F.col("partition_id").cast("int"),
+            F.col("rows").cast("long"),
+        )
+        lineage.coalesce(1).write.mode("append").parquet(
+            os.path.join(checkpoint_dir, "lineage")
+        )
+
+
+def read_metrics(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return spark.read.schema(METRICS_SCHEMA).parquet(
+        os.path.join(checkpoint_dir, "run_metrics")
+    )
+
+
+def read_lineage(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(
+        os.path.join(checkpoint_dir, "lineage")
+    )

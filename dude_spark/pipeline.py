@@ -1,0 +1,357 @@
+"""End-to-end pipeline orchestration: stages, checkpoints, resume, cache.
+
+The Spark analogue of the reference's hardwired operator chain
+(/root/reference/internal/processing/runner.go:213-325): scan →
+[incremental cache probe] → signature projection → bucket grouping →
+candidate pairs → verify → connected components → report.  Three
+generalizations mandated by the north star:
+
+  * every stage materializes to a checkpoint directory with a sidecar
+    manifest keyed by the detector's ``config_id`` — a re-run skips
+    every completed stage whose config matches ("resumes idempotently
+    mid-run"; generalizes DuDe's row cache, hashing.go:84-116, from
+    rows to stages);
+  * per-partition lineage rows + stage metrics append to durable
+    tables (lineage.py);
+  * the signature stage is row-incremental when ``use_cache`` is on:
+    rows whose content fingerprint matches the cached signature are
+    NOT recomputed — the stat+cache-probe (O3, hashing.go:73-88) and
+    upsert (O6, db/hash_repository.go:128-143) as one join + union
+    (an Iceberg ``MERGE INTO`` in production; see below).
+
+Storage note: checkpoints are plain parquet directories with JSON
+manifest sidecars.  On a real cluster with an Iceberg catalog the same
+code targets Iceberg tables (``.writeTo(tbl).createOrReplace()`` /
+``MERGE INTO`` for the signature upsert) — the org.apache.iceberg
+runtime jar is not in this sandbox, so the parquet+manifest fallback
+keeps the exact same stage semantics (atomicity via manifest-after-data
+ordering) and is documented here for the swap.
+
+Scale notes: `bytes` is projected away before every shuffle except the
+exact detector's verify join (SURVEY.md §7 hard-part (e)); candidate
+generation is bucket-capped with star edges (operators/candidates.py);
+CC uses localCheckpoint-per-round (operators/components.py); stage
+reads come back from parquet so no lineage chain spans a stage
+boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import JobConfig
+from .detectors import exact as d_exact
+from .detectors import minhash as d_minhash
+from .detectors import simhash as d_simhash
+from .detectors import suffix as d_suffix
+from .lineage import record_stage
+from .operators.candidates import pairs_from_buckets
+from .operators.components import connected_components
+from .operators.report import assignments_to_report, write_csv_report
+from .operators.verify import verify_exact, verify_jaccard
+
+
+@dataclasses.dataclass
+class StageInfo:
+    rows: int
+    wall_s: float
+    skipped: bool
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    assignments: DataFrame
+    report: DataFrame
+    csv_path: str | None
+    stages: dict[str, StageInfo]
+
+
+def input_fingerprint(cfg: JobConfig) -> str:
+    """Cheap driver-side fingerprint of the input tables: sha256 over
+    sorted (relative path, size, mtime_ns) of every file under each
+    input root — the direct analogue of the reference's per-file
+    (FileSize, ModTime) cache probe (hashing.go:73-88) lifted to the
+    table level.  Stage manifests embed this so a changed/extended
+    input invalidates stage skips while `use_cache` still reuses
+    unchanged rows.  On Iceberg this is the table's snapshot id.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for root in cfg.input_paths:
+        if os.path.isfile(root):
+            stt = os.stat(root)
+            h.update(f"{root}|{stt.st_size}|{stt.st_mtime_ns}\n".encode())
+            continue
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                p = os.path.join(dirpath, fn)
+                stt = os.stat(p)
+                rel = os.path.relpath(p, root)
+                h.update(f"{rel}|{stt.st_size}|{stt.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def load_images(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """Union of all input tables (≅ multi-root scan fan-in,
+    runner.go:249-252 — cross-input and intra-input dups are the same)."""
+    df = spark.read.parquet(cfg.input_paths[0])
+    for p in cfg.input_paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    return df
+
+
+# ---------------------------------------------------------------- detectors
+
+def _row_fp(detector: str):
+    """Cheap per-row content fingerprint for the incremental cache —
+    hashes exactly the columns the detector's signature reads (the
+    (size, mtime) stat proxy of hashing.go:73-88; our schema has no
+    mtime, so content columns are hashed directly — for caption
+    detectors this skips the expensive Python-UDF recompute, for
+    `exact` it degenerates to the same cost as the signature itself
+    and is kept only for uniformity)."""
+    if detector == "exact":
+        return F.xxhash64("bytes")
+    if detector == "simhash":
+        return F.xxhash64("caption", "phash")
+    return F.xxhash64("caption")  # minhash, suffix
+
+
+def _signatures(images: DataFrame, detector: str, cfg: JobConfig) -> DataFrame:
+    if detector == "exact":
+        return d_exact.exact_buckets(images).withColumnRenamed("bucket", "sig")
+    if detector == "minhash":
+        return d_minhash.minhash_signatures(images, cfg.minhash)
+    if detector == "simhash":
+        return d_simhash.simhash_signatures(images, cfg.simhash)
+    if detector == "suffix":
+        return d_suffix.suffix_signatures(images, cfg.suffix)
+    raise ValueError(detector)
+
+
+def _buckets(signatures: DataFrame, detector: str, cfg: JobConfig) -> DataFrame:
+    if detector == "exact":
+        return signatures.select("image_id", F.col("sig").alias("bucket"))
+    if detector == "minhash":
+        return d_minhash.minhash_buckets(signatures)
+    if detector == "simhash":
+        return d_simhash.simhash_buckets(signatures, cfg.simhash)
+    if detector == "suffix":
+        return d_suffix.suffix_buckets(signatures)
+    raise ValueError(detector)
+
+
+def _verify(
+    pairs: DataFrame,
+    images: DataFrame,
+    signatures: DataFrame,
+    detector: str,
+    cfg: JobConfig,
+) -> DataFrame:
+    """ParanoidMode analogue per detector (hashing.go:135-239); for the
+    fuzzy detectors verification is NOT optional — it is what turns
+    candidate buckets into true near-dup pairs."""
+    if detector == "exact":
+        if not cfg.paranoid:
+            return pairs
+        return verify_exact(pairs, images)
+    if detector == "minhash":
+        return verify_jaccard(
+            pairs, images, cfg.minhash.shingle_k, cfg.minhash.jaccard_threshold
+        ).select("a", "b")
+    if detector == "simhash":
+        return d_simhash.simhash_pairs_verified(pairs, signatures, cfg.simhash)
+    if detector == "suffix":
+        return d_suffix.verify_substring(pairs, images, cfg.suffix).select("a", "b")
+    raise ValueError(detector)
+
+
+# ------------------------------------------------------------- checkpointing
+
+class _Stages:
+    """Checkpointed stage runner: parquet dir + JSON manifest sidecar.
+
+    Manifest is written AFTER the data (crash between the two = stage
+    re-runs — idempotent because the write is mode('overwrite')).
+    """
+
+    def __init__(self, spark: SparkSession, cfg: JobConfig, resume: bool):
+        self.spark, self.cfg, self.resume = spark, cfg, resume
+        self.root = cfg.checkpoint_dir
+        self.stages: dict[str, StageInfo] = {}
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        d = os.path.join(self.root, "stages", stage)
+        return d, d + ".manifest.json"
+
+    def run(
+        self, stage: str, detector: str, config_id: str, compute
+    ) -> DataFrame:
+        data_dir, manifest = self._paths(stage)
+        if self.resume and os.path.exists(manifest) and os.path.exists(data_dir):
+            with open(manifest) as f:
+                m = json.load(f)
+            if m.get("config_id") == config_id:
+                self.stages[stage] = StageInfo(m["rows"], 0.0, skipped=True)
+                return self.spark.read.parquet(data_dir)
+            # config changed → cached stage is invalid, fall through
+        t0 = time.monotonic()
+        df = compute()
+        df.write.mode("overwrite").parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        rows = out.count()
+        wall = time.monotonic() - t0
+        with open(manifest + ".tmp", "w") as f:
+            json.dump(
+                {
+                    "run_id": self.cfg.run_id,
+                    "stage": stage,
+                    "config_id": config_id,
+                    "rows": rows,
+                    "wall_s": wall,
+                },
+                f,
+            )
+        os.replace(manifest + ".tmp", manifest)  # atomic publish
+        record_stage(
+            self.spark, self.root, self.cfg.run_id, stage, detector,
+            rows, wall, stage_output=out,
+        )
+        self.stages[stage] = StageInfo(rows, wall, skipped=False)
+        return out
+
+
+def _incremental_signatures(
+    spark: SparkSession,
+    images: DataFrame,
+    detector: str,
+    cfg: JobConfig,
+    cache_dir: str,
+) -> DataFrame:
+    """Row-level MERGE of new/changed signatures with the cached table.
+
+    ≅ fileNeedsReHashing = !memoryExists || fileHasChangedOnDisk
+    (hashing.go:84-88) as one left join; unchanged rows keep their
+    cached signature without re-running the signature UDF.
+    """
+    fp = images.withColumn("row_fp", _row_fp(detector))
+    try:
+        # localCheckpoint BEFORE the stage overwrites cache_dir — Spark
+        # reads lazily, so writing over the path still being scanned
+        # would corrupt the very cache being merged.  (With Iceberg this
+        # is a snapshot-isolated MERGE INTO and the checkpoint is free.)
+        cached = spark.read.parquet(cache_dir).localCheckpoint(eager=True)
+    except Exception:  # first run — no cache yet
+        return _signatures(images, detector, cfg).join(
+            fp.select("image_id", "row_fp"), "image_id"
+        )
+    current = fp.select("image_id", "row_fp")
+    unchanged = cached.join(current, ["image_id", "row_fp"])  # semi via inner
+    stale_ids = current.join(
+        cached.select("image_id", F.col("row_fp").alias("cached_fp")),
+        "image_id",
+        "left",
+    ).where(
+        F.col("cached_fp").isNull() | (F.col("cached_fp") != F.col("row_fp"))
+    ).select("image_id")
+    fresh_rows = images.join(stale_ids, "image_id")
+    fresh = _signatures(fresh_rows, detector, cfg).join(
+        fp.select("image_id", "row_fp"), "image_id"
+    )
+    return unchanged.unionByName(fresh)
+
+
+# ------------------------------------------------------------------ pipeline
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: JobConfig,
+    resume: bool = True,
+    images: DataFrame | None = None,
+) -> PipelineResult:
+    """Full run: detectors → union of verified edges → CC → report.
+
+    `resume=True` + an existing checkpoint dir skips completed stages
+    (kill-and-rerun safety, ≅ runner.go cancellation + cache warm
+    path).  Pass `images` to override the input scan (tests).
+    """
+    cfg = cfg.validated()
+    if cfg.checkpoint_dir is None:
+        raise ValueError("run_pipeline requires cfg.checkpoint_dir")
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    st = _Stages(spark, cfg, resume)
+
+    if images is None:
+        images = load_images(spark, cfg)
+
+    # early-exit guard: abort on an empty input (runner.go:255-260)
+    if images.limit(1).count() == 0:
+        empty_assign = spark.createDataFrame([], "image_id string, cluster_id string")
+        empty_rep = spark.createDataFrame(
+            [], "image_id string, caption string, dup_image_id string, "
+            "dup_caption string, cluster_id string"
+        )
+        return PipelineResult(empty_assign, empty_rep, None, st.stages)
+
+    in_fp = input_fingerprint(cfg)
+    edge_frames = []
+    for det in cfg.detectors:
+        cid = cfg.config_id(det) + "@" + in_fp
+        sig_dir, _ = st._paths(f"signatures_{det}")
+
+        def compute_sigs(det=det, sig_dir=sig_dir):
+            if cfg.use_cache:
+                return _incremental_signatures(spark, images, det, cfg, sig_dir)
+            return _signatures(images, det, cfg).withColumn(
+                "row_fp", F.lit(None).cast("long")
+            )
+
+        sigs = st.run(f"signatures_{det}", det, cid, compute_sigs)
+
+        def compute_pairs(det=det, sigs=sigs):
+            pairs, overcap = pairs_from_buckets(
+                _buckets(sigs, det, cfg), cfg.bucket_cap
+            )
+            n_overcap = overcap.count()
+            if n_overcap:
+                overcap.write.mode("overwrite").parquet(
+                    os.path.join(cfg.checkpoint_dir, "stages", f"overcap_{det}")
+                )  # never silently truncated — durable record (SURVEY §2.2)
+            return pairs
+
+        pairs = st.run(f"candidates_{det}", det, cid, compute_pairs)
+
+        edges = st.run(
+            f"edges_{det}", det, cid,
+            lambda det=det, pairs=pairs, sigs=sigs: _verify(
+                pairs, images, sigs, det, cfg
+            ),
+        )
+        edge_frames.append(edges.select("a", "b"))
+
+    all_edges = edge_frames[0]
+    for e in edge_frames[1:]:
+        all_edges = all_edges.unionByName(e)
+
+    combined_cid = "+".join(cfg.config_id(d) for d in cfg.detectors) + "@" + in_fp
+    assignments = st.run(
+        "components", "all", combined_cid,
+        lambda: connected_components(all_edges.distinct()),
+    )
+    report = st.run(
+        "report", "all", combined_cid,
+        lambda: assignments_to_report(assignments, images),
+    )
+
+    csv_path = None
+    if cfg.results_dir:
+        csv_path = write_csv_report(report, cfg.results_dir)
+    return PipelineResult(assignments, report, csv_path, st.stages)
