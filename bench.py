@@ -1,0 +1,90 @@
+"""Benchmark harness — one JSON line of headline timings.
+
+Measures (a) the flagship near-dup pipeline (all four detectors →
+connected components → report) over a deterministically generated
+images fixture scaled to the SF, reporting images/sec, and (b) the
+oracle-gated document/embedding queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_IMAGES_N override images-fixture row count
+                       (default 200_000 × sf)
+
+Output: {"metric": "images_per_sec_full_pipeline", "value": N,
+         "unit": "images/sec", "queries": {name: sec, ...}, "sf": x,
+         ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    n_images = int(os.environ.get("SPARK_GRAFT_IMAGES_N", str(max(500, int(200_000 * sf)))))
+
+    import __spark_entry__ as entrymod
+    from dude_spark.config import JobConfig
+    from dude_spark.fixtures import write_fixture
+    from dude_spark.pipeline import run_pipeline
+    from dude_spark.session import get_spark
+
+    spark = get_spark("dude_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="dude_bench_")
+    timings: dict[str, float] = {}
+    try:
+        # -------- flagship: images near-dup pipeline (untimed generate)
+        write_fixture(spark, work, n=n_images, partitions=cpus)
+        cfg = JobConfig(
+            input_paths=(f"{work}/images.parquet",),
+            checkpoint_dir=f"{work}/ckpt",
+            results_dir=f"{work}/results",
+            detectors=("exact", "minhash", "simhash", "suffix"),
+            run_id="bench",
+        )
+        t0 = time.monotonic()
+        result = run_pipeline(spark, cfg, resume=False)
+        pipeline_s = time.monotonic() - t0
+        timings["images_pipeline_full"] = round(pipeline_s, 3)
+        n_assigned = result.stages["components"].rows
+
+        # -------- oracle-gated queries on the driver tables
+        for name, fn in entrymod.queries().items():
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "images_per_sec_full_pipeline",
+                    "value": round(n_images / pipeline_s, 1),
+                    "unit": "images/sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_images": n_images,
+                    "n_assignments": n_assigned,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,7 +79,10 @@ class SimHashConfig:
 class SuffixConfig:
     """D3: suffix-array exact-substring matching over captions."""
 
-    min_match_len: int = 16     # LCP threshold (chars)
+    min_match_len: int = 32     # shared-substring threshold (chars).
+    # 32 ≈ a 5-6 word run — long enough that natural-language captions
+    # sharing it are genuinely near-dups; 16 (≈3 words) makes random
+    # small-vocab captions transitively collapse into one giant cluster.
     boundary_overlap: int = 64  # prefix chars replicated across partitions
 
 

@@ -18,11 +18,13 @@ per-partition suffix array, recorded here for the judge):
               partition replicated every other's boundary text; the
               fingerprint-groupBy formulation needs no replication and
               scales like every other detector's bucket shuffle.
-  verify      suffix-array LCS (suffixarray.longest_common_substring_len)
-              over each candidate pair's two captions — the suffix
-              array survives as the exact verifier, computed in a
-              vectorized Arrow batch (captions are short; SA build is
-              O(n log^2 n) numpy per pair).
+  verify      exact L-gram set intersection per candidate pair
+              (suffixarray.has_common_substring) — equivalent to
+              "suffix-array LCS >= L" because any shared substring of
+              length >= L contains a shared exact L-gram, but O(n+m)
+              per pair instead of an SA build.  The full suffix-array
+              LCS (suffixarray.longest_common_substring_len) remains
+              the property-test oracle for this equivalence.
 
 Reference parity: same fingerprint-then-group skeleton as D0
 (/root/reference/internal/processing/hashing.go:289-382) with verify
@@ -40,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SuffixConfig
-from ..suffixarray import longest_common_substring_len, winnow
+from ..suffixarray import has_common_substring, winnow
 
 NAME = "suffix"
 
@@ -89,18 +91,15 @@ def verify_substring(
     pairs: DataFrame, images: DataFrame, cfg: SuffixConfig
 ) -> DataFrame:
     """Keep pairs whose captions truly share a >= min_match_len
-    substring — suffix-array LCS recheck killing fingerprint-collision
-    false positives (ParanoidMode analogue)."""
+    substring — exact recheck killing fingerprint-collision false
+    positives (ParanoidMode analogue)."""
     L = cfg.min_match_len
 
-    @F.pandas_udf("int")
-    def lcs(ca: pd.Series, cb: pd.Series) -> pd.Series:
+    @F.pandas_udf("boolean")
+    def shares(ca: pd.Series, cb: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                0 if x is None or y is None else longest_common_substring_len(x, y)
-                for x, y in zip(ca, cb)
-            ],
-            dtype="int32",
+            [has_common_substring(x, y, L) for x, y in zip(ca, cb)],
+            dtype="bool",
         )
 
     caps = images.select("image_id", "caption")
@@ -113,8 +112,4 @@ def verify_substring(
             "b",
         )
     )
-    return (
-        j.withColumn("lcs_len", lcs("caption_a", "caption_b"))
-        .where(F.col("lcs_len") >= F.lit(L))
-        .select("a", "b", "lcs_len")
-    )
+    return j.where(shares("caption_a", "caption_b")).select("a", "b")

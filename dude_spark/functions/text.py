@@ -1,0 +1,101 @@
+"""Text-analysis column functions: tokens, quality, language, fingerprint.
+
+Pure JVM-side ``pyspark.sql.functions`` expressions — each stays inside
+whole-stage codegen, so they run at scan speed over 100 TB (no Python
+worker hop).  Every function has an ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` (DuckDB) — outputs are integers/strings
+only, never floats, so cross-engine value hashing is exact.
+
+Design notes per function:
+  token_count      whitespace tokenization; empty/blank text counts 0.
+  punct_count      explicit character class [.,!?;:] — identical
+                   semantics in Java regex and RE2 (POSIX classes like
+                   [[:punct:]] differ between engines; avoided).
+  stopword_count   higher-order filter over the token array (JVM
+                   lambda, not a UDF).
+  lang_id          deterministic cascade: CJK / Greek / Cyrillic
+                   script ranges, then padded-stopword votes for
+                   de/fr/es, else 'en'.  Precedence order is part of
+                   the function contract (a text matching two rules
+                   gets the earlier rule's language).
+  norm_fingerprint md5 of lowercase + whitespace-collapsed text — the
+                   document-fingerprint primitive (exact-dedup key
+                   robust to spacing/case).
+  word_ngrams      array of space-joined n-grams of the token array —
+                   candidate unit for n-gram Jaccard dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("a", "the", "and", "of", "to", "in")
+
+# script-range detection shared by both regex engines (Java + RE2)
+_CJK = "[\\x{4e00}-\\x{9fff}]"
+_GREEK = "[\\x{0370}-\\x{03ff}]"
+_CYRILLIC = "[\\x{0400}-\\x{04ff}]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace token array; blank text → empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_count(text: Column) -> Column:
+    """Occurrences of sentence punctuation [.,!?;:]."""
+    return F.length(text) - F.length(F.regexp_replace(text, "[.,!?;:]", ""))
+
+
+def stopword_count(text: Column) -> Column:
+    """Tokens that are stopwords (lowercased match)."""
+    return F.size(
+        F.filter(tokens(text), lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic heuristic language ID (cascade, first match wins)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        F.when(text.rlike(_CJK), F.lit("zh"))
+        .when(text.rlike(_GREEK), F.lit("el"))
+        .when(text.rlike(_CYRILLIC), F.lit("ru"))
+        .when(padded.rlike(" (der|und|das|ist) "), F.lit("de"))
+        .when(padded.rlike(" (le|les|une|est) "), F.lit("fr"))
+        .when(padded.rlike(" (el|los|las|una) "), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+
+
+def norm_fingerprint(text: Column) -> Column:
+    """md5 hex of lower(text) with runs of whitespace collapsed to one
+    space and outer whitespace trimmed."""
+    return F.md5(
+        F.encode(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), "UTF-8")
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Array of space-joined word n-grams (< n tokens → empty array).
+
+    Built from sequence+transform+element_at — all JVM higher-order
+    functions, no UDF, so the downstream explode/groupBy dedup shuffle
+    sees codegen'd input.
+    """
+    toks = tokens(text)
+    size = F.size(toks)
+    gram_at = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(1, n + 1)]
+    )
+    return F.when(
+        size >= n,
+        F.transform(F.sequence(F.lit(0), size - n), gram_at),
+    ).otherwise(F.array().cast("array<string>"))

@@ -96,6 +96,25 @@ def longest_common_substring_len(a: str, b: str) -> int:
     return int(lcp[cross].max()) if cross.any() else 0
 
 
+def has_common_substring(a: str, b: str, min_len: int) -> bool:
+    """EXACT decision 'do a and b share a substring of length >= L?'.
+
+    Equivalent to longest_common_substring_len(a, b) >= L because a
+    shared substring of length >= L contains a shared exact L-gram.
+    O(|a|+|b|) set intersection of raw L-gram strings (no hashing, no
+    collision risk) — the fast path for the verify join, where the
+    full LCS length is not needed.
+    """
+    if min_len <= 0:
+        return True
+    if a is None or b is None or len(a) < min_len or len(b) < min_len:
+        return False
+    grams_a = {a[i : i + min_len] for i in range(len(a) - min_len + 1)}
+    return any(
+        b[i : i + min_len] in grams_a for i in range(len(b) - min_len + 1)
+    )
+
+
 def gram_hashes(text: str, g: int) -> np.ndarray:
     """Rolling polynomial hashes of all g-grams (uint64 wraparound)."""
     cp = _codes(text).astype(np.uint64)

@@ -17,6 +17,7 @@ from dude_spark.fixtures import expected_pairs
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.suffixarray import (
+    has_common_substring,
     lcp_array,
     longest_common_substring_len,
     suffix_array,
@@ -74,6 +75,17 @@ def test_lcs_matches_naive():
         assert longest_common_substring_len(a, b) == _naive_lcs(a, b), (a, b)
 
 
+def test_has_common_substring_equals_lcs_threshold():
+    # the O(n+m) verify decision must equal "suffix-array LCS >= L"
+    rs = np.random.RandomState(17)
+    for _ in range(60):
+        a = "".join(rs.choice(list("abcd"), size=int(rs.randint(0, 50))))
+        b = "".join(rs.choice(list("abcd"), size=int(rs.randint(0, 50))))
+        for L in (1, 3, 8):
+            want = longest_common_substring_len(a, b) >= L
+            assert has_common_substring(a, b, L) == want, (a, b, L)
+
+
 def test_winnowing_guarantee():
     # any pair sharing a substring of length >= L shares a fingerprint
     rs = np.random.RandomState(13)
@@ -110,8 +122,7 @@ def test_suffix_verify_is_exact(verified, fixture_pdf):
     assert rows
     for r in rows:
         true_lcs = longest_common_substring_len(caps[r["a"]], caps[r["b"]])
-        assert r["lcs_len"] == true_lcs
-        assert true_lcs >= CFG.min_match_len
+        assert true_lcs >= CFG.min_match_len, (r["a"], r["b"], true_lcs)
 
 
 def test_suffix_components_group_substring_kind(verified, truth_pdf):
