@@ -1,0 +1,149 @@
+"""CLI entrypoint — the engine's `spark-submit --py-files` surface.
+
+Maps the reference's Wails-bound API (frontend/wailsjs/go/processing/
+FrontendApp.d.ts:5-19 — StartExecution / FullReset / GetResults /
+CheckIfResultsExist) onto subcommands:
+
+  run      ≅ StartExecution: validate args, run the pipeline, print
+           the results CSV path (or 'no duplicates').
+  reset    ≅ FullReset: truncate the checkpoint root (cache + stages
+           + lineage), runner.go:57-88 / db/database.go:58-61.
+  results  ≅ GetResults/ShowResults: print the latest assignments
+           summary from the checkpoint (runner.go:283-291).
+
+Cluster usage (the north-rule packaging contract):
+
+  zip -r dude_spark.zip dude_spark
+  spark-submit --py-files dude_spark.zip -m dude_spark run \\
+      --input s3://…/images --checkpoint s3://…/ckpt \\
+      --results out/ --detectors exact,minhash
+
+On a cluster, omit --master (spark-submit supplies it); locally a
+local[N] session is built from --cpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+
+from .config import ConfigError, JobConfig, MinHashConfig, SimHashConfig, SuffixConfig
+from .session import get_spark
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dude_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run the dedup pipeline")
+    r.add_argument("--input", action="append", required=True, dest="inputs",
+                   help="input parquet table path (repeatable, ≅ Directories)")
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--results", default=None)
+    r.add_argument("--detectors", default="exact",
+                   help="comma list of exact,minhash,simhash,suffix")
+    r.add_argument("--no-paranoid", action="store_true",
+                   help="disable the verify stage (≅ ParanoidMode off)")
+    r.add_argument("--use-cache", action="store_true",
+                   help="incremental signature reuse (≅ UseCache)")
+    r.add_argument("--no-resume", action="store_true",
+                   help="recompute every stage even if checkpointed")
+    r.add_argument("--cpus", type=int, default=0, help="local parallelism (0=all)")
+    r.add_argument("--buf-size", type=int, default=1024, help="Arrow batch rows")
+    r.add_argument("--bucket-cap", type=int, default=64)
+    r.add_argument("--run-id", default="cli")
+    r.add_argument("--local", action="store_true",
+                   help="force a local[N] master (default on when no cluster)")
+    r.add_argument("--minhash-threshold", type=float, default=None)
+    r.add_argument("--simhash-radius", type=int, default=None)
+    r.add_argument("--substring-len", type=int, default=None)
+
+    s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
+    s.add_argument("--checkpoint", required=True)
+
+    g = sub.add_parser("results", help="summarize latest assignments")
+    g.add_argument("--checkpoint", required=True)
+    return p
+
+
+def _config_from_args(a: argparse.Namespace) -> JobConfig:
+    mh = MinHashConfig()
+    if a.minhash_threshold is not None:
+        mh = MinHashConfig(jaccard_threshold=a.minhash_threshold)
+    sh = SimHashConfig()
+    if a.simhash_radius is not None:
+        sh = SimHashConfig(hamming_radius=a.simhash_radius)
+    sx = SuffixConfig()
+    if a.substring_len is not None:
+        sx = SuffixConfig(min_match_len=a.substring_len)
+    return JobConfig(
+        input_paths=tuple(a.inputs),
+        checkpoint_dir=a.checkpoint,
+        results_dir=a.results,
+        detectors=tuple(d.strip() for d in a.detectors.split(",") if d.strip()),
+        paranoid=not a.no_paranoid,
+        use_cache=a.use_cache,
+        cpus=a.cpus,
+        buf_size=a.buf_size,
+        bucket_cap=a.bucket_cap,
+        run_id=a.run_id,
+        minhash=mh,
+        simhash=sh,
+        suffix=sx,
+    ).validated()
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = _parser().parse_args(argv)
+
+    if a.cmd == "reset":
+        shutil.rmtree(a.checkpoint, ignore_errors=True)
+        print(f"checkpoint reset: {a.checkpoint}")
+        return 0
+
+    if a.cmd == "results":
+        spark = get_spark("dude_spark_results")
+        try:
+            from pyspark.sql import functions as F
+
+            assigns = spark.read.parquet(f"{a.checkpoint}/stages/components")
+            sizes = assigns.groupBy("cluster_id").count()
+            n_rows = assigns.count()
+            n_groups = sizes.count()
+            biggest = sizes.agg(F.max("count")).collect()[0][0]
+            print(f"{n_rows} rows in {n_groups} duplicate groups "
+                  f"(largest group: {biggest})")
+            return 0
+        finally:
+            spark.stop()
+
+    # run
+    try:
+        cfg = _config_from_args(a)
+    except ConfigError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    from .pipeline import run_pipeline
+
+    spark = get_spark(
+        "dude_spark_run",
+        master=f"local[{cfg.cpus}]" if a.local else None,
+        arrow_batch_rows=cfg.buf_size,
+    )
+    try:
+        result = run_pipeline(spark, cfg, resume=not a.no_resume)
+        for stage, info in result.stages.items():
+            mark = "cached" if info.skipped else f"{info.wall_s:.1f}s"
+            print(f"  {stage:<24} {info.rows:>10} rows  [{mark}]")
+        if result.csv_path:
+            print(f"results: {result.csv_path}")
+        else:
+            print("no duplicates found — no results file written")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
