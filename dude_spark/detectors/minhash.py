@@ -130,16 +130,18 @@ def minhash_signatures(images: DataFrame, cfg: MinHashConfig) -> DataFrame:
 
 def minhash_buckets(signatures: DataFrame) -> DataFrame:
     """(image_id, bands) → (image_id, bucket) with bucket =
-    'mh:<band_idx>:<band_hash>'.  posexplode + concat are JVM-side; the
-    groupBy on `bucket` downstream is the LSH blocking shuffle."""
+    xxhash64('mh', band_idx, band_hash) — a LONG key, not a string:
+    the LSH blocking shuffle moves 8 bytes per row instead of a ~30
+    char concat (the single widest shuffle in the pipeline at 10^12
+    rows × bands).  Hash collisions across bands merely create extra
+    candidates that the exact-Jaccard verify kills."""
     return (
         signatures.where(F.col("bands").isNotNull())
         .select("image_id", F.posexplode("bands").alias("band_idx", "band_hash"))
         .select(
             "image_id",
-            F.concat_ws(
-                ":", F.lit("mh"), F.col("band_idx").cast("string"),
-                F.col("band_hash").cast("string"),
-            ).alias("bucket"),
+            F.xxhash64(F.lit("mh"), F.col("band_idx"), F.col("band_hash")).alias(
+                "bucket"
+            ),
         )
     )

@@ -133,8 +133,10 @@ def simhash_signatures(images: DataFrame, cfg: SimHashConfig) -> DataFrame:
 def simhash_buckets(signatures: DataFrame, cfg: SimHashConfig) -> DataFrame:
     """(image_id, channel, sig) → (image_id, bucket).
 
-    bucket = 'sh:<channel>:<subset_id>:<seg values…>' for every
-    (m−r)-subset.  All JVM expressions; one posexplode.
+    bucket = xxhash64('sh', channel, subset_id, seg values…) for every
+    (m−r)-subset — LONG keys so the C(m,r)-way explode shuffles 8
+    bytes/row (hash collisions only add candidates; the exact Hamming
+    verify removes them).  All JVM expressions; one explode.
     """
     m = cfg.segments
     width = 64 // m
@@ -145,12 +147,9 @@ def simhash_buckets(signatures: DataFrame, cfg: SimHashConfig) -> DataFrame:
 
     keys = F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit("sh"),
-                F.col("channel"),
-                F.lit(str(si)),
-                *[seg(i).cast("string") for i in subset],
+            F.xxhash64(
+                F.lit("sh"), F.col("channel"), F.lit(si),
+                *[seg(i) for i in subset],
             )
             for si, subset in enumerate(segment_subsets(m, cfg.hamming_radius))
         ]

@@ -76,13 +76,15 @@ def suffix_signatures(images: DataFrame, cfg: SuffixConfig) -> DataFrame:
 
 
 def suffix_buckets(signatures: DataFrame) -> DataFrame:
-    """(image_id, fingerprints) → (image_id, bucket='sx:<fp>')."""
+    """(image_id, fingerprints) → (image_id, bucket) with bucket =
+    xxhash64('sx', fp) — LONG keys for an 8-byte blocking shuffle;
+    collisions only add candidates, which the exact verify removes."""
     return (
         signatures.where(F.col("fingerprints").isNotNull())
         .select("image_id", F.explode("fingerprints").alias("fp"))
         .select(
             "image_id",
-            F.concat_ws(":", F.lit("sx"), F.col("fp").cast("string")).alias("bucket"),
+            F.xxhash64(F.lit("sx"), F.col("fp")).alias("bucket"),
         )
     )
 

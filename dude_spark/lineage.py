@@ -48,6 +48,35 @@ def partition_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def partition_count_rows(df: DataFrame) -> list[tuple[int, int]]:
+    """Collected (partition_id, rows) — tiny (≤ #partitions rows)."""
+    return [
+        (int(r["partition_id"]), int(r["rows"]))
+        for r in partition_counts(df).collect()
+    ]
+
+
+def flush_records(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    metrics_rows: list[tuple],
+    lineage_rows: list[tuple],
+) -> None:
+    """Append all stage metrics + lineage in TWO writes (not 2 per
+    stage) — at 14 stages per run the per-stage write jobs were ~half
+    of total wall at small scale; batched they are noise.  Rows are
+    driver-side tuples (each stage contributes ≤ #partitions lineage
+    rows), so buffering them is O(KB)."""
+    if metrics_rows:
+        spark.createDataFrame(metrics_rows, METRICS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(checkpoint_dir, "run_metrics"))
+    if lineage_rows:
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(checkpoint_dir, "lineage"))
+
+
 def record_stage(
     spark: SparkSession,
     checkpoint_dir: str,

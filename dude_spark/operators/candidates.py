@@ -29,13 +29,18 @@ from pyspark.sql import functions as F
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, bucket_cap: int = 64
+    buckets: DataFrame, bucket_cap: int = 64, persist_sizes: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """(image_id, bucket) → ((a, b) with a < b distinct, overcap stats).
 
     Returns ``(pairs, overcap)`` where ``overcap`` is
     ``(bucket, bucket_size)`` for every bucket that fell back to star
     edges — feed it to the lineage sink.
+
+    ``persist_sizes=True`` caches the bucket-size aggregate
+    (MEMORY_AND_DISK) so materializing `pairs` and `overcap` as two
+    separate actions computes the bucket groupBy once, not twice; the
+    caller owns unpersisting (pipeline does, after the stage writes).
     """
     b = buckets.where(F.col("bucket").isNotNull())
 
@@ -43,6 +48,8 @@ def pairs_from_buckets(
         F.count("*").alias("bucket_size"),
         F.min("image_id").alias("bucket_min"),
     )
+    if persist_sizes:
+        sizes = sizes.persist()
     # singleton buckets can never pair — drop before the join
     # (≅ singleton-group drop, hashing.go:366-368)
     sized = b.join(
@@ -71,6 +78,8 @@ def pairs_from_buckets(
     overcap = sizes.where(F.col("bucket_size") > bucket_cap).select(
         "bucket", "bucket_size"
     )
+    if persist_sizes:
+        overcap.sizes_df = sizes  # type: ignore[attr-defined]  # unpersist handle
     return pairs, overcap
 
 

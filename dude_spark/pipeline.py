@@ -50,7 +50,9 @@ from .detectors import exact as d_exact
 from .detectors import minhash as d_minhash
 from .detectors import simhash as d_simhash
 from .detectors import suffix as d_suffix
-from .lineage import record_stage
+import datetime as _dt
+
+from .lineage import flush_records, partition_count_rows
 from .operators.candidates import pairs_from_buckets
 from .operators.components import connected_components
 from .operators.report import assignments_to_report, write_csv_report
@@ -187,6 +189,14 @@ class _Stages:
         self.spark, self.cfg, self.resume = spark, cfg, resume
         self.root = cfg.checkpoint_dir
         self.stages: dict[str, StageInfo] = {}
+        # buffered durable records, flushed once at pipeline end
+        # (2 writes per run instead of 2 per stage)
+        self.metrics_rows: list[tuple] = []
+        self.lineage_rows: list[tuple] = []
+
+    def flush(self) -> None:
+        flush_records(self.spark, self.root, self.metrics_rows, self.lineage_rows)
+        self.metrics_rows, self.lineage_rows = [], []
 
     def _paths(self, stage: str) -> tuple[str, str]:
         d = os.path.join(self.root, "stages", stage)
@@ -207,7 +217,8 @@ class _Stages:
         df = compute()
         df.write.mode("overwrite").parquet(data_dir)
         out = self.spark.read.parquet(data_dir)
-        rows = out.count()
+        pc = partition_count_rows(out)  # one cheap count-per-partition job
+        rows = sum(n for _, n in pc)
         wall = time.monotonic() - t0
         with open(manifest + ".tmp", "w") as f:
             json.dump(
@@ -221,9 +232,12 @@ class _Stages:
                 f,
             )
         os.replace(manifest + ".tmp", manifest)  # atomic publish
-        record_stage(
-            self.spark, self.root, self.cfg.run_id, stage, detector,
-            rows, wall, stage_output=out,
+        ts = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        self.metrics_rows.append(
+            (self.cfg.run_id, stage, detector, rows, float(wall), ts, {})
+        )
+        self.lineage_rows.extend(
+            (self.cfg.run_id, stage, detector, pid, n) for pid, n in pc
         )
         self.stages[stage] = StageInfo(rows, wall, skipped=False)
         return out
@@ -316,18 +330,23 @@ def run_pipeline(
 
         sigs = st.run(f"signatures_{det}", det, cid, compute_sigs)
 
-        def compute_pairs(det=det, sigs=sigs):
+        stage_cache: list[DataFrame] = []
+
+        def compute_pairs(det=det, sigs=sigs, stage_cache=stage_cache):
             pairs, overcap = pairs_from_buckets(
-                _buckets(sigs, det, cfg), cfg.bucket_cap
+                _buckets(sigs, det, cfg), cfg.bucket_cap, persist_sizes=True
             )
-            n_overcap = overcap.count()
-            if n_overcap:
-                overcap.write.mode("overwrite").parquet(
-                    os.path.join(cfg.checkpoint_dir, "stages", f"overcap_{det}")
-                )  # never silently truncated — durable record (SURVEY §2.2)
+            stage_cache.append(overcap.sizes_df)  # the persisted sizes agg
+            # durable record of capped buckets — never silently
+            # truncated (SURVEY §2.2).
+            overcap.write.mode("overwrite").parquet(
+                os.path.join(cfg.checkpoint_dir, "stages", f"overcap_{det}")
+            )
             return pairs
 
         pairs = st.run(f"candidates_{det}", det, cid, compute_pairs)
+        for cached in stage_cache:  # release the sizes persist
+            cached.unpersist()
 
         edges = st.run(
             f"edges_{det}", det, cid,
@@ -351,6 +370,7 @@ def run_pipeline(
         lambda: assignments_to_report(assignments, images),
     )
 
+    st.flush()
     csv_path = None
     if cfg.results_dir:
         csv_path = write_csv_report(report, cfg.results_dir)
