@@ -1,0 +1,170 @@
+"""Multimodal column operators: decode, feature-extract, resize, sample.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with
+typed metadata (the input_hint schema), processed in Arrow batches via
+``mapInPandas`` — the Spark-side plumbing (schemas, batching,
+partition preservation, skip-and-count error handling) is real and
+tested.  The pixel codec is the deterministic container codec from
+``imagecodec`` (real lossy/lossless semantics); swapping in Pillow/
+libjpeg for production is a two-function change behind the same
+signatures (imagecodec module docstring).  Audio decode and video
+frame-sampling are STUBS (NotImplementedError) because no media
+libraries exist in this container — their row contracts and schemas
+are defined and asserted by tests so the plumbing is drop-in ready.
+
+Error contract everywhere: undecodable rows never fail the job — they
+come back with ok=false and are countable (≅ the reference's
+permission-error skip, /root/reference/internal/processing/
+files.go:59-70, e2e contract dual_folder_test.go:1130-1189).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..imagecodec import CodecError, decode, encode, phash64
+
+DECODED_SCHEMA = (
+    "image_id string, fmt string, w int, h int, ok boolean, err string"
+)
+FEATURES_SCHEMA = (
+    "image_id string, ok boolean, phash long, mean_r double, mean_g double, "
+    "mean_b double, brightness double"
+)
+
+
+def decode_images(images: DataFrame) -> DataFrame:
+    """Validate/decode every payload → (image_id, fmt, w, h, ok, err).
+
+    `ok=false` rows carry the codec error message; dims come from the
+    DECODED pixels (not the metadata columns), so a metadata/payload
+    mismatch is visible downstream.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    pix, fmt = decode(bytes(r.bytes) if r.bytes is not None else b"")
+                    rows.append(
+                        (r.image_id, fmt, pix.shape[1], pix.shape[0], True, None)
+                    )
+                except CodecError as e:
+                    rows.append((r.image_id, None, None, None, False, str(e)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "w", "h", "ok", "err"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """Decode + perceptual features per row (phash, channel means,
+    brightness).  Feature math is vectorized numpy per image; rows
+    that fail to decode come back ok=false with null features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    pix, _ = decode(bytes(r.bytes) if r.bytes is not None else b"")
+                    means = pix.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (
+                            r.image_id, True, phash64(pix),
+                            float(means[0]), float(means[1]), float(means[2]),
+                            float(means.mean()),
+                        )
+                    )
+                except CodecError:
+                    rows.append((r.image_id, False, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "ok", "phash", "mean_r", "mean_g", "mean_b",
+                    "brightness",
+                ],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Deterministic nearest-neighbor resize, re-encoded in the source
+    format → (image_id, bytes, w, h, fmt, ok).  Undecodable rows pass
+    through with ok=false and null bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    pix, fmt = decode(bytes(r.bytes) if r.bytes is not None else b"")
+                    h, w = pix.shape[:2]
+                    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                    out = pix[yi][:, xi]
+                    rows.append(
+                        (r.image_id, encode(out, fmt), out_w, out_h, fmt, True)
+                    )
+                except CodecError:
+                    rows.append((r.image_id, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "ok"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, "image_id string, bytes binary, w int, h int, fmt string, ok boolean"
+    )
+
+
+# ------------------------------------------------------------------ stubs
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, ok boolean, duration_s double, rms double, "
+    "zero_crossings long"
+)
+VIDEO_FRAMES_SCHEMA = (
+    "video_id string, frame_idx int, frame_bytes binary, ts_ms long"
+)
+
+
+def extract_audio_features(clips: DataFrame) -> DataFrame:
+    """STUB — audio decode needs a codec library absent from this
+    container.  Contract: input (clip_id string, bytes binary);
+    output AUDIO_FEATURES_SCHEMA, one row per clip, ok=false for
+    undecodable clips.  The mapInPandas shell below is the real
+    production shape; only the decode body raises."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decoding requires an audio codec library (e.g. soundfile/"
+            "ffmpeg) not present in this environment; plug the decoder into "
+            "this mapInPandas body"
+        )
+        yield  # pragma: no cover — makes `run` a generator, part of the contract
+
+    return clips.select("clip_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB — video demux needs ffmpeg/pyav, absent from this container.
+    Contract: input (video_id string, bytes binary); output one row per
+    sampled frame (VIDEO_FRAMES_SCHEMA), frames re-encoded with the
+    image codec.  The mapInPandas shell is the production shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "video frame sampling requires a demuxer (ffmpeg/pyav) not "
+            "present in this environment; plug the demuxer into this "
+            "mapInPandas body"
+        )
+        yield  # pragma: no cover
+
+    return videos.select("video_id", "bytes").mapInPandas(run, VIDEO_FRAMES_SCHEMA)

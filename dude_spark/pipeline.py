@@ -40,7 +40,9 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -193,6 +195,7 @@ class _Stages:
         # (2 writes per run instead of 2 per stage)
         self.metrics_rows: list[tuple] = []
         self.lineage_rows: list[tuple] = []
+        self._lock = threading.Lock()  # detector chains run concurrently
 
     def flush(self) -> None:
         flush_records(self.spark, self.root, self.metrics_rows, self.lineage_rows)
@@ -210,7 +213,8 @@ class _Stages:
             with open(manifest) as f:
                 m = json.load(f)
             if m.get("config_id") == config_id:
-                self.stages[stage] = StageInfo(m["rows"], 0.0, skipped=True)
+                with self._lock:
+                    self.stages[stage] = StageInfo(m["rows"], 0.0, skipped=True)
                 return self.spark.read.parquet(data_dir)
             # config changed → cached stage is invalid, fall through
         t0 = time.monotonic()
@@ -233,13 +237,14 @@ class _Stages:
             )
         os.replace(manifest + ".tmp", manifest)  # atomic publish
         ts = _dt.datetime.now(_dt.timezone.utc).isoformat()
-        self.metrics_rows.append(
-            (self.cfg.run_id, stage, detector, rows, float(wall), ts, {})
-        )
-        self.lineage_rows.extend(
-            (self.cfg.run_id, stage, detector, pid, n) for pid, n in pc
-        )
-        self.stages[stage] = StageInfo(rows, wall, skipped=False)
+        with self._lock:
+            self.metrics_rows.append(
+                (self.cfg.run_id, stage, detector, rows, float(wall), ts, {})
+            )
+            self.lineage_rows.extend(
+                (self.cfg.run_id, stage, detector, pid, n) for pid, n in pc
+            )
+            self.stages[stage] = StageInfo(rows, wall, skipped=False)
         return out
 
 
@@ -316,12 +321,13 @@ def run_pipeline(
         return PipelineResult(empty_assign, empty_rep, None, st.stages)
 
     in_fp = input_fingerprint(cfg)
-    edge_frames = []
-    for det in cfg.detectors:
+
+    def run_detector(det: str) -> DataFrame:
+        """signatures → candidates → verified edges for one detector."""
         cid = cfg.config_id(det) + "@" + in_fp
         sig_dir, _ = st._paths(f"signatures_{det}")
 
-        def compute_sigs(det=det, sig_dir=sig_dir):
+        def compute_sigs():
             if cfg.use_cache:
                 return _incremental_signatures(spark, images, det, cfg, sig_dir)
             return _signatures(images, det, cfg).withColumn(
@@ -332,7 +338,7 @@ def run_pipeline(
 
         stage_cache: list[DataFrame] = []
 
-        def compute_pairs(det=det, sigs=sigs, stage_cache=stage_cache):
+        def compute_pairs():
             pairs, overcap = pairs_from_buckets(
                 _buckets(sigs, det, cfg), cfg.bucket_cap, persist_sizes=True
             )
@@ -350,11 +356,21 @@ def run_pipeline(
 
         edges = st.run(
             f"edges_{det}", det, cid,
-            lambda det=det, pairs=pairs, sigs=sigs: _verify(
-                pairs, images, sigs, det, cfg
-            ),
+            lambda: _verify(pairs, images, sigs, det, cfg),
         )
-        edge_frames.append(edges.select("a", "b"))
+        return edges.select("a", "b")
+
+    # Detector chains are independent until the edge union — run them
+    # CONCURRENTLY from driver threads.  Spark job submission is
+    # thread-safe; interleaved jobs fill task slots that a sequential
+    # chain would leave idle during its per-stage barriers (write/
+    # read/commit latency), which is also exactly what a multi-tenant
+    # cluster scheduler would do with four independent job DAGs.
+    if len(cfg.detectors) > 1:
+        with ThreadPoolExecutor(max_workers=len(cfg.detectors)) as pool:
+            edge_frames = list(pool.map(run_detector, cfg.detectors))
+    else:
+        edge_frames = [run_detector(cfg.detectors[0])]
 
     all_edges = edge_frames[0]
     for e in edge_frames[1:]:

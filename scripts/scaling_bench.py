@@ -1,0 +1,134 @@
+"""Two-cluster-size scaling benchmark (north-rule criterion).
+
+No real multi-executor cluster exists in this sandbox, so the N vs 4N
+executor criterion is evidenced as BASELINE.md §sandbox-note
+prescribes: the IDENTICAL job (same pre-generated input parquet, same
+config) runs at two parallelism levels and we report images/sec at
+both plus
+
+    eff = (throughput_4N / throughput_N) / 4        (target >= 0.8)
+
+Faithfulness matters: plain local[8] on a 32-core box still lets the
+JVM (GC, shuffle, parquet codec threads) and the Python workers use
+all 32 hardware cores, which *understates* scaling.  So each
+configuration runs in a subprocess pinned with ``taskset`` to exactly
+N cores — local[8] on CPUs 0-7 vs local[32] on CPUs 0-31 — the honest
+single-box proxy for an 8-executor vs 32-executor cluster.  Shuffle
+partitions scale with the core count, as they would per-cluster.
+Each subprocess runs a small warmup pipeline first so JIT/worker-pool
+spin-up doesn't bias either side.
+
+Usage:
+  python scripts/scaling_bench.py [n_images]      # orchestrate (default 40000)
+  python scripts/scaling_bench.py worker CPUS INPUT WORK   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+DETECTORS = ("exact", "minhash", "simhash", "suffix")
+
+
+def worker(cpus: int, input_path: str, work: str) -> None:
+    from dude_spark.config import JobConfig
+    from dude_spark.fixtures import write_fixture
+    from dude_spark.pipeline import run_pipeline
+    from dude_spark.session import get_spark
+
+    # Shuffle partitioning is FIXED (64) across both cluster sizes: the
+    # partition layout of a production job is a property of the data,
+    # not the cluster; scaling efficiency measures how the same task
+    # set spreads over more slots.  (Scaling partitions with slots
+    # shrinks tasks 4× and conflates per-task overhead with scaling.)
+    spark = get_spark(
+        f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        warm = f"{work}/warm_{cpus}"
+        write_fixture(spark, warm, n=500, partitions=cpus)
+        run_pipeline(
+            spark,
+            JobConfig(
+                input_paths=(f"{warm}/images.parquet",),
+                checkpoint_dir=f"{warm}/ckpt",
+                detectors=DETECTORS,
+                run_id=f"warm{cpus}",
+            ),
+            resume=False,
+        )
+        ckpt = f"{work}/ckpt_{cpus}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        t0 = time.monotonic()
+        run_pipeline(
+            spark,
+            JobConfig(
+                input_paths=(input_path,),
+                checkpoint_dir=ckpt,
+                detectors=DETECTORS,
+                run_id=f"scale{cpus}",
+            ),
+            resume=False,
+        )
+        print(json.dumps({"wall_s": time.monotonic() - t0}))
+    finally:
+        spark.stop()
+
+
+def _run_pinned(cpus: int, input_path: str, work: str) -> float:
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, __file__, "worker", str(cpus), input_path, work,
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True
+    ).stdout.strip().splitlines()[-1]
+    return float(json.loads(out)["wall_s"])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    work = tempfile.mkdtemp(prefix="dude_scaling_")
+    try:
+        from dude_spark.fixtures import write_fixture
+        from dude_spark.session import get_spark
+
+        gen = get_spark("scaling_gen", master="local[32]", shuffle_partitions=32)
+        gen.sparkContext.setLogLevel("ERROR")
+        write_fixture(gen, work, n=n, partitions=64)
+        gen.stop()
+        input_path = f"{work}/images.parquet"
+
+        t8 = _run_pinned(8, input_path, work)
+        t32 = _run_pinned(32, input_path, work)
+        thr8, thr32 = n / t8, n / t32
+        eff = (thr32 / thr8) / 4.0
+        print(
+            json.dumps(
+                {
+                    "n_images": n,
+                    "wall_s_local8_pinned8": round(t8, 1),
+                    "wall_s_local32_pinned32": round(t32, 1),
+                    "images_per_sec_N": round(thr8, 1),
+                    "images_per_sec_4N": round(thr32, 1),
+                    "scaling_efficiency": round(eff, 3),
+                    "target": 0.8,
+                    "pass": eff >= 0.8,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    else:
+        main()

@@ -39,17 +39,18 @@ def test_shingle_hashes_match_shingle_set():
 
 def test_band_hashes_deterministic_and_similarity_sensitive():
     a, b = _params(CFG)
+    args = (a, b, CFG.num_hashes, CFG.bands, CFG.rows_per_band)
     s1 = _shingle_hashes("the quick brown fox jumps over the lazy dog", CFG.shingle_k)
     s2 = _shingle_hashes("the quick brown fox jumped over the lazy dog", CFG.shingle_k)
     s3 = _shingle_hashes("completely unrelated caption text here", CFG.shingle_k)
-    b1 = _band_hashes(s1, a, b, CFG.bands, CFG.rows_per_band)
-    b1x = _band_hashes(s1, a, b, CFG.bands, CFG.rows_per_band)
-    b2 = _band_hashes(s2, a, b, CFG.bands, CFG.rows_per_band)
-    b3 = _band_hashes(s3, a, b, CFG.bands, CFG.rows_per_band)
+    b1 = _band_hashes(s1, *args)
+    b1x = _band_hashes(s1, *args)
+    b2 = _band_hashes(s2, *args)
+    b3 = _band_hashes(s3, *args)
     assert (b1 == b1x).all()                      # deterministic
     assert (b1 == b2).any()                       # near-dup shares >=1 band
     assert not (b1 == b3).any()                   # unrelated shares none
-    assert _band_hashes(np.empty(0, np.uint64), a, b, CFG.bands, CFG.rows_per_band) is None
+    assert _band_hashes(np.empty(0, np.uint64), *args) is None
 
 
 @pytest.fixture(scope="module")
