@@ -76,6 +76,35 @@ class PipelineResult:
     stages: dict[str, StageInfo]
 
 
+def _job_group(run_id: str) -> str:
+    return f"dude_spark::{run_id}"
+
+
+class CancelledRun(RuntimeError):
+    """Raised in the driver when a run is cancelled mid-flight."""
+
+
+def cancel_run(
+    spark: SparkSession, run_id: str, checkpoint_dir: str | None = None
+) -> None:
+    """Cancel an in-flight pipeline run (O13 — ≅ CancelExecution,
+    /root/reference/internal/processing/runner.go:45-50, context
+    cancellation threaded through every operator).
+
+    Two mechanisms, mirroring Go's ctx.Done() being both preemptive
+    (goroutines killed) and sticky (checked at operator boundaries):
+    ``cancelJobGroup`` kills currently-active Spark jobs, and a CANCEL
+    marker in the checkpoint root makes the stage runner refuse to
+    start the next stage (cancelJobGroup alone is one-shot — a cancel
+    landing between jobs would otherwise be lost).  Completed stages
+    stay checkpointed, so a resume picks up where the cancel landed.
+    """
+    if checkpoint_dir:
+        with open(os.path.join(checkpoint_dir, "CANCEL"), "w") as f:
+            f.write(run_id)
+    spark.sparkContext.cancelJobGroup(_job_group(run_id))
+
+
 def input_fingerprint(cfg: JobConfig) -> str:
     """Cheap driver-side fingerprint of the input tables: sha256 over
     sorted (relative path, size, mtime_ns) of every file under each
@@ -208,6 +237,10 @@ class _Stages:
     def run(
         self, stage: str, detector: str, config_id: str, compute
     ) -> DataFrame:
+        # sticky-cancel check at every stage boundary (≅ ctx polls,
+        # reference hashing.go:58-70) — see cancel_run
+        if os.path.exists(os.path.join(self.root, "CANCEL")):
+            raise CancelledRun(f"run cancelled before stage {stage}")
         data_dir, manifest = self._paths(stage)
         if self.resume and os.path.exists(manifest) and os.path.exists(data_dir):
             with open(manifest) as f:
@@ -306,6 +339,13 @@ def run_pipeline(
     if cfg.checkpoint_dir is None:
         raise ValueError("run_pipeline requires cfg.checkpoint_dir")
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    # a fresh run (or resume) clears any stale cancel marker
+    cancel_marker = os.path.join(cfg.checkpoint_dir, "CANCEL")
+    if os.path.exists(cancel_marker):
+        os.remove(cancel_marker)
+    spark.sparkContext.setJobGroup(
+        _job_group(cfg.run_id), "dude_spark pipeline", interruptOnCancel=True
+    )
     st = _Stages(spark, cfg, resume)
 
     if images is None:
@@ -324,6 +364,11 @@ def run_pipeline(
 
     def run_detector(det: str) -> DataFrame:
         """signatures → candidates → verified edges for one detector."""
+        # job groups are thread-local — each detector thread re-arms
+        # the group so cancel_run() reaches every concurrent chain
+        spark.sparkContext.setJobGroup(
+            _job_group(cfg.run_id), f"dude_spark {det}", interruptOnCancel=True
+        )
         cid = cfg.config_id(det) + "@" + in_fp
         sig_dir, _ = st._paths(f"signatures_{det}")
 

@@ -1,0 +1,107 @@
+"""O13 cancellation (kill-and-resume) + O1 directory-of-files source."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dude_spark.config import JobConfig
+from dude_spark.fixtures import IMAGES_COLUMNS
+from dude_spark.pipeline import cancel_run, run_pipeline
+from dude_spark.sources.binaryfile import read_file_tree
+
+
+def test_cancel_then_resume(spark, fixture_pdf, tmp_path_factory):
+    """Cancel mid-run after >=1 stage checkpointed; the run raises,
+    completed stages survive, and a resume finishes from them
+    (≅ CancelExecution + warm-cache rerun, runner.go:45-50 +
+    hashing.go:84-116)."""
+    work = tmp_path_factory.mktemp("cancel")
+    inp = str(work / "images.parquet")
+    spark.createDataFrame(fixture_pdf[IMAGES_COLUMNS]).write.parquet(inp)
+    cfg = JobConfig(
+        input_paths=(inp,), checkpoint_dir=str(work / "ckpt"),
+        detectors=("exact", "minhash", "simhash", "suffix"), run_id="cx",
+    )
+    errors: list[BaseException] = []
+    done = threading.Event()
+
+    def target():
+        try:
+            run_pipeline(spark, cfg)
+        except BaseException as e:  # noqa: BLE001 — cancellation surfaces as error
+            errors.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=target)
+    t.start()
+    stages_dir = os.path.join(cfg.checkpoint_dir, "stages")
+    # wait until at least one stage manifest is published, then cancel
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and not done.is_set():
+        if os.path.isdir(stages_dir) and any(
+            f.endswith(".manifest.json") for f in os.listdir(stages_dir)
+        ):
+            break
+        time.sleep(0.05)
+    cancel_run(spark, "cx", cfg.checkpoint_dir)
+    done.wait(timeout=120)
+    t.join(timeout=10)
+
+    manifests = [
+        f for f in os.listdir(stages_dir) if f.endswith(".manifest.json")
+    ] if os.path.isdir(stages_dir) else []
+    if not errors:
+        pytest.skip("run completed before cancellation landed (fast machine)")
+    assert manifests, "cancel landed before any stage completed"
+    n_before = len(manifests)
+    assert n_before < 14  # something was left undone
+
+    # resume: completes, with the pre-cancel stages skipped
+    result = run_pipeline(spark, cfg)
+    assert result.stages["components"].rows > 0
+    skipped = [s for s, i in result.stages.items() if i.skipped]
+    assert len(skipped) >= 1
+
+
+def test_read_file_tree_matches_dude_semantics(spark, tmp_path_factory):
+    root1 = tmp_path_factory.mktemp("tree1")
+    root2 = tmp_path_factory.mktemp("tree2")
+    (root1 / "sub").mkdir()
+    (root1 / "a.png").write_bytes(b"samecontent")
+    (root1 / "sub" / "b.jpeg").write_bytes(b"samecontent")   # dup across dirs
+    (root1 / ".hidden").write_bytes(b"hiddencontent")        # hidden included
+    (root2 / "c.png").write_bytes(b"samecontent")            # dup across roots
+    (root2 / "noext").write_bytes(b"other")
+
+    df = read_file_tree(spark, str(root1), str(root2))
+    rows = {r["caption"]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.jpeg", ".hidden", "c.png", "noext"}
+    assert rows["a.png"]["fmt"] == "png"
+    assert rows["b.jpeg"]["fmt"] == "jpeg"
+    assert rows["noext"]["fmt"] is None
+    assert bytes(rows["a.png"]["bytes"]) == b"samecontent"
+    assert rows["a.png"]["file_size"] == len(b"samecontent")
+    assert rows["a.png"]["mod_time_ns"] > 0
+
+    # content-equality grouping across roots: 3 rows share content
+    from dude_spark.detectors.exact import exact_buckets
+    from dude_spark.operators.candidates import pairs_from_buckets
+    from dude_spark.operators.components import connected_components
+
+    pairs, _ = pairs_from_buckets(exact_buckets(df), 64)
+    assigns = connected_components(pairs)
+    clusters = {}
+    for r in assigns.collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["image_id"])
+    assert len(clusters) == 1
+    assert len(next(iter(clusters.values()))) == 3  # a.png, b.jpeg, c.png
+
+    # hidden exclusion knob
+    df2 = read_file_tree(spark, str(root1), include_hidden=False)
+    assert ".hidden" not in {r["caption"] for r in df2.collect()}
