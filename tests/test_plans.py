@@ -1,0 +1,103 @@
+"""Physical-plan hygiene: the plans we would want at 10^12 rows.
+
+Checks .explain() output the way SURVEY.md §4 prescribes: column
+pruning keeps `bytes` out of caption-detector scans (the single
+biggest I/O lever), bucket-size aggregation is map-side partial
+(two-stage — one hot key cannot pin a reducer for counting), and the
+salted-key helper is equivalent to direct grouping.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dude_spark.config import MinHashConfig, SimHashConfig, SuffixConfig
+from dude_spark.detectors.exact import exact_buckets
+from dude_spark.detectors.minhash import minhash_signatures
+from dude_spark.detectors.simhash import simhash_signatures
+from dude_spark.detectors.suffix import suffix_signatures
+from dude_spark.fixtures import IMAGES_COLUMNS
+from dude_spark.operators.candidates import pairs_from_buckets, salt_buckets
+
+
+@pytest.fixture(scope="module")
+def parquet_images(spark, fixture_pdf, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "images.parquet")
+    spark.createDataFrame(fixture_pdf[IMAGES_COLUMNS]).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _read_schema_line(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert lines, plan
+    return lines[0]
+
+
+def test_caption_detectors_prune_bytes(parquet_images):
+    for df in (
+        minhash_signatures(parquet_images, MinHashConfig()),
+        simhash_signatures(parquet_images, SimHashConfig()),
+        suffix_signatures(parquet_images, SuffixConfig()),
+    ):
+        rs = _read_schema_line(df)
+        assert "bytes" not in rs, rs
+        assert "caption" in rs or "phash" in rs, rs
+
+
+def test_exact_detector_reads_only_id_and_bytes(parquet_images):
+    rs = _read_schema_line(exact_buckets(parquet_images))
+    assert "bytes" in rs and "image_id" in rs
+    assert "caption" not in rs and "phash" not in rs, rs
+
+
+def test_bucket_sizes_aggregate_is_two_stage(parquet_images):
+    pairs, _ = pairs_from_buckets(exact_buckets(parquet_images), 64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # map-side partial + final merge = two HashAggregate operators
+    # around the exchange; a hot key only ever costs the merge side
+    # one combined row per map partition
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_salted_two_stage_equals_direct(spark):
+    # hot key: 5000 rows in one bucket; salted two-stage count must
+    # equal the direct group count exactly
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{i:05d}" for i in range(6000)],
+            "bucket": ["HOT"] * 5000 + [f"b{i}" for i in range(1000)],
+        }
+    )
+    buckets = spark.createDataFrame(pdf)
+    direct = {
+        r["bucket"]: r["n"]
+        for r in buckets.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    salted = salt_buckets(buckets, salt=16)
+    two_stage = (
+        salted.groupBy("bucket_salted", "bucket")
+        .agg(F.count("*").alias("partial"))
+        .groupBy("bucket")
+        .agg(F.sum("partial").alias("n"))
+    )
+    got = {r["bucket"]: r["n"] for r in two_stage.collect()}
+    assert got == direct
+    # the hot key really was spread over multiple salted sub-buckets
+    n_sub = salted.where(F.col("bucket") == "HOT").select(
+        "bucket_salted"
+    ).distinct().count()
+    assert n_sub > 1
+
+
+def test_whole_stage_codegen_covers_bucket_path(parquet_images):
+    # the exact detector's bucket projection must be inside
+    # WholeStageCodegen (JVM, no Python boundary)
+    plan = exact_buckets(parquet_images)._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan  # '*' marks WholeStageCodegen spans
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # null-filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(bytes)]" in plan
