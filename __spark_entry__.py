@@ -29,8 +29,9 @@ from dude_spark.detectors.simhash import (
     simhash_signatures,
 )
 from dude_spark.detectors.suffix import suffix_buckets, suffix_signatures, verify_substring
-from dude_spark.functions.embedding import ann_topk, brute_force_topk
+from dude_spark.functions.embedding import ann_topk, brute_force_topk, cosine_dup_pairs
 from dude_spark.functions.text import (
+    bpe_token_count,
     lang_id,
     norm_fingerprint,
     punct_count,
@@ -94,6 +95,7 @@ def q_token_stats(spark, sf_dir):
         stopword_count(t).cast("long").alias("stop_tokens"),
         punct_count(t).cast("long").alias("punct_chars"),
         F.length(t).cast("long").alias("n_chars_m"),
+        bpe_token_count(t).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -184,6 +186,15 @@ def q_substring_pairs(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.4 on this corpus's
+    similarity scale) — exact all-pairs, DuckDB-oracle-gated."""
+    out = cosine_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+    return out.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """Hyperplane-LSH ANN (rows-only: approximate by design; exact
     sibling q_embedding_topk is oracle-gated)."""
@@ -221,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
         "embedding_topk": q_embedding_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
@@ -290,7 +302,10 @@ def oracle_sql() -> dict[str, str]:
                             t -> lower(t) IN {STOPWORD_SQL})) END AS stop_tokens,
               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
                 AS punct_chars,
-              length(text) AS n_chars_m
+              length(text) AS n_chars_m,
+              len(regexp_extract_all(text,
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+                AS bpe_tokens
             FROM documents
         """,
         "lang_id": """
@@ -311,6 +326,24 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, cluster_id FROM assigns",
         "dup_group_sizes": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
         + "SELECT cluster_id, count(*) AS group_size FROM assigns GROUP BY cluster_id",
+        "embedding_dup_pairs": """
+            WITH e AS (
+              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                     unnest(range(len(embedding))) AS idx
+              FROM embeddings
+            ),
+            norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+            dots AS (
+              SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.val * eb.val) AS dot
+              FROM e ea JOIN e eb ON ea.idx = eb.idx AND ea.vec_id < eb.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT d.a, d.b
+            FROM dots d
+            JOIN norms na ON na.vec_id = d.a
+            JOIN norms nb ON nb.vec_id = d.b
+            WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.4
+        """,
         "embedding_topk": """
             WITH e AS (
               SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,

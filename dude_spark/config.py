@@ -36,15 +36,19 @@ DEFAULT_BUF_SIZE = 1024  # resolver.go:74 default
 class MinHashConfig:
     """D1: MinHash-LSH over caption shingles."""
 
-    shingle_k: int = 5          # character shingle width
-    num_hashes: int = 126       # minhash signature length
+    shingle_k: int = 6          # character shingle width (k=6: random-pair tail fires 4x less than k=5; planted word-replacement pairs stay J>=0.58 -> caught at 0.994)
+    num_hashes: int = 168       # minhash signature length
     bands: int = 42             # LSH bands (rows per band = num_hashes // bands)
     seed: int = 42
     jaccard_threshold: float = 0.55  # verify-stage exact-similarity floor
-    # s-curve at (bands=42, r=3): P(bucket-share) = 1-(1-J^3)^42
-    #   J=0.55 → 0.9995   J=0.59 → 0.99994   J=0.3 → 0.68   J=0.15 → 0.13
-    # so pairs at/above the verify threshold are caught with prob > 0.999
-    # (BASELINE.json recall ≥ 0.99) while random pairs mostly never meet.
+    # s-curve at (bands=42, r=4): P(bucket-share) = 1-(1-J^4)^42
+    #   J=0.63 → 0.9992   J=0.55 → 0.982   J=0.2 → 0.065   J=0.1 → 0.0042
+    #   J=0.035 → 6e-5
+    # Planted near-dups (J ≥ 0.63 on realistic-vocabulary captions) are
+    # caught with prob ≥ 0.999 (BASELINE.json recall ≥ 0.99) while the
+    # random-pair tail (J ≈ 0.03-0.1) almost never fires — r=4 rather
+    # than r=3 because at n^2 pair volume even a 0.4% tail rate floods
+    # the verify stage with O(n^2/250) candidates.
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.bands != 0:

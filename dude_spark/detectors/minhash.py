@@ -27,18 +27,19 @@ parameters derive from `MinHashConfig.seed` via sha256 — never Python
 versions and cluster runs (SURVEY.md §4 hard-part (a)).
 
 Math: base shingle hash = rolling polynomial over unicode code points
-mod 2^64 (natural uint64 wraparound).  The signature is **one-
-permutation hashing** (Li, Owen, Zhang, "One Permutation Hashing",
-NIPS'12): each shingle is hashed ONCE; its bin is h mod num_hashes and
-its value is one universal hash (a·(h mod p) + b) mod p with
-p = 2^31−1; each bin keeps its minimum; empty bins borrow the next
-filled bin's value to the right, circularly (densification à la
-Shrivastava/Li ICML'14, simple-rotation variant).  This is O(S + H)
-per caption instead of classic minwise's O(S × H) — the difference
-between ~180 KB and ~3 KB of memory traffic per row, which is what
-lets the signature stage scale linearly with cores instead of
-saturating the socket's memory bandwidth.  Band hash folds
-rows_per_band bin values through the same polynomial.
+mod 2^64 (natural uint64 wraparound); minhash_i = min over shingles of
+(a_i·(x mod p) + b_i) mod p with p = 2^31−1, a_i,b_i < p — products
+stay < 2^62, exact in uint64.  Band hash folds rows_per_band minhash
+values through the same polynomial.
+
+Rejected alternative, measured: one-permutation hashing (bin = h mod H,
+min per bin, rotation- or offset-densified) is O(S+H) instead of
+O(S×H), BUT in this workload's sparse regime (distinct shingles S ≈
+num_hashes H, high baseline similarity between captions) its banded
+collision rate was 7× classic minwise (93k vs 13k colliding pairs on
+an 800-caption sample; 25.7M LSH candidate pairs at n=200k vs ~1M) —
+the downstream verify cost dwarfed the signature savings.  Classic
+minwise stays.
 """
 
 from __future__ import annotations
@@ -59,12 +60,14 @@ _P31 = (1 << 31) - 1  # Mersenne prime modulus for universal hashing
 _POLY_B = np.uint64(1099511628211)  # FNV-64 prime as polynomial base
 
 
-def _params(cfg: MinHashConfig) -> tuple[int, int]:
-    """Scalar (a, b) universal-hash coefficients, seeded
+def _params(cfg: MinHashConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) universal-hash coefficients, shape (num_hashes,), seeded
     deterministically from cfg.seed via sha256 (never Python hash())."""
     blob = f"minhash|{cfg.seed}|{cfg.num_hashes}".encode()
     rs = np.random.RandomState(int.from_bytes(hashlib.sha256(blob).digest()[:4], "big"))
-    return int(rs.randint(1, _P31)), int(rs.randint(0, _P31))
+    a = rs.randint(1, _P31, size=cfg.num_hashes).astype(np.uint64)
+    b = rs.randint(0, _P31, size=cfg.num_hashes).astype(np.uint64)
+    return a, b
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -89,42 +92,22 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h64)
 
 
-_EMPTY = np.uint64(1) << np.uint64(62)  # sentinel > any (value mod p)
-
-
-def _oph_signature(
-    shingles: np.ndarray, num_hashes: int, a: int, b: int
+def _band_hashes(
+    shingles: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    num_hashes: int,
+    bands: int,
+    rpb: int,
 ) -> np.ndarray | None:
-    """One-permutation-hashing signature, shape (num_hashes,) uint64.
-
-    bin(x) = x mod H;  value(x) = (a·(x mod p) + b) mod p;  each bin
-    keeps its min; empty bins borrow the next filled bin rightward
-    (circular rotation densification).  None for empty shingle sets.
-    """
+    """Classic minwise signature → per-band fold, shape (bands,) int64,
+    or None for empty shingle sets (no shingles ⇒ no buckets ⇒ no
+    candidates)."""
     if shingles.size == 0:
         return None
-    bins = (shingles % np.uint64(num_hashes)).astype(np.intp)
-    vals = (np.uint64(a) * (shingles % np.uint64(_P31)) + np.uint64(b)) % np.uint64(
-        _P31
-    )
-    sig = np.full(num_hashes, _EMPTY, dtype=np.uint64)
-    np.minimum.at(sig, bins, vals)
-    empty = sig == _EMPTY
-    if empty.any():
-        pos = np.nonzero(~empty)[0]  # filled bins, ascending
-        idx = np.searchsorted(pos, np.arange(num_hashes), side="left") % len(pos)
-        sig = sig[pos[idx]]  # each empty bin ← next filled bin (circular)
-    return sig
-
-
-def _band_hashes(
-    shingles: np.ndarray, a: int, b: int, num_hashes: int, bands: int, rpb: int
-) -> np.ndarray | None:
-    """OPH signature → per-band fold, shape (bands,) int64, or None
-    for empty shingle sets (no shingles ⇒ no buckets ⇒ no candidates)."""
-    sig = _oph_signature(shingles, num_hashes, a, b)
-    if sig is None:
-        return None
+    x = shingles % np.uint64(_P31)
+    # (num_hashes, n_shingles) universal hashes; min along shingles.
+    sig = ((a[:, None] * x[None, :] + b[:, None]) % np.uint64(_P31)).min(axis=1)
     folded = np.zeros(bands, dtype=np.uint64)
     with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
         for j in range(rpb):  # rpb is small (e.g. 3); wide axis vectorized

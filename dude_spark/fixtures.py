@@ -38,13 +38,23 @@ import pandas as pd
 
 from .imagecodec import MAGIC, encode, phash64
 
-VOCAB = (
+_BASE_WORDS = (
     "aurora harbor lantern meadow quartz ripple sable tundra velvet willow "
     "anchor bramble cinder drift ember flint grove hollow iris juniper "
     "ο ουρανός θάλασσα φεγγάρι αστέρι δέντρο πέτρα ποτάμι "
     "mañana über söze crème ☀ ☁ ✦ — … "
     "kernel tensor shard vector lattice prism cobalt onyx zephyr marble"
 ).split()
+
+# Realistic lexical diversity: a ~49-word vocabulary makes RANDOM
+# caption pairs land at char-shingle Jaccard ~0.2-0.3, where the LSH
+# s-curve fires for a measurable fraction of all O(n^2) pairs — a pure
+# fixture artifact (real caption corpora have far lower base overlap)
+# that inflated candidate volume ~25x at n=200k.  Suffix-expanding to
+# ~2k distinct words drops random-pair similarity to ~0 while leaving
+# every planted population's similarity structure (word-replacement
+# near-dups, shared substring cores, identical captions) unchanged.
+VOCAB = _BASE_WORDS + [f"{w}{i}" for i in range(1, 41) for w in _BASE_WORDS]
 
 HOT_CAPTION = "hot bucket caption shared by the skew block ☄"
 SUBSTRING_CORE = "the quick brown fox jumps over the lazy dog near the river delta"

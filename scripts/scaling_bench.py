@@ -86,9 +86,11 @@ def _run_pinned(cpus: int, input_path: str, work: str) -> float:
         "taskset", "-c", f"0-{cpus - 1}",
         sys.executable, __file__, "worker", str(cpus), input_path, work,
     ]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, check=True
-    ).stdout.strip().splitlines()[-1]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(f"pinned worker (cpus={cpus}) failed")
+    out = proc.stdout.strip().splitlines()[-1]
     return float(json.loads(out)["wall_s"])
 
 

@@ -53,14 +53,22 @@ def test_exact_detector_reads_only_id_and_bytes(parquet_images):
     assert "caption" not in rs and "phash" not in rs, rs
 
 
-def test_bucket_sizes_aggregate_is_two_stage(parquet_images):
-    pairs, _ = pairs_from_buckets(exact_buckets(parquet_images), 64)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
+def test_overcap_aggregate_is_two_stage(parquet_images):
+    _, overcap = pairs_from_buckets(exact_buckets(parquet_images), 64)
+    plan = overcap._jdf.queryExecution().executedPlan().toString()
     # map-side partial + final merge = two HashAggregate operators
     # around the exchange; a hot key only ever costs the merge side
     # one combined row per map partition
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_pairs_plan_single_fat_shuffle(parquet_images):
+    # the pairing path shuffles the fat bucket table ONCE (the window);
+    # the self-join operates on the singleton-filtered remainder
+    pairs, _ = pairs_from_buckets(exact_buckets(parquet_images), 64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
 
 
 def test_salted_two_stage_equals_direct(spark):

@@ -132,3 +132,16 @@ def test_suffix_components_group_substring_kind(verified, truth_pdf):
     # all substring rows share the same planted core → one component
     labels = {label.get(i) for i in sub.image_id}
     assert len(labels) == 1 and None not in labels
+
+
+def test_hashed_substring_equals_exact():
+    from dude_spark.suffixarray import has_common_substring_hashed
+
+    rs = np.random.RandomState(23)
+    for _ in range(80):
+        a = "".join(rs.choice(list("abcd"), size=int(rs.randint(0, 60))))
+        b = "".join(rs.choice(list("abcd"), size=int(rs.randint(0, 60))))
+        for L in (2, 5, 9):
+            assert has_common_substring_hashed(a, b, L) == has_common_substring(
+                a, b, L
+            ), (a, b, L)
