@@ -90,21 +90,40 @@ def cosine_dup_pairs(
     """(a, b) with a < b and cosine >= threshold — embedding near-dup
     detection, the dedup-family sibling of the text detectors.
 
-    Exact all-pairs formulation (one self-join): the verification-
-    scale tool and the DuckDB-oracle-gated contract.  At corpus scale
-    use the hyperplane-LSH candidates (ann_topk's bucketing) in front
-    of this exact predicate, exactly as LSH fronts exact Jaccard in D1.
-    Threshold compares the 9-decimal-rounded similarity so the
-    decision is reproducible across engines.
+    Exact all-pairs, computed as a distributed block matmul: the
+    normalized corpus matrix rides to every partition (collected once
+    driver-side — sized for verification scale, ≤ ~10^5 vectors ≈
+    tens of MB), each Arrow batch computes X_block @ C.T in one numpy
+    GEMM, thresholds, and emits only the qualifying (a, b) id pairs.
+    ~100× faster than per-pair JVM array folds and the dominant cost
+    is the matmul itself.  At corpus scale put the hyperplane-LSH
+    candidates (ann_topk's bucketing) in front of an exact per-pair
+    recheck, exactly as LSH fronts exact Jaccard in D1.
+
+    The similarity is rounded to 9 decimals before thresholding so the
+    decision is reproducible across engines (DuckDB oracle parity).
     """
-    left = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("emb_a"))
-    right = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("emb_b"))
-    return (
-        left.join(right, F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9))
-        .where(F.col("sim") >= F.lit(threshold))
-        .select("a", "b")
-    )
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, C = ids[order], C[order]
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a_ids = pdf["__id"].to_numpy()
+            X = np.stack(pdf["__emb"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            sims = np.round(X @ C.T, 9)
+            ai, bj = np.nonzero(sims >= threshold)
+            keep = a_ids[ai] < ids[bj]  # a < b: dedupe + drop self
+            yield pd.DataFrame({"a": a_ids[ai][keep], "b": ids[bj][keep]})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb")
+    ).mapInPandas(block, f"a {id_type}, b {id_type}")
 
 
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
