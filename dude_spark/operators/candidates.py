@@ -111,5 +111,9 @@ def salt_buckets(buckets: DataFrame, salt: int) -> DataFrame:
     """
     return buckets.withColumn(
         "bucket_salted",
-        F.concat_ws("#", F.col("bucket"), (F.pmod(F.xxhash64("image_id"), F.lit(salt))).cast("string")),
+        F.concat_ws(
+            "#",
+            F.col("bucket").cast("string"),  # bucket keys are long for LSH detectors
+            F.pmod(F.xxhash64("image_id"), F.lit(salt)).cast("string"),
+        ),
     )
