@@ -136,7 +136,10 @@ def simhash_buckets(signatures: DataFrame, cfg: SimHashConfig) -> DataFrame:
     bucket = xxhash64('sh', channel, subset_id, seg values…) for every
     (m−r)-subset — LONG keys so the C(m,r)-way explode shuffles 8
     bytes/row (hash collisions only add candidates; the exact Hamming
-    verify removes them).  All JVM expressions; one explode.
+    verify removes them).  All JVM expressions; one explode per
+    channel.  The subset-table count is per-channel
+    (cfg.radius_for): the caption channel's radius-1 ball needs only
+    C(m,1) tables.
     """
     m = cfg.segments
     width = 64 // m
@@ -145,25 +148,37 @@ def simhash_buckets(signatures: DataFrame, cfg: SimHashConfig) -> DataFrame:
     def seg(i: int):
         return F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit(mask))
 
-    keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit("sh"), F.col("channel"), F.lit(si),
-                *[seg(i) for i in subset],
+    def keys_for(radius: int):
+        return F.array(
+            *[
+                F.xxhash64(
+                    F.lit("sh"), F.col("channel"), F.lit(si),
+                    *[seg(i) for i in subset],
+                )
+                for si, subset in enumerate(segment_subsets(m, radius))
+            ]
+        )
+
+    parts = []
+    for ch in ("phash", "caption"):
+        chan = signatures.where(F.col("channel") == ch)
+        parts.append(
+            chan.select(
+                "image_id", F.explode(keys_for(cfg.radius_for(ch))).alias("bucket")
             )
-            for si, subset in enumerate(segment_subsets(m, cfg.hamming_radius))
-        ]
-    )
-    return signatures.select(
-        "image_id", F.explode(keys).alias("bucket")
-    )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def simhash_pairs_verified(
     pairs: DataFrame, signatures: DataFrame, cfg: SimHashConfig
 ) -> DataFrame:
     """Exact Hamming recheck per channel: a pair survives if ANY enabled
-    channel has bit_count(sig_a ^ sig_b) <= radius.  JVM-side."""
+    channel has bit_count(sig_a ^ sig_b) <= that channel's radius.
+    JVM-side."""
     by_channel = []
     for ch in ("phash", "caption"):
         sigs = signatures.where(F.col("channel") == ch).select("image_id", "sig")
@@ -176,7 +191,7 @@ def simhash_pairs_verified(
             )
             .where(
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-                <= F.lit(cfg.hamming_radius)
+                <= F.lit(cfg.radius_for(ch))
             )
             .select("a", "b")
         )
