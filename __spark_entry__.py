@@ -68,9 +68,19 @@ def _docs_as_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dup_groups(spark, sf_dir):
     """D0 semantics on documents: md5(text) groups with >1 member
     (group-by-fingerprint + singleton drop + min-id representative,
-    ≅ reference hashing.go:321-382)."""
+    ≅ reference hashing.go:321-382).
+
+    The corpus has no byte-identical texts at any SF, which made the
+    round-1 gate vacuous (green at 0 rows both sides — VERDICT r1
+    "what's wrong" #2); a deterministic planted-dup slice (doc_id < 50
+    re-keyed +100000) makes the grouping live: 50 two-member groups
+    that a broken fingerprint/grouping would scramble."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
     return (
-        _docs(spark, sf_dir)
+        docs.unionByName(planted)
         .groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp"))
         .agg(
             F.count("*").cast("long").alias("group_size"),
@@ -145,6 +155,18 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+
+def _canon_pairs(out):
+    """Cast detector pair ids to long and canonicalize orientation:
+    the detector surface orders ids as STRINGS ("134" < "87"), the
+    oracles numerically — least/greatest after the cast makes both
+    agree."""
+    a, b = F.col("a").cast("long"), F.col("b").cast("long")
+    return out.select(
+        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+    ).orderBy("a", "b")
+
+
 def q_minhash_pairs(spark, sf_dir):
     """D1 MinHash-LSH + exact-Jaccard verify on document text (rows-only:
     LSH candidate generation is probabilistic; the verify floor is the
@@ -155,9 +177,7 @@ def q_minhash_pairs(spark, sf_dir):
         minhash_buckets(minhash_signatures(docs, cfg)), bucket_cap=64
     )
     out = verify_jaccard(pairs, docs, cfg.shingle_k, cfg.jaccard_threshold)
-    return out.select(
-        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    ).orderBy("a", "b")
+    return _canon_pairs(out)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -167,23 +187,24 @@ def q_simhash_pairs(spark, sf_dir):
     sigs = simhash_signatures(docs, cfg).localCheckpoint(eager=True)
     pairs, _ = pairs_from_buckets(simhash_buckets(sigs, cfg), bucket_cap=64)
     out = simhash_pairs_verified(pairs, sigs, cfg)
-    return out.select(
-        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    ).orderBy("a", "b")
+    return _canon_pairs(out)
 
 
 def q_substring_pairs(spark, sf_dir):
-    """D3 winnowing + shared-substring >= 32 chars on document text
-    (rows-only: LCS has no SQL twin)."""
+    """D3 winnowing + shared-substring >= 32 chars on document text.
+
+    DuckDB-oracle-gated since round 2: the winnowing guarantee
+    (suffixarray.winnow, w = L - g + 1) plus the exact L-gram verify
+    make the output EXACTLY the set of pairs sharing a >= 32-char
+    substring, which DuckDB brute-forces as a distinct-32-gram
+    self-join at sf0.01 (500 docs)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = SuffixConfig(min_match_len=32)
     pairs, _ = pairs_from_buckets(
         suffix_buckets(suffix_signatures(docs, cfg)), bucket_cap=64
     )
     out = verify_substring(pairs, docs, cfg)
-    return out.select(
-        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    ).orderBy("a", "b")
+    return _canon_pairs(out)
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
@@ -196,8 +217,9 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """Hyperplane-LSH ANN (rows-only: approximate by design; exact
-    sibling q_embedding_topk is oracle-gated)."""
+    """IVF ANN (rows-only: approximate by design; exact sibling
+    q_embedding_topk is oracle-gated, and tests/test_embedding.py gates
+    ANN∩exact overlap >= 0.8 on these same driver embeddings)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 5)
     out = ann_topk(embs, queries, k=10, dim=64)
@@ -285,8 +307,14 @@ assigns AS (
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_groups": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id < 50
+            )
             SELECT md5(text) AS fp, count(*) AS group_size, min(doc_id) AS rep_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
         """,
         "doc_fingerprint": """
             SELECT doc_id,
@@ -322,6 +350,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL + "SELECT a, b, inter, uni FROM pairs",
+        "substring_pairs": """
+            WITH g AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 32) AS gram
+              FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+              WHERE length(text) >= 32
+            )
+            SELECT ga.doc_id AS a, gb.doc_id AS b
+            FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            GROUP BY 1, 2
+        """,
         "dedup_assignments": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
         + "SELECT doc_id, cluster_id FROM assigns",
         "dup_group_sizes": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")

@@ -55,6 +55,26 @@ def segment_subsets(segments: int, radius: int) -> list[tuple[int, ...]]:
     return list(itertools.combinations(range(segments), segments - radius))
 
 
+def pigeonhole_key_array(sig_col, segments: int, radius: int, tag: str = "ph"):
+    """Column expression: 64-bit signature → array<long> of pigeonhole
+    bucket keys, one xxhash64 per (segments−radius)-subset.  LONG keys
+    so the explode shuffles 8 bytes/row; hash collisions only add
+    candidates that downstream exact verification removes.  Shared by
+    the D2 detector and the embedding hyperplane-LSH dup-pair path."""
+    width = 64 // segments
+    mask = (1 << width) - 1
+
+    def seg(i: int):
+        return F.shiftright(sig_col, i * width).bitwiseAND(F.lit(mask))
+
+    return F.array(
+        *[
+            F.xxhash64(F.lit(tag), F.lit(si), *[seg(i) for i in subset])
+            for si, subset in enumerate(segment_subsets(segments, radius))
+        ]
+    )
+
+
 def _token_hashes(text: str) -> np.ndarray:
     """64-bit polynomial hashes of whitespace tokens, vectorized over
     the caption's code points (no Python hash())."""

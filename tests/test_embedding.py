@@ -75,3 +75,58 @@ def test_ann_recall_on_planted_dups(planted):
     hits = sum(1 for q in range(300, 340) if got.get(q) == q - 300)
     recall = hits / 40
     assert recall >= 0.9, f"ANN recall@1 {recall:.2f}"
+
+
+def test_ann_overlap_on_driver_embeddings(spark):
+    """Round-1 VERDICT gate: ANN∩exact top-k overlap >= 0.8 on the REAL
+    driver embeddings (whose neighbors sit at cos ~0.4 — the regime the
+    round-1 radius-cut ANN returned zero rows on), not only planted
+    cos>0.99 dups."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(embs, queries, k=10)
+    ann = ann_topk(embs, queries, k=10, dim=DIM)
+    ex: dict[int, set] = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    an: dict[int, set] = {}
+    for r in ann.collect():
+        an.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(an) == set(ex) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 10 for v in an.values())  # full k rows per query
+    overlaps = [len(an[q] & ex[q]) / 10 for q in ex]
+    mean = sum(overlaps) / len(overlaps)
+    assert mean >= 0.8, f"ANN overlap {mean:.2f} ({overlaps})"
+
+
+def test_cosine_dup_pairs_lsh_is_distributed(planted, monkeypatch):
+    """The lsh strategy must never collect the corpus to the driver
+    (round-1 VERDICT "what's wrong" #3): plan construction under a
+    poisoned DataFrame.collect, execution afterwards."""
+    from pyspark.sql import DataFrame as SparkDataFrame
+
+    df, vecs = planted
+    real_collect = SparkDataFrame.collect
+
+    def poisoned(self):
+        raise AssertionError("lsh path collected a DataFrame on the driver")
+
+    monkeypatch.setattr(SparkDataFrame, "collect", poisoned)
+    try:
+        pairs = cosine_dup_pairs(df, 0.95, strategy="lsh", dim=DIM)
+        pairs_count = pairs.count()  # full execution, still no collect
+    finally:
+        monkeypatch.setattr(SparkDataFrame, "collect", real_collect)
+
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert pairs_count == len(got)
+    sims = _true_sims(vecs)
+    # precision is exact: every returned pair truly clears the threshold
+    for a, b in got:
+        assert round(sims[a, b], 9) >= 0.95, (a, b, sims[a, b])
+    # recall on the planted cos>0.99 dups (within the lsh guarantee ball)
+    planted_pairs = {
+        (i, 300 + i) for i in range(40) if round(sims[i, 300 + i], 9) >= 0.95
+    }
+    found = len(planted_pairs & got) / max(1, len(planted_pairs))
+    assert found >= 0.9, f"lsh recall on planted dups {found:.2f}"
