@@ -29,18 +29,16 @@ from pyspark.sql import functions as F
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, bucket_cap: int = 64, persist_sizes: bool = False
+    buckets: DataFrame, bucket_cap: int = 64
 ) -> tuple[DataFrame, DataFrame]:
     """(image_id, bucket) → ((a, b) with a < b distinct, overcap stats).
 
     Returns ``(pairs, overcap)`` where ``overcap`` is
     ``(bucket, bucket_size)`` for every bucket that fell back to star
-    edges — feed it to the lineage sink.
-
-    ``persist_sizes=True`` caches the bucket-size aggregate
-    (MEMORY_AND_DISK) so materializing `pairs` and `overcap` as two
-    separate actions computes the bucket groupBy once, not twice; the
-    caller owns unpersisting (pipeline does, after the stage writes).
+    edges — feed it to the lineage sink.  Materializing the two as
+    separate actions is fine: the overcap aggregate is map-side
+    combinable, so its recompute cost is one combined row per map
+    partition per hot bucket.
     """
     b = buckets.where(F.col("bucket").isNotNull())
 
@@ -94,8 +92,6 @@ def pairs_from_buckets(
         .agg(F.count("*").alias("bucket_size"))
         .where(F.col("bucket_size") > bucket_cap)
     )
-    if persist_sizes:
-        overcap_out.sizes_df = overcap_out  # type: ignore[attr-defined]  # compat no-op
     return pairs, overcap_out
 
 

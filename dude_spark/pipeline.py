@@ -105,30 +105,49 @@ def cancel_run(
     spark.sparkContext.cancelJobGroup(_job_group(run_id))
 
 
-def input_fingerprint(cfg: JobConfig) -> str:
-    """Cheap driver-side fingerprint of the input tables: sha256 over
-    sorted (relative path, size, mtime_ns) of every file under each
-    input root — the direct analogue of the reference's per-file
-    (FileSize, ModTime) cache probe (hashing.go:73-88) lifted to the
-    table level.  Stage manifests embed this so a changed/extended
-    input invalidates stage skips while `use_cache` still reuses
-    unchanged rows.  On Iceberg this is the table's snapshot id.
+def input_fingerprint(spark: SparkSession, cfg: JobConfig) -> str:
+    """Fingerprint of the input tables: sha256 over sorted
+    (path, size, mtime) of every file under each input root — the
+    direct analogue of the reference's per-file (FileSize, ModTime)
+    cache probe (hashing.go:73-88) lifted to the table level.  Stage
+    manifests embed this so a changed/extended input invalidates stage
+    skips while `use_cache` still reuses unchanged rows.  On Iceberg
+    this is the table's snapshot id.
+
+    Listings go through the Hadoop FileSystem API, so remote schemes
+    the CLI advertises (s3://, hdfs://) fingerprint correctly instead
+    of silently hashing nothing (round-1 ADVICE: a driver-local
+    os.walk returned a constant hash for remote paths, so a changed
+    input no longer invalidated a resume).  A root with zero files
+    raises — an empty fingerprint must never validate a resume.
+    Metadata-only: one listing RPC stream per root, no data reads.
     """
     import hashlib
 
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     h = hashlib.sha256()
     for root in cfg.input_paths:
-        if os.path.isfile(root):
-            stt = os.stat(root)
-            h.update(f"{root}|{stt.st_size}|{stt.st_mtime_ns}\n".encode())
-            continue
-        for dirpath, dirnames, filenames in os.walk(root):
-            dirnames.sort()
-            for fn in sorted(filenames):
-                p = os.path.join(dirpath, fn)
-                stt = os.stat(p)
-                rel = os.path.relpath(p, root)
-                h.update(f"{rel}|{stt.st_size}|{stt.st_mtime_ns}\n".encode())
+        path = jvm.org.apache.hadoop.fs.Path(root)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            raise FileNotFoundError(f"input root does not exist: {root}")
+        entries = []
+        it = fs.listFiles(path, True)  # recursive; a plain file lists itself
+        while it.hasNext():
+            st = it.next()
+            entries.append(
+                f"{st.getPath().toString()}|{st.getLen()}"
+                f"|{st.getModificationTime()}\n"
+            )
+        if not entries:
+            raise ValueError(
+                f"input root {root} contains no files — refusing to "
+                "fingerprint an empty input (it would validate stale "
+                "stage checkpoints on resume)"
+            )
+        for e in sorted(entries):
+            h.update(e.encode())
     return h.hexdigest()[:16]
 
 
@@ -360,7 +379,7 @@ def run_pipeline(
         )
         return PipelineResult(empty_assign, empty_rep, None, st.stages)
 
-    in_fp = input_fingerprint(cfg)
+    in_fp = input_fingerprint(spark, cfg)
 
     def run_detector(det: str) -> DataFrame:
         """signatures → candidates → verified edges for one detector."""
@@ -381,23 +400,21 @@ def run_pipeline(
 
         sigs = st.run(f"signatures_{det}", det, cid, compute_sigs)
 
-        stage_cache: list[DataFrame] = []
-
         def compute_pairs():
             pairs, overcap = pairs_from_buckets(
-                _buckets(sigs, det, cfg), cfg.bucket_cap, persist_sizes=True
+                _buckets(sigs, det, cfg), cfg.bucket_cap
             )
-            stage_cache.append(overcap.sizes_df)  # the persisted sizes agg
             # durable record of capped buckets — never silently
-            # truncated (SURVEY §2.2).
+            # truncated (SURVEY §2.2).  The overcap aggregate is its
+            # own map-side-combinable job; no persist is shared with
+            # the pairs write (its shuffle volume is one combined row
+            # per map partition per hot bucket — noise).
             overcap.write.mode("overwrite").parquet(
                 os.path.join(cfg.checkpoint_dir, "stages", f"overcap_{det}")
             )
             return pairs
 
         pairs = st.run(f"candidates_{det}", det, cid, compute_pairs)
-        for cached in stage_cache:  # release the sizes persist
-            cached.unpersist()
 
         edges = st.run(
             f"edges_{det}", det, cid,

@@ -25,15 +25,24 @@ def get_spark(
 ) -> SparkSession:
     """Build (or get) a SparkSession tuned for the dedup pipeline.
 
-    On a real cluster ``master`` is left unset (taken from
-    ``spark-submit``); locally ``local[N]`` is used.  Shuffle
-    partitions default to the session parallelism — at 100 TB scale
-    AQE coalescing handles the rest.
+    Master resolution (round-1 ADVICE: never override spark-submit's
+    master): an explicit ``master`` argument wins; otherwise, when the
+    process was launched by spark-submit (detectable via the
+    PYSPARK_GATEWAY_PORT env var PythonRunner sets on the driver), the
+    builder sets NO master so ``--master``/``spark.master`` wins; only
+    a bare ``python`` invocation falls back to ``local[N]``.
+
+    Local-mode-only tuning (tmpfs shuffle dir, 24g driver heap,
+    shuffle partitions = parallelism) is applied only when a local
+    master was resolved here — a cluster submission keeps its own
+    ``--conf`` values.
     """
-    if master is None:
+    under_spark_submit = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_spark_submit:
         cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
+    is_local = master is not None and master.startswith("local")
+    if shuffle_partitions is None and is_local:
         if master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = int(master[6:-1])
         else:
@@ -41,8 +50,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -53,22 +60,27 @@ def get_spark(
         # (reference analogue: BufSize bound, resolver.go:69-82).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if is_local:
         # Shuffle/spill files on the RAM-backed tmpfs when present: on a
         # real cluster every added node brings its own local disks, so
         # per-slot shuffle bandwidth is constant as the cluster grows;
         # a single VM disk shared by all task slots is not — it caps
         # scaling at the device, not the code.  /dev/shm restores the
         # per-slot-constant model for local runs.
-        .config(
+        builder = builder.config(
             "spark.local.dir",
             "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
         )
         # local mode: the driver JVM IS the executor — size it for the
         # whole working set (binary payload shuffles in verify joins).
-        # On a real cluster spark-submit's --driver-memory/--executor-
-        # memory override this.
-        .config("spark.driver.memory", "24g")
-    )
+        builder = builder.config("spark.driver.memory", "24g")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

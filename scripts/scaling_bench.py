@@ -14,7 +14,9 @@ all 32 hardware cores, which *understates* scaling.  So each
 configuration runs in a subprocess pinned with ``taskset`` to exactly
 N cores — local[8] on CPUs 0-7 vs local[32] on CPUs 0-31 — the honest
 single-box proxy for an 8-executor vs 32-executor cluster.  Shuffle
-partitions scale with the core count, as they would per-cluster.
+partitioning is FIXED at 64 across both configurations (matching the
+worker code and BENCH.md): scaling partitions with cores would shrink
+tasks 4x and per-task overhead would swamp the measurement.
 Each subprocess runs a small warmup pipeline first so JIT/worker-pool
 spin-up doesn't bias either side.
 

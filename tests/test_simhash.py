@@ -13,6 +13,7 @@ import pytest
 
 from dude_spark.config import ConfigError, SimHashConfig
 from dude_spark.detectors.simhash import (
+    _batch_simhash,
     _token_hashes,
     segment_subsets,
     simhash64,
@@ -52,6 +53,30 @@ def test_simhash64_properties():
     assert h1 == h1x == h2                      # deterministic, order-free
     assert _hamming(h1, h3) > CFG.hamming_radius  # unrelated far apart
     assert simhash64(np.empty(0, np.uint64)) is None
+
+
+def test_batch_simhash_equals_scalar_reference():
+    """The vectorized batch kernel (the UDF hot path) must produce
+    bit-identical signatures to the scalar per-char reference."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    caps: list = [None, "", "   ", "a", "the quick brown fox", "Ω λ中文  mixed"]
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        caps.append(
+            " ".join(
+                "".join(
+                    rng.choice(string.printable[:70])
+                    for _ in range(rng.randint(1, 25))
+                )
+                for _ in range(n)
+            )
+        )
+    got = _batch_simhash(caps)
+    want = [None if c is None else simhash64(_token_hashes(c)) for c in caps]
+    assert got == want
 
 
 def test_config_validation():
