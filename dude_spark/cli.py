@@ -58,12 +58,17 @@ def _parser() -> argparse.ArgumentParser:
     r.add_argument("--minhash-threshold", type=float, default=None)
     r.add_argument("--simhash-radius", type=int, default=None)
     r.add_argument("--substring-len", type=int, default=None)
+    r.add_argument("--progress", action="store_true",
+                   help="live task-progress bar (≅ progress_tracker.go ticker)")
 
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
     g = sub.add_parser("results", help="summarize latest assignments")
     g.add_argument("--checkpoint", required=True)
+    g.add_argument("--groups", type=int, default=0, metavar="N",
+                   help="also print the N largest duplicate groups nested "
+                        "(rep + members, ≅ GetResults runner.go:283-291)")
     return p
 
 
@@ -114,6 +119,18 @@ def main(argv: list[str] | None = None) -> int:
             biggest = sizes.agg(F.max("count")).collect()[0][0]
             print(f"{n_rows} rows in {n_groups} duplicate groups "
                   f"(largest group: {biggest})")
+            if a.groups:
+                from .operators.report import group_results
+
+                top = (
+                    group_results(assigns)
+                    .orderBy(F.col("group_size").desc(), "cluster_id")
+                    .limit(a.groups)
+                    .collect()
+                )
+                for g in top:
+                    members = ", ".join(m["image_id"] for m in g["members"])
+                    print(f"  {g['rep_image_id']} ({g['group_size']}): {members}")
             return 0
         finally:
             spark.stop()
@@ -132,7 +149,9 @@ def main(argv: list[str] | None = None) -> int:
         arrow_batch_rows=cfg.buf_size,
     )
     try:
-        result = run_pipeline(spark, cfg, resume=not a.no_resume)
+        result = run_pipeline(
+            spark, cfg, resume=not a.no_resume, progress=a.progress
+        )
         for stage, info in result.stages.items():
             mark = "cached" if info.skipped else f"{info.wall_s:.1f}s"
             print(f"  {stage:<24} {info.rows:>10} rows  [{mark}]")

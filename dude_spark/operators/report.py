@@ -57,6 +57,34 @@ def assignments_to_report(assignments: DataFrame, images: DataFrame) -> DataFram
     )
 
 
+def group_results(assignments: DataFrame, images: DataFrame | None = None) -> DataFrame:
+    """Nested rep-with-children result shape — GetResults parity
+    (/root/reference/internal/processing/runner.go:283-291, the
+    FileHash.DuplicatesFound tree of models.go:16): one row per
+    duplicate group with the representative (== cluster_id, the
+    component min) and a sorted array of member structs.
+
+    With ``images`` the members carry captions; without, ids only.
+    One shuffle (the groupBy); collect_list is bounded by the group
+    size, which candidate capping already bounds upstream."""
+    if images is not None:
+        rows = assignments.join(
+            images.select("image_id", "caption"), "image_id", "left"
+        )
+        member = F.struct(F.col("image_id"), F.col("caption"))
+    else:
+        rows = assignments
+        member = F.struct(F.col("image_id"))
+    return (
+        rows.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.sort_array(F.collect_list(member)).alias("members"),
+        )
+        .withColumn("rep_image_id", F.col("cluster_id"))
+    )
+
+
 def flatten_pairs(assignments: DataFrame) -> DataFrame:
     """assignments → (a=rep, b=dup) pair rows (O9 flatten)."""
     return assignments.where(F.col("image_id") != F.col("cluster_id")).select(
@@ -64,24 +92,57 @@ def flatten_pairs(assignments: DataFrame) -> DataFrame:
     )
 
 
+def delimiter_for_os() -> str:
+    """OS-dependent default delimiter (files.go:154-164): ';' on
+    Windows, ',' elsewhere."""
+    return ";" if os.name == "nt" else ","
+
+
 def write_csv_report(
     report: DataFrame,
     results_dir: str,
-    delimiter: str = ",",
+    delimiter: str | None = None,
     now: _dt.datetime | None = None,
+    max_driver_rows: int = 1_000_000,
 ) -> str | None:
-    """Write the report as a single BOM-prefixed CSV; returns the path,
-    or None when the report is empty (no file written — files.go:86-89).
+    """Write the report CSV; returns the path, or None when the report
+    is empty (no file written — files.go:86-89).  ``delimiter=None``
+    auto-selects by OS like the reference (files.go:154-164).
 
-    Collects to the driver: the report is the final, already-reduced
-    duplicate list (small relative to the input).  For huge reports use
-    ``report.write.csv`` directly and skip the cosmetic separators.
+    Two physical paths behind the same contract (round-1 VERDICT
+    "what's wrong" #5 — a driver collect caps report size at scale):
+
+    * ``rows <= max_driver_rows``: exact DuDe cosmetics — one
+      BOM-prefixed file, globally sorted, group-separator rows
+      (files.go:81-127).  The row bound is checked with a bounded
+      count (limit n+1), never a full count.
+    * larger: fully distributed — ``results_<stamp>.csv`` is a
+      DIRECTORY of part files written by ``df.write.csv`` with a
+      header per part, range-partitioned + sorted by
+      (cluster_id, dup_image_id) so parts are globally ordered and
+      each cluster's rows are contiguous.  Cosmetic separator rows
+      and the BOM are driver-path-only (a 10^11-row report is
+      machine-read anyway).
     """
-    rows = report.select(*CSV_HEADER).collect()
-    if not rows:
+    if delimiter is None:
+        delimiter = delimiter_for_os()
+    out = report.select(*CSV_HEADER)
+    n_bounded = out.limit(max_driver_rows + 1).count()
+    if n_bounded == 0:
         return None
     stamp = (now or _dt.datetime.now()).strftime("%Y_%m_%d_%H_%M_%S")
     path = os.path.join(results_dir, f"results_{stamp}.csv")  # files.go:166-178
+    if n_bounded > max_driver_rows:
+        (
+            out.repartitionByRange(F.col("cluster_id"))
+            .sortWithinPartitions("cluster_id", "dup_image_id")
+            .write.option("header", True)
+            .option("sep", delimiter)
+            .mode("overwrite")
+            .csv(path)
+        )
+        return path
+    rows = out.collect()
     os.makedirs(results_dir, exist_ok=True)
     with open(path, "w", encoding="utf-8-sig", newline="") as f:  # BOM, files.go:103
         f.write(delimiter.join(CSV_HEADER) + "\n")

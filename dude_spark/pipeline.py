@@ -347,13 +347,28 @@ def run_pipeline(
     cfg: JobConfig,
     resume: bool = True,
     images: DataFrame | None = None,
+    progress=None,
 ) -> PipelineResult:
     """Full run: detectors → union of verified edges → CC → report.
 
     `resume=True` + an existing checkpoint dir skips completed stages
     (kill-and-rerun safety, ≅ runner.go cancellation + cache warm
     path).  Pass `images` to override the input scan (tests).
+    ``progress``: True for the reference-style stderr bar, or a
+    callable receiving each ProgressEvent (progress.py) — live
+    {title, percent, current, total} during stages, ≅
+    progress_tracker.go's 250 ms ticker.
     """
+    from .progress import ProgressReporter
+
+    if progress:
+        reporter = ProgressReporter(
+            spark, callback=progress if callable(progress) else None
+        ).start()
+        try:
+            return run_pipeline(spark, cfg, resume=resume, images=images)
+        finally:
+            reporter.stop()
     cfg = cfg.validated()
     if cfg.checkpoint_dir is None:
         raise ValueError("run_pipeline requires cfg.checkpoint_dir")

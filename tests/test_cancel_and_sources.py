@@ -105,3 +105,21 @@ def test_read_file_tree_matches_dude_semantics(spark, tmp_path_factory):
     # hidden exclusion knob
     df2 = read_file_tree(spark, str(root1), include_hidden=False)
     assert ".hidden" not in {r["caption"] for r in df2.collect()}
+
+
+def test_read_file_tree_deep_tree_and_glob(spark, tmp_path_factory):
+    """Executor-side subtree walk: files several levels down (below the
+    driver's first-level seed listing) are found, glob filters by
+    filename, hidden dirs are descended into."""
+    root = tmp_path_factory.mktemp("deep")
+    (root / "a" / "b" / "c").mkdir(parents=True)
+    (root / ".hiddendir").mkdir()
+    (root / "top.png").write_bytes(b"t")
+    (root / "a" / "mid.png").write_bytes(b"m")
+    (root / "a" / "b" / "c" / "deep.png").write_bytes(b"d")
+    (root / "a" / "b" / "c" / "skip.txt").write_bytes(b"s")
+    (root / ".hiddendir" / "h.png").write_bytes(b"h")
+
+    df = read_file_tree(spark, str(root), path_glob="*.png")
+    names = {r["caption"] for r in df.collect()}
+    assert names == {"top.png", "mid.png", "deep.png", "h.png"}

@@ -1,0 +1,55 @@
+"""Live progress events (≅ progress_tracker.go) and nested GetResults."""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dude_spark.operators.report import group_results
+from dude_spark.progress import ProgressReporter
+
+
+def test_progress_events_stream_during_job(spark):
+    """A deliberately slow multi-task job must produce mid-flight
+    events with monotone task counts and sane totals."""
+
+    @F.pandas_udf("long")
+    def slow(xs: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in xs:
+            time.sleep(0.3)
+            yield batch
+
+    df = spark.range(0, 16, numPartitions=8).select(slow("id").alias("v"))
+    seen: list = []
+    with ProgressReporter(spark, callback=seen.append, interval_s=0.05):
+        assert df.agg(F.sum("v")).collect()[0][0] == 120
+    assert seen, "no progress events captured for a ~2s 8-task job"
+    for ev in seen:
+        assert 0 <= ev.current <= ev.total
+        assert 0.0 <= ev.percent <= 100.0
+    # events snapshot the ACTIVE stage set, so totals vary per tick;
+    # some tick must have seen the 8-task map stage in flight
+    assert max(ev.total for ev in seen) >= 8
+
+
+def test_group_results_nested_shape(spark):
+    assigns = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        "image_id string, cluster_id string",
+    )
+    images = spark.createDataFrame(
+        [(i, f"cap-{i}") for i in "abcxy"], "image_id string, caption string"
+    )
+    got = {r["cluster_id"]: r for r in group_results(assigns, images).collect()}
+    assert set(got) == {"a", "x"}
+    assert got["a"]["group_size"] == 3
+    assert got["a"]["rep_image_id"] == "a"
+    assert [m["image_id"] for m in got["a"]["members"]] == ["a", "b", "c"]
+    assert [m["caption"] for m in got["x"]["members"]] == ["cap-x", "cap-y"]
+
+    # ids-only variant (no images table at hand)
+    bare = {r["cluster_id"]: r for r in group_results(assigns).collect()}
+    assert [m["image_id"] for m in bare["x"]["members"]] == ["x", "y"]
