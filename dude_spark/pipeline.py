@@ -19,13 +19,12 @@ generalizations mandated by the north star:
     upsert (O6, db/hash_repository.go:128-143) as one join + union
     (an Iceberg ``MERGE INTO`` in production; see below).
 
-Storage note: checkpoints are plain parquet directories with JSON
-manifest sidecars.  On a real cluster with an Iceberg catalog the same
-code targets Iceberg tables (``.writeTo(tbl).createOrReplace()`` /
-``MERGE INTO`` for the signature upsert) — the org.apache.iceberg
-runtime jar is not in this sandbox, so the parquet+manifest fallback
-keeps the exact same stage semantics (atomicity via manifest-after-data
-ordering) and is documented here for the swap.
+Storage note: stage I/O goes through the StageStore interface
+(storage.py) — ParquetManifestStore (sandbox default: parquet dirs +
+atomic JSON manifest sidecars) or IcebergStageStore (cluster: one
+Iceberg table per stage, MERGE INTO manifests).  The swap is an
+interface implementation, enforced by the stage runner depending only
+on the contract; pass ``store=`` to run_pipeline to select.
 
 Scale notes: `bytes` is projected away before every shuffle except the
 exact detector's verify join (SURVEY.md §7 hard-part (e)); candidate
@@ -59,6 +58,7 @@ from .operators.candidates import pairs_from_buckets
 from .operators.components import connected_components
 from .operators.report import assignments_to_report, write_csv_report
 from .operators.verify import verify_exact, verify_jaccard
+from .storage import ParquetManifestStore, StageStore
 
 
 @dataclasses.dataclass
@@ -229,15 +229,20 @@ def _verify(
 # ------------------------------------------------------------- checkpointing
 
 class _Stages:
-    """Checkpointed stage runner: parquet dir + JSON manifest sidecar.
+    """Checkpointed stage runner over a pluggable StageStore
+    (storage.py — parquet+manifest in the sandbox, Iceberg tables on a
+    cluster; the seam is the interface, not prose)."""
 
-    Manifest is written AFTER the data (crash between the two = stage
-    re-runs — idempotent because the write is mode('overwrite')).
-    """
-
-    def __init__(self, spark: SparkSession, cfg: JobConfig, resume: bool):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: JobConfig,
+        resume: bool,
+        store: StageStore | None = None,
+    ):
         self.spark, self.cfg, self.resume = spark, cfg, resume
         self.root = cfg.checkpoint_dir
+        self.store = store or ParquetManifestStore(spark, cfg.checkpoint_dir)
         self.stages: dict[str, StageInfo] = {}
         # buffered durable records, flushed once at pipeline end
         # (2 writes per run instead of 2 per stage)
@@ -249,10 +254,6 @@ class _Stages:
         flush_records(self.spark, self.root, self.metrics_rows, self.lineage_rows)
         self.metrics_rows, self.lineage_rows = [], []
 
-    def _paths(self, stage: str) -> tuple[str, str]:
-        d = os.path.join(self.root, "stages", stage)
-        return d, d + ".manifest.json"
-
     def run(
         self, stage: str, detector: str, config_id: str, compute
     ) -> DataFrame:
@@ -260,34 +261,32 @@ class _Stages:
         # reference hashing.go:58-70) — see cancel_run
         if os.path.exists(os.path.join(self.root, "CANCEL")):
             raise CancelledRun(f"run cancelled before stage {stage}")
-        data_dir, manifest = self._paths(stage)
-        if self.resume and os.path.exists(manifest) and os.path.exists(data_dir):
-            with open(manifest) as f:
-                m = json.load(f)
-            if m.get("config_id") == config_id:
+        if self.resume:
+            m = self.store.manifest(stage)
+            if (
+                m is not None
+                and m.get("config_id") == config_id
+                and self.store.exists(stage)
+            ):
                 with self._lock:
                     self.stages[stage] = StageInfo(m["rows"], 0.0, skipped=True)
-                return self.spark.read.parquet(data_dir)
+                return self.store.read(stage)
             # config changed → cached stage is invalid, fall through
         t0 = time.monotonic()
-        df = compute()
-        df.write.mode("overwrite").parquet(data_dir)
-        out = self.spark.read.parquet(data_dir)
+        out = self.store.write(compute(), stage)
         pc = partition_count_rows(out)  # one cheap count-per-partition job
         rows = sum(n for _, n in pc)
         wall = time.monotonic() - t0
-        with open(manifest + ".tmp", "w") as f:
-            json.dump(
-                {
-                    "run_id": self.cfg.run_id,
-                    "stage": stage,
-                    "config_id": config_id,
-                    "rows": rows,
-                    "wall_s": wall,
-                },
-                f,
-            )
-        os.replace(manifest + ".tmp", manifest)  # atomic publish
+        self.store.publish_manifest(
+            stage,
+            {
+                "run_id": self.cfg.run_id,
+                "stage": stage,
+                "config_id": config_id,
+                "rows": rows,
+                "wall_s": wall,
+            },
+        )
         ts = _dt.datetime.now(_dt.timezone.utc).isoformat()
         with self._lock:
             self.metrics_rows.append(
@@ -305,7 +304,8 @@ def _incremental_signatures(
     images: DataFrame,
     detector: str,
     cfg: JobConfig,
-    cache_dir: str,
+    store: StageStore,
+    sig_stage: str,
 ) -> DataFrame:
     """Row-level MERGE of new/changed signatures with the cached table.
 
@@ -315,11 +315,13 @@ def _incremental_signatures(
     """
     fp = images.withColumn("row_fp", _row_fp(detector))
     try:
-        # localCheckpoint BEFORE the stage overwrites cache_dir — Spark
-        # reads lazily, so writing over the path still being scanned
+        if not store.exists(sig_stage):
+            raise FileNotFoundError(sig_stage)
+        # localCheckpoint BEFORE the stage overwrites the cache — Spark
+        # reads lazily, so writing over the table still being scanned
         # would corrupt the very cache being merged.  (With Iceberg this
         # is a snapshot-isolated MERGE INTO and the checkpoint is free.)
-        cached = spark.read.parquet(cache_dir).localCheckpoint(eager=True)
+        cached = store.read(sig_stage).localCheckpoint(eager=True)
     except Exception:  # first run — no cache yet
         return _signatures(images, detector, cfg).join(
             fp.select("image_id", "row_fp"), "image_id"
@@ -348,6 +350,7 @@ def run_pipeline(
     resume: bool = True,
     images: DataFrame | None = None,
     progress=None,
+    store: StageStore | None = None,
 ) -> PipelineResult:
     """Full run: detectors → union of verified edges → CC → report.
 
@@ -366,7 +369,9 @@ def run_pipeline(
             spark, callback=progress if callable(progress) else None
         ).start()
         try:
-            return run_pipeline(spark, cfg, resume=resume, images=images)
+            return run_pipeline(
+                spark, cfg, resume=resume, images=images, store=store
+            )
         finally:
             reporter.stop()
     cfg = cfg.validated()
@@ -380,7 +385,7 @@ def run_pipeline(
     spark.sparkContext.setJobGroup(
         _job_group(cfg.run_id), "dude_spark pipeline", interruptOnCancel=True
     )
-    st = _Stages(spark, cfg, resume)
+    st = _Stages(spark, cfg, resume, store=store)
 
     if images is None:
         images = load_images(spark, cfg)
@@ -404,11 +409,12 @@ def run_pipeline(
             _job_group(cfg.run_id), f"dude_spark {det}", interruptOnCancel=True
         )
         cid = cfg.config_id(det) + "@" + in_fp
-        sig_dir, _ = st._paths(f"signatures_{det}")
 
         def compute_sigs():
             if cfg.use_cache:
-                return _incremental_signatures(spark, images, det, cfg, sig_dir)
+                return _incremental_signatures(
+                    spark, images, det, cfg, st.store, f"signatures_{det}"
+                )
             return _signatures(images, det, cfg).withColumn(
                 "row_fp", F.lit(None).cast("long")
             )
@@ -424,9 +430,7 @@ def run_pipeline(
             # own map-side-combinable job; no persist is shared with
             # the pairs write (its shuffle volume is one combined row
             # per map partition per hot bucket — noise).
-            overcap.write.mode("overwrite").parquet(
-                os.path.join(cfg.checkpoint_dir, "stages", f"overcap_{det}")
-            )
+            st.store.write(overcap, f"overcap_{det}")
             return pairs
 
         pairs = st.run(f"candidates_{det}", det, cid, compute_pairs)

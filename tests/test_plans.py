@@ -71,6 +71,28 @@ def test_pairs_plan_single_fat_shuffle(parquet_images):
     assert "Window" in plan, plan
 
 
+def test_hot_bucket_star_edges_via_broadcast(spark):
+    """A bucket over the cap must produce star edges through a
+    broadcast join of the (few) over-cap keys — never by colocating
+    the hot bucket on one reducer — and exact star-edge output."""
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{i:05d}" for i in range(5000)]
+            + [f"p{i}" for i in range(4)],
+            "bucket": ["HOT"] * 5000 + ["ok"] * 4,
+        }
+    )
+    pairs, overcap = pairs_from_buckets(spark.createDataFrame(pdf), bucket_cap=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    star = {("i00000", f"i{i:05d}") for i in range(1, 5000)}
+    full = {(f"p{i}", f"p{j}") for i in range(4) for j in range(i + 1, 4)}
+    assert got == star | full
+    oc = overcap.collect()
+    assert len(oc) == 1 and oc[0]["bucket"] == "HOT" and oc[0]["bucket_size"] == 5000
+
+
 def test_salted_two_stage_equals_direct(spark):
     # hot key: 5000 rows in one bucket; salted two-stage count must
     # equal the direct group count exactly
