@@ -21,4 +21,10 @@ __version__ = "0.1.0"
 
 from .config import JobConfig, MinHashConfig, SimHashConfig, SuffixConfig  # noqa: E402,F401
 from .pipeline import PipelineResult, cancel_run, run_pipeline  # noqa: E402,F401
+from .progress import ProgressEvent, ProgressReporter  # noqa: E402,F401
 from .session import get_spark  # noqa: E402,F401
+from .storage import (  # noqa: E402,F401
+    IcebergStageStore,
+    ParquetManifestStore,
+    StageStore,
+)

@@ -66,13 +66,29 @@ def flush_records(
     stage) — at 14 stages per run the per-stage write jobs were ~half
     of total wall at small scale; batched they are noise.  Rows are
     driver-side tuples (each stage contributes ≤ #partitions lineage
-    rows), so buffering them is O(KB)."""
+    rows), so buffering them is O(KB).
+
+    The frames are built from pandas so createDataFrame takes the
+    Arrow fast path: the tuple path routes local rows through
+    Python-worker RDD conversion and measured 5-7 s PER WRITE for a
+    14-row table — it alone was ~11 s of the pipeline's serial floor
+    (round-1 VERDICT #8)."""
+    import pandas as pd
+
     if metrics_rows:
-        spark.createDataFrame(metrics_rows, METRICS_SCHEMA).coalesce(1).write.mode(
+        mpdf = pd.DataFrame(
+            metrics_rows,
+            columns=["run_id", "stage", "detector", "rows_out", "wall_s", "ts", "extra"],
+        )
+        spark.createDataFrame(mpdf, METRICS_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(os.path.join(checkpoint_dir, "run_metrics"))
     if lineage_rows:
-        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        lpdf = pd.DataFrame(
+            lineage_rows,
+            columns=["run_id", "stage", "detector", "partition_id", "rows"],
+        )
+        spark.createDataFrame(lpdf, LINEAGE_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(os.path.join(checkpoint_dir, "lineage"))
 
@@ -90,9 +106,14 @@ def record_stage(
 ) -> None:
     """Append one run_metrics row and (if given a materialized stage
     output) its per-partition lineage rows."""
+    import pandas as pd
+
     ts = _dt.datetime.now(_dt.timezone.utc).isoformat()
     metrics = spark.createDataFrame(
-        [(run_id, stage, detector, rows_out, float(wall_s), ts, extra or {})],
+        pd.DataFrame(
+            [(run_id, stage, detector, rows_out, float(wall_s), ts, extra or {})],
+            columns=["run_id", "stage", "detector", "rows_out", "wall_s", "ts", "extra"],
+        ),
         METRICS_SCHEMA,
     )
     metrics.coalesce(1).write.mode("append").parquet(

@@ -87,7 +87,11 @@ def connected_components(
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges))
         if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
+            # lazy checkpoint: the fingerprint action below materializes
+            # it, so each round costs ONE driver job (checkpoint + conv
+            # check fused), not two — the CC loop is part of the
+            # pipeline's serial floor (round-1 VERDICT #8)
+            edges = edges.localCheckpoint(eager=False)
         fp = _fingerprint(edges)
         if fp == prev:
             break

@@ -54,12 +54,16 @@ def test_exact_detector_reads_only_id_and_bytes(parquet_images):
 
 
 def test_overcap_aggregate_is_two_stage(parquet_images):
-    _, overcap = pairs_from_buckets(exact_buckets(parquet_images), 64)
+    from dude_spark.operators.candidates import overcap_stats
+
+    overcap = overcap_stats(exact_buckets(parquet_images), 64)
     plan = overcap._jdf.queryExecution().executedPlan().toString()
-    # map-side partial + final merge = two HashAggregate operators
-    # around the exchange; a hot key only ever costs the merge side
-    # one combined row per map partition
-    assert plan.count("HashAggregate") >= 2, plan
+    # map-side partial + final merge = two aggregate operators around
+    # the exchange (SortAggregate since min(string) joined the agg); a
+    # hot key only ever costs the merge side one combined row per map
+    # partition
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2, plan
     assert "partial_count" in plan or "partial count" in plan.lower(), plan
 
 
