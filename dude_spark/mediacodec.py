@@ -1,0 +1,114 @@
+"""Deterministic audio/video containers (pure numpy/zlib) — the
+audio/video siblings of ``imagecodec``.
+
+No media libraries (soundfile/ffmpeg/pyav) exist in this container, so
+these are deterministic stand-ins with *real* container semantics —
+magic + binary header + compressed payload, length-prefixed frame
+packets for video — exactly the pattern the image codec established:
+the byte-level container handling, error taxonomy, and all DSP math on
+the decoded samples are real; only the entropy-coding internals are
+simplified.  For production, swap the four encode/decode bodies for
+soundfile (audio) and pyav/ffmpeg (video) behind the same signatures —
+every caller in ``operators.multimodal`` is agnostic.
+
+Containers:
+  audio  b"DWAV" | sample_rate int32 | n_samples int32 |
+         zlib(int16 PCM mono, little-endian)
+  video  b"DVID" | fps int32 | n_frames int32 |
+         n_frames × (len int32 | imagecodec-encoded frame)
+
+Reference analogue: the engine treats all payloads as opaque byte
+streams (internal/processing/hashing.go:316); typed decode lives only
+in this repo's LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .imagecodec import CodecError, decode as decode_image, encode as encode_image
+
+AUDIO_MAGIC = b"DWAV"
+VIDEO_MAGIC = b"DVID"
+
+
+# ------------------------------------------------------------------ audio
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono PCM → container bytes (lossless, deterministic)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise CodecError(
+            f"expected 1-d int16 PCM, got {samples.dtype} ndim={samples.ndim}"
+        )
+    if sample_rate <= 0:
+        raise CodecError(f"bad sample_rate {sample_rate}")
+    payload = zlib.compress(samples.astype("<i2").tobytes())
+    return AUDIO_MAGIC + struct.pack("<ii", sample_rate, len(samples)) + payload
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Container bytes → (int16 samples, sample_rate).  Raises
+    CodecError on any malformed payload — callers skip-and-count."""
+    if blob is None or len(blob) < 12 or blob[:4] != AUDIO_MAGIC:
+        raise CodecError("not a DWAV audio payload")
+    rate, n = struct.unpack("<ii", blob[4:12])
+    if rate <= 0 or n < 0:
+        raise CodecError(f"corrupt DWAV header rate={rate} n={n}")
+    try:
+        raw = zlib.decompress(blob[12:])
+    except zlib.error as e:
+        raise CodecError(f"corrupt DWAV payload: {e}") from e
+    if len(raw) != 2 * n:
+        raise CodecError(f"DWAV length mismatch: header {n}, payload {len(raw)//2}")
+    return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> tuple[float, float, int]:
+    """(duration_s, rms in [0,1], zero_crossings) — vectorized DSP on
+    the decoded PCM (this math is production-real, codec-independent)."""
+    n = len(samples)
+    duration = n / rate
+    x = samples.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0
+    return duration, rms, zc
+
+
+# ------------------------------------------------------------------ video
+
+def encode_video(frames: list[np.ndarray], fps: int, frame_fmt: str = "jpeg") -> bytes:
+    """List of (h, w, 3) uint8 frames → container bytes; each frame is
+    an imagecodec packet, so per-frame PSNR semantics carry over."""
+    if fps <= 0:
+        raise CodecError(f"bad fps {fps}")
+    parts = [VIDEO_MAGIC, struct.pack("<ii", fps, len(frames))]
+    for f in frames:
+        pkt = encode_image(f, frame_fmt)
+        parts.append(struct.pack("<i", len(pkt)))
+        parts.append(pkt)
+    return b"".join(parts)
+
+
+def decode_video(blob: bytes) -> tuple[list[tuple[int, np.ndarray]], int]:
+    """Container bytes → ([(ts_ms, pixels), ...], fps)."""
+    if blob is None or len(blob) < 12 or blob[:4] != VIDEO_MAGIC:
+        raise CodecError("not a DVID video payload")
+    fps, n_frames = struct.unpack("<ii", blob[4:12])
+    if fps <= 0 or n_frames < 0:
+        raise CodecError(f"corrupt DVID header fps={fps} n={n_frames}")
+    frames: list[tuple[int, np.ndarray]] = []
+    off = 12
+    for i in range(n_frames):
+        if off + 4 > len(blob):
+            raise CodecError(f"DVID truncated at frame {i}")
+        (plen,) = struct.unpack("<i", blob[off : off + 4])
+        off += 4
+        if plen < 0 or off + plen > len(blob):
+            raise CodecError(f"DVID bad frame length {plen} at frame {i}")
+        pixels, _ = decode_image(blob[off : off + plen])
+        off += plen
+        frames.append((i * 1000 // fps, pixels))
+    return frames, fps

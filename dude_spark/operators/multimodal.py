@@ -5,12 +5,13 @@ typed metadata (the input_hint schema), processed in Arrow batches via
 ``mapInPandas`` — the Spark-side plumbing (schemas, batching,
 partition preservation, skip-and-count error handling) is real and
 tested.  The pixel codec is the deterministic container codec from
-``imagecodec`` (real lossy/lossless semantics); swapping in Pillow/
-libjpeg for production is a two-function change behind the same
-signatures (imagecodec module docstring).  Audio decode and video
-frame-sampling are STUBS (NotImplementedError) because no media
-libraries exist in this container — their row contracts and schemas
-are defined and asserted by tests so the plumbing is drop-in ready.
+``imagecodec`` (real lossy/lossless semantics), and audio/video use
+the sibling deterministic containers in ``mediacodec`` (DWAV PCM,
+DVID length-prefixed frame packets); swapping in Pillow / soundfile /
+pyav for production is a per-codec body change behind the same
+signatures (module docstrings).  The feature DSP (RMS, zero
+crossings, channel means, phash) operates on decoded samples/pixels
+and is production-real regardless of codec.
 
 Error contract everywhere: undecodable rows never fail the job — they
 come back with ok=false and are countable (≅ the reference's
@@ -124,47 +125,82 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-# ------------------------------------------------------------------ stubs
+# ------------------------------------------------------- audio / video
 
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, ok boolean, duration_s double, rms double, "
     "zero_crossings long"
 )
 VIDEO_FRAMES_SCHEMA = (
-    "video_id string, frame_idx int, frame_bytes binary, ts_ms long"
+    "video_id string, frame_idx int, frame_bytes binary, ts_ms long, ok boolean"
 )
 
 
 def extract_audio_features(clips: DataFrame) -> DataFrame:
-    """STUB — audio decode needs a codec library absent from this
-    container.  Contract: input (clip_id string, bytes binary);
-    output AUDIO_FEATURES_SCHEMA, one row per clip, ok=false for
-    undecodable clips.  The mapInPandas shell below is the real
-    production shape; only the decode body raises."""
+    """(clip_id, bytes) → AUDIO_FEATURES_SCHEMA, one row per clip.
+
+    Decodes the deterministic DWAV container (mediacodec — swap
+    ``decode_audio`` for soundfile/ffmpeg in production behind the same
+    signature); the feature DSP (duration, RMS, zero crossings) is
+    production-real vectorized numpy.  Undecodable clips → ok=false,
+    never fatal."""
+    from ..mediacodec import audio_features, decode_audio
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "audio decoding requires an audio codec library (e.g. soundfile/"
-            "ffmpeg) not present in this environment; plug the decoder into "
-            "this mapInPandas body"
-        )
-        yield  # pragma: no cover — makes `run` a generator, part of the contract
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    samples, rate = decode_audio(
+                        bytes(r.bytes) if r.bytes is not None else b""
+                    )
+                    dur, rms, zc = audio_features(samples, rate)
+                    rows.append((r.clip_id, True, dur, rms, zc))
+                except CodecError:
+                    rows.append((r.clip_id, False, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "ok", "duration_s", "rms", "zero_crossings"],
+            )
 
     return clips.select("clip_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB — video demux needs ffmpeg/pyav, absent from this container.
-    Contract: input (video_id string, bytes binary); output one row per
-    sampled frame (VIDEO_FRAMES_SCHEMA), frames re-encoded with the
-    image codec.  The mapInPandas shell is the production shape."""
+    """(video_id, bytes) → one row per sampled frame, frames re-encoded
+    with the image codec so downstream image operators (decode_images,
+    extract_features, the D2 phash channel) consume them unchanged.
+
+    Demuxes the deterministic DVID container (mediacodec — swap
+    ``decode_video`` for pyav/ffmpeg in production behind the same
+    signature).  Sampling keeps the first frame at/after each
+    ``every_ms`` boundary.  Undecodable videos emit ONE ok=false row
+    (skip-and-count) instead of failing the job."""
+    from ..imagecodec import encode as encode_image
+    from ..mediacodec import decode_video
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "video frame sampling requires a demuxer (ffmpeg/pyav) not "
-            "present in this environment; plug the demuxer into this "
-            "mapInPandas body"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    frames, _fps = decode_video(
+                        bytes(r.bytes) if r.bytes is not None else b""
+                    )
+                    next_ts = 0
+                    for idx, (ts_ms, pixels) in enumerate(frames):
+                        if ts_ms < next_ts:
+                            continue
+                        next_ts = ts_ms + every_ms
+                        rows.append(
+                            (r.video_id, idx, encode_image(pixels, "jpeg"),
+                             ts_ms, True)
+                        )
+                except CodecError:
+                    rows.append((r.video_id, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "frame_idx", "frame_bytes", "ts_ms", "ok"],
+            )
 
     return videos.select("video_id", "bytes").mapInPandas(run, VIDEO_FRAMES_SCHEMA)

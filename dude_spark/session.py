@@ -48,8 +48,22 @@ def get_spark(
         else:
             shuffle_partitions = 200
 
+    # One BLAS thread per python worker: numpy's OpenBLAS pool defaults
+    # to nproc THREADS PER WORKER, so N workers × N threads thrash the
+    # moment any UDF touches BLAS (embedding matmuls) — measured 3×
+    # aggregate slowdown at 32 procs (scripts/hw_control.py docstring).
+    # Set in our env (local workers inherit it) AND executorEnv (cluster).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ["OPENBLAS_NUM_THREADS"],
+        )
+        .config("spark.executorEnv.MKL_NUM_THREADS", os.environ["MKL_NUM_THREADS"])
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

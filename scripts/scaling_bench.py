@@ -56,8 +56,13 @@ def worker(cpus: int, input_path: str, work: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # warmup must be HEAVY enough to finish JIT/codegen for every
+        # stage shape: with a 500-row warmup the short 32-core run
+        # still pays mid-measurement compilation that the long 8-core
+        # run amortizes — an asymmetry that artificially depresses
+        # measured efficiency
         warm = f"{work}/warm_{cpus}"
-        write_fixture(spark, warm, n=500, partitions=cpus)
+        write_fixture(spark, warm, n=20000, partitions=cpus)
         run_pipeline(
             spark,
             JobConfig(
@@ -101,6 +106,7 @@ def _run_pinned(cpus: int, input_path: str, work: str) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     work = tempfile.mkdtemp(prefix="dude_scaling_")
     try:
         from dude_spark.fixtures import write_fixture
@@ -112,16 +118,28 @@ def main() -> None:
         gen.stop()
         input_path = f"{work}/images.parquet"
 
-        t8 = _run_pinned(8, input_path, work)
-        t32 = _run_pinned(32, input_path, work)
+        # This Firecracker VM shares a host: identical runs measured
+        # t32 ∈ {71.8, 94.4, 119.2} s at n=200k (CPU steal).  One
+        # (t8, t32) pair is therefore meaningless; runs alternate
+        # configs and the MEDIAN per config is reported, with every
+        # sample shown so the spread is visible, never hidden.
+        t8s, t32s = [], []
+        for _ in range(repeats):
+            t8s.append(_run_pinned(8, input_path, work))
+            t32s.append(_run_pinned(32, input_path, work))
+        t8s.sort(), t32s.sort()
+        t8, t32 = t8s[len(t8s) // 2], t32s[len(t32s) // 2]
         thr8, thr32 = n / t8, n / t32
         eff = (thr32 / thr8) / 4.0
         print(
             json.dumps(
                 {
                     "n_images": n,
+                    "repeats": repeats,
                     "wall_s_local8_pinned8": round(t8, 1),
                     "wall_s_local32_pinned32": round(t32, 1),
+                    "samples_s_8": [round(t, 1) for t in t8s],
+                    "samples_s_32": [round(t, 1) for t in t32s],
                     "images_per_sec_N": round(thr8, 1),
                     "images_per_sec_4N": round(thr32, 1),
                     "scaling_efficiency": round(eff, 3),

@@ -1,13 +1,18 @@
-"""Multimodal operators: decode/features/resize plumbing + stub contracts."""
+"""Multimodal operators: decode/features/resize + audio/video plumbing."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
-from pyspark.errors.exceptions.captured import PythonException
 from pyspark.sql import functions as F
 
-from dude_spark.fixtures import IMAGES_COLUMNS
 from dude_spark.imagecodec import decode
+from dude_spark.mediacodec import (
+    decode_audio,
+    decode_video,
+    encode_audio,
+    encode_video,
+)
 from dude_spark.operators.multimodal import (
     AUDIO_FEATURES_SCHEMA,
     decode_images,
@@ -68,20 +73,66 @@ def test_resize_images(spark, images_df):
     assert fmt == row["fmt"]
 
 
-def test_audio_video_stubs_raise_cleanly(spark, images_df):
-    clips = images_df.select(
-        F.col("image_id").alias("clip_id"), F.col("bytes")
-    )
-    stub = extract_audio_features(clips)
-    # schema/plumbing real even though the body is stubbed
-    assert [f.name for f in stub.schema.fields] == [
-        "clip_id", "ok", "duration_s", "rms", "zero_crossings"
-    ]
-    with pytest.raises(PythonException) as exc:
-        stub.limit(1).collect()
-    assert "NotImplementedError" in str(exc.value)
+def _sine_clip(freq_hz: float, seconds: float, rate: int = 8000) -> bytes:
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (0.5 * 32767 * np.sin(2 * np.pi * freq_hz * t)).astype(np.int16)
+    return encode_audio(pcm, rate)
 
-    vids = images_df.select(F.col("image_id").alias("video_id"), F.col("bytes"))
-    with pytest.raises(PythonException) as exc:
-        sample_video_frames(vids).limit(1).collect()
-    assert "NotImplementedError" in str(exc.value)
+
+def test_audio_codec_roundtrip_and_errors():
+    pcm = (np.arange(-100, 100) * 50).astype(np.int16)
+    samples, rate = decode_audio(encode_audio(pcm, 16000))
+    assert rate == 16000 and np.array_equal(samples, pcm)  # lossless
+    from dude_spark.imagecodec import CodecError
+
+    for bad in (b"", b"nope", b"DWAV\x00\x00", encode_audio(pcm, 16000)[:-3]):
+        with pytest.raises(CodecError):
+            decode_audio(bad)
+
+
+def test_extract_audio_features(spark):
+    clips = spark.createDataFrame(
+        [
+            ("a440", _sine_clip(440.0, 2.0)),
+            ("a10", _sine_clip(10.0, 1.0)),
+            ("bad", b"not audio at all"),
+        ],
+        "clip_id string, bytes binary",
+    )
+    out = {r["clip_id"]: r for r in extract_audio_features(clips).collect()}
+    assert [f.name for f in extract_audio_features(clips).schema.fields] == [
+        "clip_id", "ok", "duration_s", "rms", "zero_crossings",
+    ]
+    a = out["a440"]
+    assert a["ok"] and abs(a["duration_s"] - 2.0) < 1e-9
+    assert abs(a["rms"] - 0.5 / np.sqrt(2)) < 0.01  # full-scale/2 sine RMS
+    # a sine at f Hz crosses zero ~2·f·duration times
+    assert abs(a["zero_crossings"] - 2 * 440 * 2.0) <= 4
+    assert abs(out["a10"]["zero_crossings"] - 2 * 10 * 1.0) <= 2
+    assert not out["bad"]["ok"]  # skip-and-count, job did not fail
+
+
+def test_sample_video_frames(spark):
+    rs = np.random.RandomState(5)
+    frames = [
+        (rs.randint(0, 255, (8, 8, 3))).astype(np.uint8) for _ in range(10)
+    ]
+    blob = encode_video(frames, fps=5)  # ts = 0,200,...,1800 ms
+    decoded, fps = decode_video(blob)
+    assert fps == 5 and len(decoded) == 10
+    vids = spark.createDataFrame(
+        [("v1", blob), ("bad", b"garbage")], "video_id string, bytes binary"
+    )
+    rows = sample_video_frames(vids, every_ms=1000).collect()
+    ok = sorted(
+        [r for r in rows if r["video_id"] == "v1"], key=lambda r: r["frame_idx"]
+    )
+    # one frame at/after each 1000ms boundary: ts 0 and ts 1000 (idx 5)
+    assert [(r["frame_idx"], r["ts_ms"]) for r in ok] == [(0, 0), (5, 1000)]
+    # sampled frames are image-codec packets consumable downstream,
+    # within lossy quantization error of the source frame
+    pix, fmt = decode(bytes(ok[1]["frame_bytes"]))
+    assert fmt == "jpeg" and pix.shape == (8, 8, 3)
+    assert np.abs(pix.astype(int) - frames[5].astype(int)).max() <= 4
+    bad = [r for r in rows if r["video_id"] == "bad"]
+    assert len(bad) == 1 and not bad[0]["ok"]
