@@ -144,6 +144,45 @@ def q_dup_group_sizes(spark, sf_dir):
     )
 
 
+def q_corpus_summary(spark, sf_dir):
+    """Aggregation surface: per-(lang, source) corpus statistics —
+    count, total chars, mean tokens (integerized ×1000 for exact
+    cross-engine hashing).  Exercises multi-key groupBy + mixed aggs
+    with map-side combine."""
+    t = F.col("text")
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "source", F.length(t).alias("chars"), token_count(t).alias("toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+            F.expr("sum(toks) * 1000 DIV count(*)").cast("long").alias(
+                "mean_tokens_x1000"
+            ),
+        )
+    )
+
+
+def q_length_deciles(spark, sf_dir):
+    """Window/ranking surface: documents bucketed into 10 equal-count
+    length deciles (ntile), with per-decile count and char bounds."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("chars"), F.col("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), F.length("text").alias("chars"))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("chars").cast("long").alias("min_chars"),
+            F.max("chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 5)
@@ -173,9 +212,12 @@ def q_minhash_pairs(spark, sf_dir):
     same integer-free contract tested exactly by ngram_jaccard_pairs)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = MinHashConfig()
-    pairs, _ = pairs_from_buckets(
-        minhash_buckets(minhash_signatures(docs, cfg)), bucket_cap=64
-    )
+    # checkpoint the UDF-computed signatures: pairs_from_buckets runs
+    # an eager skew-detection action plus the pairs action, and without
+    # a checkpoint each action would re-run the signature UDF chain
+    # (the pipeline gets this for free from its stage store)
+    sigs = minhash_signatures(docs, cfg).localCheckpoint(eager=True)
+    pairs, _ = pairs_from_buckets(minhash_buckets(sigs), bucket_cap=64)
     out = verify_jaccard(pairs, docs, cfg.shingle_k, cfg.jaccard_threshold)
     return _canon_pairs(out)
 
@@ -200,9 +242,8 @@ def q_substring_pairs(spark, sf_dir):
     self-join at sf0.01 (500 docs)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = SuffixConfig(min_match_len=32)
-    pairs, _ = pairs_from_buckets(
-        suffix_buckets(suffix_signatures(docs, cfg)), bucket_cap=64
-    )
+    sigs = suffix_signatures(docs, cfg).localCheckpoint(eager=True)
+    pairs, _ = pairs_from_buckets(suffix_buckets(sigs), bucket_cap=64)
     out = verify_substring(pairs, docs, cfg)
     return _canon_pairs(out)
 
@@ -251,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_pairs,
+        "corpus_summary": q_corpus_summary,
+        "length_deciles": q_length_deciles,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
         "embedding_topk": q_embedding_topk,
@@ -350,6 +393,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL + "SELECT a, b, inter, uni FROM pairs",
+        "corpus_summary": """
+            WITH d AS (
+              SELECT lang, source, length(text) AS chars,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks
+              FROM documents
+            )
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(chars) AS total_chars,
+                   (sum(toks) * 1000) // count(*) AS mean_tokens_x1000
+            FROM d GROUP BY lang, source
+        """,
+        "length_deciles": """
+            WITH d AS (
+              SELECT doc_id, length(text) AS chars,
+                     ntile(10) OVER (ORDER BY length(text), doc_id) AS decile
+              FROM documents
+            )
+            SELECT decile, count(*) AS n_docs,
+                   min(chars) AS min_chars, max(chars) AS max_chars
+            FROM d GROUP BY decile
+        """,
         "substring_pairs": """
             WITH g AS (
               SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 32) AS gram
