@@ -37,7 +37,6 @@ boundary.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import threading
 import time
