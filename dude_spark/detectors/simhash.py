@@ -55,12 +55,17 @@ def segment_subsets(segments: int, radius: int) -> list[tuple[int, ...]]:
     return list(itertools.combinations(range(segments), segments - radius))
 
 
-def pigeonhole_key_array(sig_col, segments: int, radius: int, tag: str = "ph"):
+def pigeonhole_key_array(
+    sig_col, segments: int, radius: int, tag: str = "ph", extra: tuple = ()
+):
     """Column expression: 64-bit signature → array<long> of pigeonhole
     bucket keys, one xxhash64 per (segments−radius)-subset.  LONG keys
     so the explode shuffles 8 bytes/row; hash collisions only add
-    candidates that downstream exact verification removes.  Shared by
-    the D2 detector and the embedding hyperplane-LSH dup-pair path."""
+    candidates that downstream exact verification removes.  The SINGLE
+    key-derivation implementation shared by the D2 detector
+    (``extra=(channel,)`` salts keys per channel) and the embedding
+    hyperplane-LSH dup-pair path — change subset order or hashing here
+    and both move together."""
     width = 64 // segments
     mask = (1 << width) - 1
 
@@ -69,7 +74,7 @@ def pigeonhole_key_array(sig_col, segments: int, radius: int, tag: str = "ph"):
 
     return F.array(
         *[
-            F.xxhash64(F.lit(tag), F.lit(si), *[seg(i) for i in subset])
+            F.xxhash64(F.lit(tag), *extra, F.lit(si), *[seg(i) for i in subset])
             for si, subset in enumerate(segment_subsets(segments, radius))
         ]
     )
@@ -131,25 +136,54 @@ def _batch_simhash(captions) -> list[int | None]:
         return out
 
     lens = np.fromiter((len(t) for t in all_toks), dtype=np.int64, count=len(all_toks))
-    cp = np.frombuffer("".join(all_toks).encode("utf-32-le"), dtype=np.uint32)
-    cp = cp.astype(np.uint64)
-    n, total, K = len(all_toks), int(lens.sum()), int(lens.max())
+    n = len(all_toks)
 
-    # scatter code points right-aligned into (n, K)
-    row = np.repeat(np.arange(n), lens)
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    within = np.arange(total) - np.repeat(starts, lens)
-    col = K - np.repeat(lens, lens) + within
-    M = np.zeros((n, K), dtype=np.uint64)
-    M[row, col] = cp
+    # The scatter matrix is (n_short_tokens × K): ONE pathological
+    # token (a 1 MB base64 blob in a scraped caption) must not set K
+    # for the whole batch — n × K would be gigabytes.  Tokens longer
+    # than _VEC_CAP take the scalar per-char path (bit-identical, and
+    # they are rare by construction in natural text).
+    _VEC_CAP = 256
+    long_idx = np.nonzero(lens > _VEC_CAP)[0]
+    short_mask = lens <= _VEC_CAP
+    short_lens = lens[short_mask]
+    hashes = np.empty(n, dtype=np.uint64)
 
     with np.errstate(over="ignore"):
-        pows = np.empty(K + 1, dtype=np.uint64)
-        pows[0] = 1
-        for j in range(1, K + 1):  # K ~ max token length, tiny
-            pows[j] = pows[j - 1] * _POLY_B
-        hashes = (M * pows[K - 1 :: -1][None, :]).sum(axis=1, dtype=np.uint64)
-        hashes += _FNV_OFFSET * pows[lens]
+        if short_lens.size:
+            short_toks = (
+                all_toks
+                if long_idx.size == 0
+                else [t for t, keep in zip(all_toks, short_mask) if keep]
+            )
+            cp = np.frombuffer(
+                "".join(short_toks).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            ns, total, K = len(short_toks), int(short_lens.sum()), int(short_lens.max())
+            # scatter code points right-aligned into (ns, K)
+            row = np.repeat(np.arange(ns), short_lens)
+            starts = np.concatenate(([0], np.cumsum(short_lens)[:-1]))
+            within = np.arange(total) - np.repeat(starts, short_lens)
+            col = K - np.repeat(short_lens, short_lens) + within
+            M = np.zeros((ns, K), dtype=np.uint64)
+            M[row, col] = cp
+            pows = np.empty(K + 1, dtype=np.uint64)
+            pows[0] = 1
+            for j in range(1, K + 1):  # K <= _VEC_CAP, tiny
+                pows[j] = pows[j - 1] * _POLY_B
+            short_hashes = (M * pows[K - 1 :: -1][None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            short_hashes += _FNV_OFFSET * pows[short_lens]
+            hashes[short_mask] = short_hashes
+        for i in long_idx:  # rare outliers — scalar reference math
+            cp_i = np.frombuffer(
+                all_toks[i].encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            h = _FNV_OFFSET
+            for c in cp_i:
+                h = h * _POLY_B + c
+            hashes[i] = h
 
     # per-caption signed bit votes in one reduceat over token rows;
     # unpack/pack via byte views (explicit little-endian for
@@ -231,31 +265,15 @@ def simhash_buckets(signatures: DataFrame, cfg: SimHashConfig) -> DataFrame:
     (cfg.radius_for): the caption channel's radius-1 ball needs only
     C(m,1) tables.
     """
-    m = cfg.segments
-    width = 64 // m
-    mask = (1 << width) - 1
-
-    def seg(i: int):
-        return F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit(mask))
-
-    def keys_for(radius: int):
-        return F.array(
-            *[
-                F.xxhash64(
-                    F.lit("sh"), F.col("channel"), F.lit(si),
-                    *[seg(i) for i in subset],
-                )
-                for si, subset in enumerate(segment_subsets(m, radius))
-            ]
-        )
-
     parts = []
     for ch in ("phash", "caption"):
         chan = signatures.where(F.col("channel") == ch)
+        keys = pigeonhole_key_array(
+            F.col("sig"), cfg.segments, cfg.radius_for(ch),
+            tag="sh", extra=(F.col("channel"),),
+        )
         parts.append(
-            chan.select(
-                "image_id", F.explode(keys_for(cfg.radius_for(ch))).alias("bucket")
-            )
+            chan.select("image_id", F.explode(keys).alias("bucket"))
         )
     out = parts[0]
     for p in parts[1:]:

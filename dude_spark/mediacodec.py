@@ -58,10 +58,17 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     if rate <= 0 or n < 0:
         raise CodecError(f"corrupt DWAV header rate={rate} n={n}")
     try:
-        raw = zlib.decompress(blob[12:])
+        # bounded decompression: the header already declares the size,
+        # so a decompression bomb (tiny blob → GB output) is rejected
+        # after 2n+1 bytes instead of ballooning worker memory — the
+        # skip-and-count contract must hold for adversarial payloads
+        d = zlib.decompressobj()
+        raw = d.decompress(blob[12:], 2 * n + 1)
     except zlib.error as e:
         raise CodecError(f"corrupt DWAV payload: {e}") from e
-    if len(raw) != 2 * n:
+    # d.eof: the stream must COMPLETE (trailer/checksum seen) — a
+    # truncated stream can yield all payload bytes without error
+    if len(raw) != 2 * n or d.unconsumed_tail or not d.eof:
         raise CodecError(f"DWAV length mismatch: header {n}, payload {len(raw)//2}")
     return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
 

@@ -127,12 +127,16 @@ def write_csv_report(
     if delimiter is None:
         delimiter = delimiter_for_os()
     out = report.select(*CSV_HEADER)
-    n_bounded = out.limit(max_driver_rows + 1).count()
-    if n_bounded == 0:
+    # ONE bounded evaluation decides the path AND feeds the driver
+    # writer (collecting limit(n+1) rows, not a count-then-collect that
+    # would run the report join twice); only the over-threshold case
+    # re-evaluates, where a distributed write is mandatory anyway
+    rows = out.limit(max_driver_rows + 1).collect()
+    if not rows:
         return None
     stamp = (now or _dt.datetime.now()).strftime("%Y_%m_%d_%H_%M_%S")
     path = os.path.join(results_dir, f"results_{stamp}.csv")  # files.go:166-178
-    if n_bounded > max_driver_rows:
+    if len(rows) > max_driver_rows:
         (
             out.repartitionByRange(F.col("cluster_id"))
             .sortWithinPartitions("cluster_id", "dup_image_id")
@@ -142,7 +146,6 @@ def write_csv_report(
             .csv(path)
         )
         return path
-    rows = out.collect()
     os.makedirs(results_dir, exist_ok=True)
     with open(path, "w", encoding="utf-8-sig", newline="") as f:  # BOM, files.go:103
         f.write(delimiter.join(CSV_HEADER) + "\n")

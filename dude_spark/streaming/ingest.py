@@ -19,10 +19,14 @@ state — e.g. per-bucket counters — ``applyInPandasWithState`` would be
 the fit; for a multi-TB signature index it is not.)
 
 Scale notes: the per-batch join is bucket-equi against the known-sigs
-table (broadcast when the batch is small — AQE decides); the state
-append is blind (no read-modify-write), so batches commit atomically
-per epoch and replays after failure are idempotent per batch_id
-(epoch guard below).
+table (broadcast when the batch is small — AQE decides).  State writes
+go to per-epoch partition directories with overwrite semantics, so a
+replay after a mid-batch crash rewrites its own epoch exactly —
+idempotent without transactions — and the known-sigs read filters the
+current epoch out so a half-written attempt can't echo the batch back
+at itself.  The streaming checkpoint and state_dir are a UNIT: wiping
+the checkpoint but keeping state re-keys batch ids against stale
+epochs — start a fresh state_dir with a fresh checkpoint.
 """
 
 from __future__ import annotations
@@ -36,18 +40,21 @@ from ..detectors.exact import exact_buckets
 
 
 def _batch_pairs(
-    spark: SparkSession, sigs: DataFrame, state_sigs_path: str
+    spark: SparkSession, sigs: DataFrame, state_sigs_path: str, batch_id: int
 ) -> DataFrame:
     """New duplicate pairs from one micro-batch's signatures:
     new-vs-known (bucket join against state) + new-vs-new (within
-    batch), both oriented a < b with the NEW row second where
-    possible so consumers see (existing, newcomer)."""
+    batch), oriented (existing, newcomer).  Rows this same epoch wrote
+    on a previous failed attempt are excluded from `known` via the
+    epoch partition column — a replay must not see its own output."""
     new = sigs.select(
         F.col("image_id").alias("new_id"), F.col("bucket")
     )
     try:
-        known = spark.read.parquet(state_sigs_path).select(
-            F.col("image_id").alias("known_id"), F.col("bucket")
+        known = (
+            spark.read.parquet(state_sigs_path)
+            .where(F.col("epoch") != F.lit(batch_id))
+            .select(F.col("image_id").alias("known_id"), F.col("bucket"))
         )
         vs_known = (
             new.join(known, "bucket")
@@ -88,17 +95,25 @@ def start_incremental_dedup(
     epochs_path = os.path.join(state_dir, "epochs")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # idempotent replay guard: a batch that already committed its
-        # epoch marker is skipped (the appends below are not
-        # transactional with the streaming commit log; with Iceberg
-        # the marker becomes one atomic multi-table commit)
+        # Replay idempotency WITHOUT transactions: every epoch writes
+        # its own partition directory with mode('overwrite'), so a
+        # crash anywhere mid-batch leaves a replay that simply
+        # overwrites the same epoch=N dirs — no duplicate rows — and
+        # _batch_pairs filters epoch == batch_id out of `known` so a
+        # half-written sigs dir can't echo the batch back at itself.
+        # The marker only short-circuits fully-committed epochs (with
+        # Iceberg this is one atomic multi-table commit instead).
         marker = os.path.join(epochs_path, f"epoch_{batch_id}")
         if os.path.exists(marker):
             return
         sigs = exact_buckets(batch_df).select("image_id", "bucket")
-        pairs = _batch_pairs(spark, sigs, sigs_path)
-        pairs.write.mode("append").parquet(pairs_path)
-        sigs.write.mode("append").parquet(sigs_path)
+        pairs = _batch_pairs(spark, sigs, sigs_path, batch_id)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"epoch={batch_id}")
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(sigs_path, f"epoch={batch_id}")
+        )
         os.makedirs(epochs_path, exist_ok=True)
         with open(marker, "w") as f:
             f.write("done")

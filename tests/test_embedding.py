@@ -99,24 +99,55 @@ def test_ann_overlap_on_driver_embeddings(spark):
     assert mean >= 0.8, f"ANN overlap {mean:.2f} ({overlaps})"
 
 
+def test_ann_topk_empty_corpus_returns_empty(spark, planted):
+    df, _ = planted
+    empty = df.where(F.col("vec_id") < 0)
+    queries = df.where(F.col("vec_id") < 3)
+    out = ann_topk(empty, queries, k=5, dim=DIM)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank"]
+
+
+def test_ann_topk_dim_mismatch_raises(planted):
+    df, _ = planted
+    queries = df.where(F.col("vec_id") < 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        ann_topk(df, queries, k=5, dim=32)
+
+
 def test_cosine_dup_pairs_lsh_is_distributed(planted, monkeypatch):
-    """The lsh strategy must never collect the corpus to the driver
-    (round-1 VERDICT "what's wrong" #3): plan construction under a
-    poisoned DataFrame.collect, execution afterwards."""
-    from pyspark.sql import DataFrame as SparkDataFrame
+    """The lsh strategy must never materialize the corpus on the driver
+    (round-1 VERDICT "what's wrong" #3).  The round-2 code-review found
+    the original gate vacuous: it patched the abstract
+    pyspark.sql.DataFrame while real instances are the classic subclass
+    (which overrides collect), AND the path legitimately runs one TINY
+    driver action (the skew-detection aggregate).  The real property:
+    every collect during construction+execution is (a) far smaller than
+    the corpus and (b) free of embedding columns."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
 
     df, vecs = planted
-    real_collect = SparkDataFrame.collect
+    n_corpus = len(vecs)
+    real_collect = ClassicDF.collect
+    seen: list[tuple[int, list]] = []
 
-    def poisoned(self):
-        raise AssertionError("lsh path collected a DataFrame on the driver")
+    def spying(self):
+        rows = real_collect(self)
+        seen.append((len(rows), list(self.columns)))
+        return rows
 
-    monkeypatch.setattr(SparkDataFrame, "collect", poisoned)
+    monkeypatch.setattr(ClassicDF, "collect", spying)
     try:
         pairs = cosine_dup_pairs(df, 0.95, strategy="lsh", dim=DIM)
-        pairs_count = pairs.count()  # full execution, still no collect
+        pairs_count = pairs.count()  # full execution under the spy
     finally:
-        monkeypatch.setattr(SparkDataFrame, "collect", real_collect)
+        monkeypatch.setattr(ClassicDF, "collect", real_collect)
+
+    for n_rows, cols in seen:
+        assert n_rows < n_corpus / 2, (n_rows, cols)  # never corpus-sized
+        assert not any("emb" in c for c in cols), cols  # never the vectors
 
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert pairs_count == len(got)

@@ -89,6 +89,15 @@ def test_audio_codec_roundtrip_and_errors():
         with pytest.raises(CodecError):
             decode_audio(bad)
 
+    # decompression bomb: tiny blob claiming 4 samples but compressing
+    # 10 MB — must be rejected via bounded decompression, never ballooned
+    import struct
+    import zlib
+
+    bomb = b"DWAV" + struct.pack("<ii", 8000, 4) + zlib.compress(b"\x00" * 10**7)
+    with pytest.raises(CodecError):
+        decode_audio(bomb)
+
 
 def test_extract_audio_features(spark):
     clips = spark.createDataFrame(

@@ -57,3 +57,11 @@ def test_incremental_dedup_stream(spark, tmp_path):
     # epoch markers make foreachBatch replays idempotent
     epochs = os.listdir(os.path.join(state_dir, "epochs"))
     assert len(epochs) == 2
+
+    # state lands in per-epoch partition dirs — a replay overwrites its
+    # own epoch instead of appending duplicates
+    pair_dirs = {
+        d for d in os.listdir(os.path.join(state_dir, "pairs"))
+        if d.startswith("epoch=")
+    }
+    assert pair_dirs == {"epoch=0", "epoch=1"}
