@@ -401,8 +401,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, source, count(*) AS n_docs,
-                   sum(chars) AS total_chars,
-                   (sum(toks) * 1000) // count(*) AS mean_tokens_x1000
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   CAST((sum(toks) * 1000) // count(*) AS BIGINT)
+                     AS mean_tokens_x1000
             FROM d GROUP BY lang, source
         """,
         "length_deciles": """

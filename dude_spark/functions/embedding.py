@@ -126,7 +126,12 @@ def _spherical_kmeans(
             members = assign == c
             if members.any():
                 v = Xn[members].mean(axis=0)
-                cent[c] = v / np.linalg.norm(v)
+                nrm = np.linalg.norm(v)
+                # antipodal members can cancel to a ~zero mean; keep the
+                # old centroid (like the empty-cell case) rather than
+                # normalizing to NaN and poisoning every later round
+                if nrm > 1e-12:
+                    cent[c] = v / nrm
     return cent
 
 
@@ -312,8 +317,15 @@ def cosine_dup_pairs(
                  exact JVM-side cosine re-check.  Precision is exact;
                  recall is guaranteed for pairs within Hamming radius
                  ``lsh_radius`` of each other (cos ≳ cos(π·r/64) —
-                 0.989 at r=3) and probabilistic below, which is the
-                 near-dup regime this operator exists for.  The only
+                 0.989 at r=3) EXCEPT inside over-cap buckets: a bucket
+                 with more than ``bucket_cap`` members degrades to star
+                 edges around its min id (skew defense), so non-star
+                 in-bucket pairs there are found only if they co-occur
+                 in another, under-cap bucket — the overcap frame
+                 returned by pairs_from_buckets records exactly which
+                 keys were degraded.  Below the radius recall is
+                 probabilistic, which is the near-dup regime this
+                 operator exists for.  The only
                  driver materialization on this path is the tiny
                  skew-detection aggregate inside pairs_from_buckets
                  (over-cap keys, bounded by construction) — the corpus

@@ -33,6 +33,9 @@ from .imagecodec import CodecError, decode as decode_image, encode as encode_ima
 
 AUDIO_MAGIC = b"DWAV"
 VIDEO_MAGIC = b"DVID"
+# absolute clip-size ceiling: 1h of 192 kHz mono int16 ≈ 1.4 GB decoded
+# — anything above is rejected before decompression regardless of ratio
+MAX_AUDIO_SAMPLES = 192_000 * 3600
 
 
 # ------------------------------------------------------------------ audio
@@ -57,11 +60,18 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     rate, n = struct.unpack("<ii", blob[4:12])
     if rate <= 0 or n < 0:
         raise CodecError(f"corrupt DWAV header rate={rate} n={n}")
+    # the declared length itself is attacker-controlled: without this
+    # cap a ~50-byte blob claiming n=2^31-1 over a high-ratio zlib
+    # stream makes the worker decompress ~4 GB before the length check.
+    # zlib tops out near 1032:1, so a genuine stream of 2n bytes needs
+    # at least ~2n/1032 input bytes; anything claiming more is a bomb.
+    if n > MAX_AUDIO_SAMPLES or 2 * n > len(blob) * 1100:
+        raise CodecError(f"DWAV declared length {n} implausible for blob size")
     try:
-        # bounded decompression: the header already declares the size,
-        # so a decompression bomb (tiny blob → GB output) is rejected
-        # after 2n+1 bytes instead of ballooning worker memory — the
-        # skip-and-count contract must hold for adversarial payloads
+        # bounded decompression: the (now-capped) header declares the
+        # size, so output is cut off at 2n+1 bytes instead of
+        # ballooning worker memory — the skip-and-count contract must
+        # hold for adversarial payloads
         d = zlib.decompressobj()
         raw = d.decompress(blob[12:], 2 * n + 1)
     except zlib.error as e:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CSV_HEADER = ["image_id", "caption", "dup_image_id", "dup_caption", "cluster_id"]
@@ -57,7 +57,11 @@ def assignments_to_report(assignments: DataFrame, images: DataFrame) -> DataFram
     )
 
 
-def group_results(assignments: DataFrame, images: DataFrame | None = None) -> DataFrame:
+def group_results(
+    assignments: DataFrame,
+    images: DataFrame | None = None,
+    member_cap: int = 10_000,
+) -> DataFrame:
     """Nested rep-with-children result shape — GetResults parity
     (/root/reference/internal/processing/runner.go:283-291, the
     FileHash.DuplicatesFound tree of models.go:16): one row per
@@ -65,8 +69,13 @@ def group_results(assignments: DataFrame, images: DataFrame | None = None) -> Da
     component min) and a sorted array of member structs.
 
     With ``images`` the members carry captions; without, ids only.
-    One shuffle (the groupBy); collect_list is bounded by the group
-    size, which candidate capping already bounds upstream."""
+    One shuffle (the groupBy).  Candidate capping bounds pair COUNT,
+    not component size (star edges keep full connectivity), so one hot
+    bucket can still yield a 10^8-member cluster; the member array is
+    therefore hard-capped at ``member_cap`` (smallest ``member_cap``
+    members kept) with the overflow recorded in ``members_truncated``
+    — the no-silent-truncation rule, never an executor OOM on one
+    collect_list row."""
     if images is not None:
         rows = assignments.join(
             images.select("image_id", "caption"), "image_id", "left"
@@ -75,14 +84,26 @@ def group_results(assignments: DataFrame, images: DataFrame | None = None) -> Da
     else:
         rows = assignments
         member = F.struct(F.col("image_id"))
-    return (
-        rows.groupBy("cluster_id")
+    # rank-then-collect, NOT slice(collect_list(...)): a slice after the
+    # aggregate would still buffer the full member array per group; the
+    # window ranks on the same key the groupBy shuffles on (one shuffle,
+    # partitioning reused) and collect_list skips the nulled over-cap
+    # members, bounding every aggregation buffer at member_cap.
+    w = Window.partitionBy("cluster_id").orderBy("image_id")
+    out = (
+        rows.withColumn("__rk", F.row_number().over(w))
+        .groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("group_size"),
-            F.sort_array(F.collect_list(member)).alias("members"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rk") <= member_cap, member))
+            ).alias("members"),
         )
-        .withColumn("rep_image_id", F.col("cluster_id"))
     )
+    return out.withColumn(
+        "members_truncated",
+        F.greatest(F.col("group_size") - F.size("members"), F.lit(0)).cast("long"),
+    ).withColumn("rep_image_id", F.col("cluster_id"))
 
 
 def flatten_pairs(assignments: DataFrame) -> DataFrame:

@@ -162,11 +162,24 @@ class IcebergStageStore(StageStore):
         return json.loads(rows[0]["meta"]) if rows else None
 
     def publish_manifest(self, stage: str, meta: dict) -> None:
-        payload = json.dumps(meta).replace("'", "''")
-        self.spark.sql(
-            f"MERGE INTO {self._manifests} t USING "
-            f"(SELECT '{stage}' AS stage, '{payload}' AS meta) s "
-            "ON t.stage = s.stage "
-            "WHEN MATCHED THEN UPDATE SET t.meta = s.meta "
-            "WHEN NOT MATCHED THEN INSERT *"
+        # the MERGE source is a DataFrame-backed temp view, never an
+        # interpolated string literal: Spark SQL's backslash-escaped
+        # literals corrupt any JSON payload containing quotes or
+        # backslashes (e.g. a Windows path in meta) if inlined
+        import pandas as pd  # pandas → Arrow path: tuple-list
+        # createDataFrame costs seconds via the Python-RDD conversion
+
+        src = self.spark.createDataFrame(
+            pd.DataFrame({"stage": [stage], "meta": [json.dumps(meta)]})
         )
+        view = f"__dude_manifest_src_{abs(hash(stage)) % 10**8}"
+        src.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self._manifests} t USING {view} s "
+                "ON t.stage = s.stage "
+                "WHEN MATCHED THEN UPDATE SET t.meta = s.meta "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)

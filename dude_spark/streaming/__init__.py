@@ -1,1 +1,1 @@
-from .ingest import start_incremental_dedup  # noqa: F401
+from .ingest import minhash_ingest, start_incremental_dedup  # noqa: F401

@@ -11,65 +11,122 @@ re-scanning the corpus.
 Shape: ``readStream`` (file source, exactly-once via the streaming
 checkpoint) → ``foreachBatch``.  foreachBatch is the right tool here —
 each micro-batch reuses the BATCH operators (detector signature
-projection, bucket join) unchanged, and state lives in the same
-parquet/Iceberg stage-store layout the batch pipeline uses, not in
-executor state stores: the signature table at 10^12 rows belongs in a
-table, not in per-executor HDFSBackedStateStores.  (For small keyed
-state — e.g. per-bucket counters — ``applyInPandasWithState`` would be
-the fit; for a multi-TB signature index it is not.)
+projection, bucket join, skew-capped pairing, paranoid verify)
+unchanged, and state lives in the same parquet/Iceberg stage-store
+layout the batch pipeline uses, not in executor state stores: the
+signature table at 10^12 rows belongs in a table, not in per-executor
+HDFSBackedStateStores.  (For small keyed state — e.g. per-bucket
+counters — ``applyInPandasWithState`` would be the fit; for a multi-TB
+signature index it is not.)
 
-Scale notes: the per-batch join is bucket-equi against the known-sigs
-table (broadcast when the batch is small — AQE decides).  State writes
-go to per-epoch partition directories with overwrite semantics, so a
-replay after a mid-batch crash rewrites its own epoch exactly —
-idempotent without transactions — and the known-sigs read filters the
-current epoch out so a half-written attempt can't echo the batch back
-at itself.  The streaming checkpoint and state_dir are a UNIT: wiping
-the checkpoint but keeping state re-keys batch ids against stale
-epochs — start a fresh state_dir with a fresh checkpoint.
+Detector parameterization (round-2 VERDICT next #5): ``bucket_fn``
+maps the batch to ``(image_id, bucket)`` — exact sha2 buckets by
+default, or any fuzzy detector's signature→bucket chain (see
+``minhash_ingest`` for the D1 preset).  Fuzzy buckets are candidates,
+not verdicts, so ``verify_fn`` re-checks candidate pairs exactly
+against the row payloads; the columns verification needs
+(``state_cols``, captions by default) are persisted per epoch so
+new-vs-known pairs can be verified without re-reading old inputs.
+
+Scale notes: the within-batch join goes through
+``operators.candidates.pairs_from_buckets`` — the same skew-capped
+path as batch (one hot bucket inside a micro-batch degrades to star
+edges instead of an O(b²) self-join).  The new-vs-known join is
+bucket-equi against the known-sigs table (batch side is small — AQE
+broadcasts it).  State writes go to per-epoch partition directories
+with overwrite semantics, so a replay after a mid-batch crash rewrites
+its own epoch exactly — idempotent without transactions — and the
+known-sigs read filters the current epoch out so a half-written
+attempt can't echo the batch back at itself.  The streaming checkpoint
+and state_dir are a UNIT: wiping the checkpoint but keeping state
+re-keys batch ids against stale epochs — start a fresh state_dir with
+a fresh checkpoint.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Callable, Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import MinHashConfig
 from ..detectors.exact import exact_buckets
+from ..detectors.minhash import minhash_buckets, minhash_signatures
+from ..operators.candidates import pairs_from_buckets
+from ..operators.verify import verify_jaccard
+
+BucketFn = Callable[[DataFrame], DataFrame]
+VerifyFn = Callable[[DataFrame, DataFrame], DataFrame]
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a state table; None ONLY when the path does not exist yet
+    (first batch).  Any other failure — permissions, corrupt footer —
+    propagates: silently treating a transient read error as 'no state'
+    would drop every new-vs-known pair for the epoch."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
 
 
 def _batch_pairs(
-    spark: SparkSession, sigs: DataFrame, state_sigs_path: str, batch_id: int
+    spark: SparkSession,
+    sigs: DataFrame,
+    state_sigs_path: str,
+    batch_id: int,
+    bucket_cap: int,
 ) -> DataFrame:
     """New duplicate pairs from one micro-batch's signatures:
     new-vs-known (bucket join against state) + new-vs-new (within
-    batch), oriented (existing, newcomer).  Rows this same epoch wrote
-    on a previous failed attempt are excluded from `known` via the
-    epoch partition column — a replay must not see its own output."""
-    new = sigs.select(
-        F.col("image_id").alias("new_id"), F.col("bucket")
-    )
-    try:
-        known = (
-            spark.read.parquet(state_sigs_path)
-            .where(F.col("epoch") != F.lit(batch_id))
-            .select(F.col("image_id").alias("known_id"), F.col("bucket"))
+    batch, skew-capped via pairs_from_buckets), oriented
+    (existing, newcomer) for the cross-epoch side.  Rows this same
+    epoch wrote on a previous failed attempt are excluded from `known`
+    via the epoch partition column — a replay must not see its own
+    output."""
+    known_all = _read_state(spark, state_sigs_path)
+    if known_all is not None:
+        known = known_all.where(F.col("epoch") != F.lit(batch_id)).select(
+            F.col("image_id").alias("known_id"), F.col("bucket")
         )
         vs_known = (
-            new.join(known, "bucket")
+            sigs.select(F.col("image_id").alias("new_id"), "bucket")
+            .join(known, "bucket")
             .where(F.col("known_id") != F.col("new_id"))
-            .select(
-                F.col("known_id").alias("a"), F.col("new_id").alias("b")
-            )
+            .select(F.col("known_id").alias("a"), F.col("new_id").alias("b"))
         )
-    except Exception:  # first batch — no state yet
+    else:
         vs_known = None
-    left = new.select("bucket", F.col("new_id").alias("a"))
-    right = new.select("bucket", F.col("new_id").alias("b"))
-    vs_new = left.join(right, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
+    vs_new, _overcap = pairs_from_buckets(
+        sigs.select("image_id", "bucket"), bucket_cap
+    )
     out = vs_new if vs_known is None else vs_new.unionByName(vs_known)
     return out.distinct()
+
+
+def minhash_ingest(
+    cfg: MinHashConfig | None = None,
+) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:
+    """D1 preset for start_incremental_dedup: near-dup-at-ingest.
+
+    Returns ``(bucket_fn, verify_fn, state_cols)`` — MinHash-LSH band
+    buckets for candidate generation and the exact-Jaccard recheck
+    (the batch pipeline's own verify stage) over captions persisted in
+    the per-epoch rows state."""
+    cfg = cfg or MinHashConfig()
+
+    def bucket_fn(batch: DataFrame) -> DataFrame:
+        return minhash_buckets(minhash_signatures(batch, cfg))
+
+    def verify_fn(pairs: DataFrame, rows: DataFrame) -> DataFrame:
+        return verify_jaccard(
+            pairs, rows, cfg.shingle_k, cfg.jaccard_threshold
+        ).select("a", "b")
+
+    return bucket_fn, verify_fn, ("caption",)
 
 
 def start_incremental_dedup(
@@ -78,19 +135,29 @@ def start_incremental_dedup(
     state_dir: str,
     schema,
     trigger_available_now: bool = True,
+    bucket_fn: BucketFn = exact_buckets,
+    verify_fn: VerifyFn | None = None,
+    state_cols: Sequence[str] = ("caption",),
+    bucket_cap: int = 64,
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
     ``input_dir``: directory the producer appends parquet files to.
-    ``state_dir``: holds ``sigs`` (durable signature table), ``pairs``
+    ``state_dir``: holds ``sigs`` (durable signature table), ``rows``
+    (verification payloads, only with ``verify_fn``), ``pairs``
     (append-only duplicate pairs found so far), and ``checkpoint``
     (Spark's streaming offsets/commit log — exactly-once file-source
     tracking).  ``schema``: the images schema (file streams require an
-    explicit schema).  With ``trigger_available_now`` the query drains
-    everything currently available and stops — the batch-friendly test
-    and catch-up mode; pass False for a continuous micro-batch stream.
+    explicit schema).  ``bucket_fn``: batch → (image_id, bucket);
+    ``verify_fn``: (candidate pairs, rows with ``state_cols``) →
+    verified (a, b) — REQUIRED for fuzzy detectors, whose buckets are
+    probabilistic candidates.  With ``trigger_available_now`` the query
+    drains everything currently available and stops — the
+    batch-friendly test and catch-up mode; pass False for a continuous
+    micro-batch stream.
     """
     sigs_path = os.path.join(state_dir, "sigs")
+    rows_path = os.path.join(state_dir, "rows")
     pairs_path = os.path.join(state_dir, "pairs")
     epochs_path = os.path.join(state_dir, "epochs")
 
@@ -106,14 +173,38 @@ def start_incremental_dedup(
         marker = os.path.join(epochs_path, f"epoch_{batch_id}")
         if os.path.exists(marker):
             return
-        sigs = exact_buckets(batch_df).select("image_id", "bucket")
-        pairs = _batch_pairs(spark, sigs, sigs_path, batch_id)
+        # checkpoint: pairs_from_buckets runs an eager skew-detection
+        # action plus the pairs action — without this the detector's
+        # signature UDF chain would run once per action
+        sigs = (
+            bucket_fn(batch_df)
+            .select("image_id", "bucket")
+            .localCheckpoint(eager=True)
+        )
+        pairs = _batch_pairs(spark, sigs, sigs_path, batch_id, bucket_cap)
+        if verify_fn is not None:
+            new_rows = batch_df.select("image_id", *state_cols)
+            past = _read_state(spark, rows_path)
+            rows = (
+                new_rows
+                if past is None
+                else new_rows.unionByName(
+                    past.where(F.col("epoch") != F.lit(batch_id)).select(
+                        "image_id", *state_cols
+                    )
+                )
+            )
+            pairs = verify_fn(pairs, rows).select("a", "b")
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"epoch={batch_id}")
         )
         sigs.write.mode("overwrite").parquet(
             os.path.join(sigs_path, f"epoch={batch_id}")
         )
+        if verify_fn is not None:
+            new_rows.write.mode("overwrite").parquet(
+                os.path.join(rows_path, f"epoch={batch_id}")
+            )
         os.makedirs(epochs_path, exist_ok=True)
         with open(marker, "w") as f:
             f.write("done")

@@ -98,6 +98,21 @@ def test_audio_codec_roundtrip_and_errors():
     with pytest.raises(CodecError):
         decode_audio(bomb)
 
+    # declared-length bomb (ADVICE r2): a ~60-byte blob claiming n=2^31-1
+    # over a high-ratio stream must be rejected BEFORE decompression —
+    # the old guard allocated up to 2n+1 ≈ 4 GB first
+    declared = b"DWAV" + struct.pack("<ii", 8000, 2**31 - 1) + zlib.compress(
+        b"\x00" * 4096
+    )
+    with pytest.raises(CodecError, match="implausible"):
+        decode_audio(declared)
+    # absolute clip ceiling applies even with a plausibly-sized payload
+    from dude_spark.mediacodec import MAX_AUDIO_SAMPLES
+
+    over = b"DWAV" + struct.pack("<ii", 8000, MAX_AUDIO_SAMPLES + 1) + b"x" * 64
+    with pytest.raises(CodecError, match="implausible"):
+        decode_audio(over)
+
 
 def test_extract_audio_features(spark):
     clips = spark.createDataFrame(

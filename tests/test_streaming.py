@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import os
 
-from dude_spark.streaming import start_incremental_dedup
+from dude_spark.streaming import minhash_ingest, start_incremental_dedup
 
 
 def _write_batch(spark, input_dir: str, rows: list[tuple[str, bytes]]):
@@ -65,3 +65,65 @@ def test_incremental_dedup_stream(spark, tmp_path):
         if d.startswith("epoch=")
     }
     assert pair_dirs == {"epoch=0", "epoch=1"}
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog beside the quiet riverbank "
+    "at dawn while distant church bells echo across the misty valley and "
+    "fishermen prepare their nets for the morning catch"
+)
+
+
+def test_incremental_dedup_stream_minhash(spark, tmp_path):
+    """Near-dup-at-ingest (round-2 VERDICT next #5): the D1 MinHash-LSH
+    detector wired through foreachBatch — planted near-dup captions
+    across epochs pair up new-vs-known AND new-vs-new, candidates are
+    exact-Jaccard verified, and a restart re-emits nothing."""
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, caption string"
+    bucket_fn, verify_fn, state_cols = minhash_ingest()
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn, state_cols=state_cols,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    near1 = _BASE.replace("quick", "swift")
+    uniq1 = (
+        "completely different text about spark shuffle partitions and "
+        "parquet footers that shares no phrases with the pastoral scene"
+    )
+    # epoch 1: a~b near-dups within the batch, c unrelated
+    write([("a", _BASE), ("b", near1), ("c", uniq1)])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b")}
+
+    # epoch 2: d is a near-dup of KNOWN a/b (cross-epoch); e~f are
+    # near-dups of each other within the batch; restart picks up only
+    # the new file (streaming checkpoint)
+    near2 = _BASE.replace("dawn", "dusk")
+    uniq2 = (
+        "another unrelated caption mentioning watermark state stores and "
+        "arrow record batches flowing through vectorized python workers"
+    )
+    write([("d", near2), ("e", uniq2), ("f", uniq2 + " nightly")])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b"), ("a", "d"), ("b", "d"), ("e", "f")}
+
+    # verification payloads persisted per epoch for new-vs-known checks
+    rows_state = spark.read.parquet(os.path.join(state_dir, "rows"))
+    assert rows_state.count() == 6
+    assert set(rows_state.columns) >= {"image_id", "caption", "epoch"}
+
+    # epoch markers + per-epoch overwrite partitions: replay-idempotent
+    assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
