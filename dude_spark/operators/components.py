@@ -17,9 +17,11 @@ the reference's nondeterministic map-iteration representative choice
 Scale notes: every round is two shuffles (groupBy min + join) with
 map-side partial aggregation; `localCheckpoint` each round truncates
 the lineage so plans don't grow; convergence is detected via a cheap
-count+hash aggregate.  Labels are the ids themselves (strings) — at
-10^12 rows a dictionary-encoding pass (zipWithIndex-style dense longs)
-would shrink shuffle width; noted, not needed for correctness.
+count+hash aggregate.  Labels are the ids themselves — the pipeline
+feeds this operator DENSE LONG iids (operators/ids.py dictionary
+encoding, round-3), so every round shuffles 8-byte keys; the operator
+itself is type-agnostic and the min-label semantics survive encoding
+because the mapping is order-preserving.
 """
 
 from __future__ import annotations

@@ -55,6 +55,7 @@ import datetime as _dt
 from .lineage import flush_records, partition_count_rows
 from .operators.candidates import pairs_from_buckets
 from .operators.components import connected_components
+from .operators.ids import decode_keys, encode_ids, encode_keys
 from .operators.report import assignments_to_report, write_csv_report
 from .operators.verify import verify_exact, verify_jaccard
 from .storage import ParquetManifestStore, StageStore
@@ -400,6 +401,13 @@ def run_pipeline(
 
     in_fp = input_fingerprint(spark, cfg)
 
+    # id dictionary encoding (round-2 top lever, operators/ids.py): one
+    # shared mapping stage; every bucket explode, candidate pair, edge,
+    # and CC round downstream is keyed by 8-byte longs instead of id
+    # strings — ~3× narrower rows on the pipeline's widest shuffles.
+    # Built BEFORE the concurrent detector chains (they all read it).
+    ids_map = st.run("ids", "all", "ids@" + in_fp, lambda: encode_ids(images))
+
     def run_detector(det: str) -> DataFrame:
         """signatures → candidates → verified edges for one detector."""
         # job groups are thread-local — each detector thread re-arms
@@ -408,6 +416,10 @@ def run_pipeline(
             _job_group(cfg.run_id), f"dude_spark {det}", interruptOnCancel=True
         )
         cid = cfg.config_id(det) + "@" + in_fp
+        # stages keyed by long iids carry a schema-version tag so a
+        # checkpoint written by the string-keyed layout can never be
+        # resumed into the long-keyed plan (type-mismatched joins)
+        cid_iid = cid + "#iid1"
 
         def compute_sigs():
             if cfg.use_cache:
@@ -421,8 +433,12 @@ def run_pipeline(
         sigs = st.run(f"signatures_{det}", det, cid, compute_sigs)
 
         def compute_pairs():
+            # encode BEFORE the bucket explode: the exploded bucket
+            # table (rows × bands) is the widest shuffle in the
+            # pipeline — it must carry longs, not id strings
+            sigs_enc = encode_keys(sigs, ids_map, ("image_id",))
             pairs, overcap = pairs_from_buckets(
-                _buckets(sigs, det, cfg), cfg.bucket_cap
+                _buckets(sigs_enc, det, cfg), cfg.bucket_cap
             )
             # durable record of capped buckets — never silently
             # truncated (SURVEY §2.2).  The overcap aggregate is its
@@ -432,12 +448,20 @@ def run_pipeline(
             st.store.write(overcap, f"overcap_{det}")
             return pairs
 
-        pairs = st.run(f"candidates_{det}", det, cid, compute_pairs)
+        pairs = st.run(f"candidates_{det}", det, cid_iid, compute_pairs)
 
-        edges = st.run(
-            f"edges_{det}", det, cid,
-            lambda: _verify(pairs, images, sigs, det, cfg),
-        )
+        def compute_edges():
+            # verification runs in STRING space between a decode and a
+            # re-encode: the payload attach (captions / bytes) joins
+            # the raw images table, and pairs are small post-LSH, so
+            # the two mapping joins per side cost far less than
+            # encoding a payload projection would (bytes must never
+            # shuffle at table width — SURVEY §7 hard-part (e))
+            pairs_str = decode_keys(pairs, ids_map, ("a", "b"))
+            verified = _verify(pairs_str, images, sigs, det, cfg)
+            return encode_keys(verified.select("a", "b"), ids_map, ("a", "b"))
+
+        edges = st.run(f"edges_{det}", det, cid_iid, compute_edges)
         return edges.select("a", "b")
 
     # Detector chains are independent until the edge union — run them
@@ -456,10 +480,21 @@ def run_pipeline(
     for e in edge_frames[1:]:
         all_edges = all_edges.unionByName(e)
 
-    combined_cid = "+".join(cfg.config_id(d) for d in cfg.detectors) + "@" + in_fp
+    combined_cid = (
+        "+".join(cfg.config_id(d) for d in cfg.detectors) + "@" + in_fp + "#iid1"
+    )
+    # CC iterates entirely on long iids; the component minimum decodes
+    # to min(image_id) because the mapping is order-preserving (dense
+    # rank), so the deterministic-representative contract is unchanged.
+    # Decode happens once here, at the stage boundary — report and
+    # results stay string-keyed for every consumer.
     assignments = st.run(
         "components", "all", combined_cid,
-        lambda: connected_components(all_edges.distinct()),
+        lambda: decode_keys(
+            connected_components(all_edges.distinct()),
+            ids_map,
+            ("image_id", "cluster_id"),
+        ),
     )
     report = st.run(
         "report", "all", combined_cid,

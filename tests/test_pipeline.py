@@ -63,8 +63,8 @@ def test_full_run_produces_groups(first_run, truth_pdf):
 def test_stage_manifests_and_lineage(first_run, spark):
     result, cfg = first_run
     manifests = glob.glob(os.path.join(cfg.checkpoint_dir, "stages", "*.manifest.json"))
-    # 3 stages per detector + components + report
-    assert len(manifests) == 3 * len(ALL) + 2
+    # 3 stages per detector + ids + components + report
+    assert len(manifests) == 3 * len(ALL) + 3
     for m in manifests:
         meta = json.load(open(m))
         assert meta["config_id"] and meta["rows"] >= 0
@@ -79,6 +79,23 @@ def test_stage_manifests_and_lineage(first_run, spark):
     comp = lineage.where(F.col("stage") == "components")
     total = comp.agg(F.sum("rows")).collect()[0][0]
     assert total == result.stages["components"].rows
+
+
+def test_hot_path_stages_are_long_keyed(first_run, spark):
+    """id dictionary encoding (round-3): the checkpointed candidate and
+    edge stages — the frames behind the widest shuffles and every CC
+    round — must carry 8-byte long keys, with the string ids living
+    only in the ids mapping stage and the decoded outputs."""
+    _, cfg = first_run
+    stages = os.path.join(cfg.checkpoint_dir, "stages")
+    ids = spark.read.parquet(os.path.join(stages, "ids"))
+    assert dict(ids.dtypes) == {"image_id": "string", "iid": "bigint"}
+    for name in ("candidates_minhash", "candidates_exact", "edges_exact"):
+        df = spark.read.parquet(os.path.join(stages, name))
+        assert dict(df.dtypes) == {"a": "bigint", "b": "bigint"}, name
+    # the decoded surface stays string-keyed for every consumer
+    comp = spark.read.parquet(os.path.join(stages, "components"))
+    assert dict(comp.dtypes) == {"image_id": "string", "cluster_id": "string"}
 
 
 def test_resume_skips_everything(first_run, spark):
