@@ -1,0 +1,113 @@
+"""Scale-safe global ranking — exact ntile without a global-order window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` forces every row through
+ONE task (Spark plans it as a SinglePartition window exchange): correct
+at any SF that fits one executor, a hard wall at 10^12 rows.  The
+classic distributed alternative reproduces the exact same integers in
+two narrow jobs (the same shape as operators/ids.py dense rank):
+
+  1. range-repartition on the order columns (samples boundaries, no
+     global sort), sort within partitions, pin the layout with a
+     localCheckpoint (repartitionByRange resamples per action — without
+     pinning, the count job and the enumerate job could disagree);
+  2. count rows per partition (map-side combinable, #partitions rows to
+     the driver), cumulate into per-partition rank offsets;
+  3. one mapInPandas pass assigns rank = offset + local index, and the
+     tile follows arithmetically from (rank, total, n_tiles) — the
+     documented ntile split: the first ``total % n`` tiles get
+     ``total // n + 1`` rows, the rest ``total // n``.
+
+Reference analogue: none — DuDe has no ranking surface; this exists for
+the analytics queries (__spark_entry__.q_length_deciles) and any future
+percentile/quantile operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def with_global_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = 0-based global row number under
+    ``ORDER BY *order_cols`` (ties broken by the caller including a
+    unique column, exactly as a window's row_number would require).
+    No single-partition exchange at any input size."""
+    cols = list(order_cols)
+    if partitions:
+        part = df.repartitionByRange(partitions, *[F.col(c) for c in cols])
+    else:
+        part = df.repartitionByRange(*[F.col(c) for c in cols])
+    part = part.sortWithinPartitions(*cols).localCheckpoint(eager=True)
+    counts = {
+        r["pid"]: r["n"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    # fresh StructType — StructType.add MUTATES the df's cached schema
+    # object, making Python think the input already has out_col
+    schema = StructType(
+        list(part.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        nxt = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf[out_col] = np.arange(nxt, nxt + n, dtype=np.int64)
+            nxt += n
+            yield pdf
+
+    return part.mapInPandas(assign, schema)
+
+
+def ntile_exact(
+    df: DataFrame, n_tiles: int, order_cols: Sequence[str],
+    out_col: str = "tile",
+) -> DataFrame:
+    """Append ``out_col`` = the exact integer ``ntile(n_tiles) OVER
+    (ORDER BY *order_cols)`` would produce (1-based), computed via
+    :func:`with_global_rank` — bit-identical to the window at every
+    size, single-partition-free at every size.
+
+    ntile's documented split for ``total`` rows: ``rem = total %
+    n_tiles`` tiles of size ``base + 1`` first (``base = total //
+    n_tiles``), then tiles of size ``base``; when ``base == 0`` each of
+    the first ``total`` tiles holds exactly one row.
+    """
+    ranked = with_global_rank(df, order_cols, out_col="__rn")
+    # one map-side-combinable count over the pinned checkpoint — the
+    # scalar the tile arithmetic needs, not a window
+    n_total = ranked.count()
+    base, rem = divmod(n_total, n_tiles)
+    rn = F.col("__rn")
+    if base == 0:
+        tile = rn + F.lit(1)
+    else:
+        cut = rem * (base + 1)  # rows living in the fat tiles
+        # integer DIV, not float /: at 10^12 ranks a float64 quotient
+        # can land 1 ulp under the integer and mis-tile the boundary row
+        tile = (
+            F.when(rn < cut, F.expr(f"__rn DIV {base + 1}"))
+            .otherwise(rem + F.expr(f"(__rn - {cut}) DIV {base}"))
+            + F.lit(1)
+        )
+    return ranked.withColumn(out_col, tile.cast("long")).drop("__rn")
