@@ -115,6 +115,136 @@ def _band_hashes(
     return folded.astype(np.int64)
 
 
+# modular inverse of the polynomial base mod 2^64 (the base is odd, so
+# it is a unit in Z/2^64) — lets the whole-batch path express every
+# k-window hash from ONE O(N) prefix pass instead of a (windows × k)
+# matrix per caption: h(i) = (T[i+k] - T[i]) * B^(i+k-1) with
+# T = cumsum(cp * Binv^i), exactly the scalar polynomial mod 2^64.
+_POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
+
+# cap on shingles hashed per universal-hash matrix.  Bounds memory AND
+# is the measured sweet spot: at 2^14 the (num_hashes × chunk) uint64
+# temporaries (~22 MB at nh=168) stay L3-resident — 0.5 s/4096 captions
+# steady-state vs 1.4–7.8 s at 2^19 (page-fault/bandwidth bound) and
+# 0.8 s for the per-caption scalar loop.  Mersenne shift/add reduction
+# was tried and LOST to numpy's u64 `%` (58 ms vs 17 ms per 2.7M elems:
+# three broadcast passes beat one division pass only on paper).
+_CHUNK_SHINGLES = 1 << 14
+
+
+def _batch_band_hashes(
+    texts: list[str | None],
+    a: np.ndarray,
+    b: np.ndarray,
+    nh: int,
+    bands: int,
+    rpb: int,
+    k: int,
+) -> list[np.ndarray | None]:
+    """Whole-batch band hashes — bit-identical to the scalar
+    ``_band_hashes(_shingle_hashes(t, k), ...)`` per caption (gated by
+    test_batch_minhash_equals_scalar_reference), ~one numpy pass per
+    Arrow batch instead of a Python loop per caption.
+
+    Captions shorter than k (their single shingle needs its own power
+    vector) and empties take the scalar path; everything else shares
+    one rolling-hash prefix pass and chunked minhash matrices reduced
+    per caption with ``np.minimum.reduceat`` (duplicate shingles don't
+    affect a min, so the scalar path's np.unique is skipped)."""
+    n = len(texts)
+    out: list[np.ndarray | None] = [None] * n
+    long_idx = []
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        if len(t) < k:
+            out[i] = _band_hashes(_shingle_hashes(t, k), a, b, nh, bands, rpb)
+        else:
+            long_idx.append(i)
+    if not long_idx:
+        return out
+
+    lens = np.array([len(texts[i]) for i in long_idx], dtype=np.int64)
+    cp = np.frombuffer(
+        "".join(texts[i] for i in long_idx).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    N = cp.shape[0]
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        powsB = np.empty(N + 1, dtype=np.uint64)
+        powsB[0] = 1
+        np.cumprod(np.full(N, _POLY_B, dtype=np.uint64), out=powsB[1:])
+        T = np.empty(N + 1, dtype=np.uint64)
+        T[0] = 0
+        np.cumsum(cp * _pows_inv(N), out=T[1:])
+        # windows: for caption at offset o with length L, starts o..o+L-k
+        win_counts = lens - k + 1
+        win_starts = np.repeat(starts, win_counts) + _ragged_arange(win_counts)
+        H = (T[win_starts + k] - T[win_starts]) * powsB[win_starts + k - 1]
+    X = H % np.uint64(_P31)
+
+    sig_starts = np.concatenate(([0], np.cumsum(win_counts)))
+    sigs = np.empty((len(long_idx), nh), dtype=np.uint64)
+    c0 = 0
+    while c0 < len(long_idx):
+        # grow the caption chunk until its shingle span exceeds the cap
+        c1 = c0 + 1
+        while (
+            c1 < len(long_idx)
+            and sig_starts[c1 + 1] - sig_starts[c0] <= _CHUNK_SHINGLES
+        ):
+            c1 += 1
+        xs = X[sig_starts[c0] : sig_starts[c1]]
+        if c1 == c0 + 1 and xs.shape[0] > _CHUNK_SHINGLES:
+            # one pathological caption wider than the cap: running min
+            # over shingle slices keeps the matrix bounded (the simhash
+            # scatter-OOM lesson, detectors/simhash.py)
+            acc = np.full(nh, _P31, dtype=np.uint64)
+            for s0 in range(0, xs.shape[0], _CHUNK_SHINGLES):
+                xsl = xs[s0 : s0 + _CHUNK_SHINGLES]
+                np.minimum(
+                    acc,
+                    ((a[:, None] * xsl[None, :] + b[:, None]) % np.uint64(_P31))
+                    .min(axis=1),
+                    out=acc,
+                )
+            sigs[c0] = acc
+        else:
+            M = (a[:, None] * xs[None, :] + b[:, None]) % np.uint64(_P31)
+            red = (sig_starts[c0:c1] - sig_starts[c0]).astype(np.intp)
+            sigs[c0:c1] = np.minimum.reduceat(M, red, axis=1).T
+        c0 = c1
+
+    with np.errstate(over="ignore"):
+        blocks = sigs[:, : bands * rpb].reshape(len(long_idx), bands, rpb)
+        folded = np.zeros((len(long_idx), bands), dtype=np.uint64)
+        for j in range(rpb):  # rpb is small (e.g. 3); wide axes vectorized
+            folded = folded * _POLY_B + blocks[:, :, j]
+    folded = folded.astype(np.int64)
+    for row, i in enumerate(long_idx):
+        out[i] = folded[row]
+    return out
+
+
+def _pows_inv(n: int) -> np.ndarray:
+    """[Binv^0, …, Binv^(n-1)] mod 2^64."""
+    with np.errstate(over="ignore"):
+        p = np.empty(n, dtype=np.uint64)
+        if n:
+            p[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, _POLY_B_INV, dtype=np.uint64), out=p[1:])
+        return p
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(c) for c in counts]) without the Python loop."""
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    idx = np.arange(total, dtype=np.int64)
+    return idx - np.repeat(ends - counts, counts)
+
+
 def minhash_bands_udf(cfg: MinHashConfig):
     """pandas_udf: caption → array<long> of band hashes (len = bands)."""
     a, b = _params(cfg)
@@ -123,12 +253,9 @@ def minhash_bands_udf(cfg: MinHashConfig):
     @F.pandas_udf("array<long>")
     def bands_of(captions: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in captions:
-            out = [
-                None
-                if c is None
-                else _band_hashes(_shingle_hashes(c, k), a, b, nh, bands, rpb)
-                for c in batch
-            ]
+            out = _batch_band_hashes(
+                [None if c is None else c for c in batch], a, b, nh, bands, rpb, k
+            )
             yield pd.Series(out, dtype=object)
 
     return bands_of

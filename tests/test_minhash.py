@@ -104,3 +104,56 @@ def test_minhash_scan_prunes_bytes(spark, fixture_pdf, tmp_path_factory):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "bytes" not in read_schema
     assert "caption" in read_schema
+
+
+def test_batch_minhash_equals_scalar_reference():
+    """The whole-batch kernel (UDF hot path since round 3) must produce
+    bit-identical band hashes to the scalar per-caption reference
+    (rolling-hash prefix trick + reduceat vs window matrix + unique)."""
+    import random
+    import string
+
+    from dude_spark.detectors.minhash import _batch_band_hashes, _params
+
+    cfg = MinHashConfig()
+    a, b = _params(cfg)
+    k, nh, bands, rpb = cfg.shingle_k, cfg.num_hashes, cfg.bands, cfg.rows_per_band
+    rng = random.Random(13)
+    caps: list = [None, "", "a", "ab", "a" * (k - 1), "a" * k, "Ωλ中文 mixed ascii"]
+    for _ in range(300):
+        n = rng.randint(0, 120)
+        caps.append(
+            "".join(rng.choice(string.printable[:75]) for _ in range(n))
+        )
+    # near-dup structure too: shared prefixes across captions
+    caps += [caps[10] + " tail", " head " + (caps[20] or "x")]
+    got = _batch_band_hashes(caps, a, b, nh, bands, rpb, k)
+    for c, g in zip(caps, got):
+        want = (
+            None
+            if c is None
+            else _band_hashes(_shingle_hashes(c, k), a, b, nh, bands, rpb)
+        )
+        if want is None:
+            assert g is None, repr(c)
+        else:
+            assert g is not None and np.array_equal(g, want), repr(c)
+
+
+def test_batch_minhash_pathological_caption_sliced_path():
+    """A single caption wider than the shingle chunk cap takes the
+    running-min sliced path — must still be bit-identical."""
+    import dude_spark.detectors.minhash as mh
+
+    cfg = MinHashConfig()
+    a, b = mh._params(cfg)
+    k, nh, bands, rpb = cfg.shingle_k, cfg.num_hashes, cfg.bands, cfg.rows_per_band
+    big = "abcdefghij" * 400  # 4000 chars
+    old = mh._CHUNK_SHINGLES
+    mh._CHUNK_SHINGLES = 256  # force slicing without a 512k-char caption
+    try:
+        got = mh._batch_band_hashes(["tiny", big], a, b, nh, bands, rpb, k)
+    finally:
+        mh._CHUNK_SHINGLES = old
+    want = mh._band_hashes(mh._shingle_hashes(big, k), a, b, nh, bands, rpb)
+    assert np.array_equal(got[1], want)
