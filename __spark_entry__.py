@@ -214,12 +214,14 @@ def q_minhash_pairs(spark, sf_dir):
     same integer-free contract tested exactly by ngram_jaccard_pairs)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = MinHashConfig()
-    # checkpoint the UDF-computed signatures: pairs_from_buckets runs
-    # an eager skew-detection action plus the pairs action, and without
-    # a checkpoint each action would re-run the signature UDF chain
-    # (the pipeline gets this for free from its stage store)
-    sigs = minhash_signatures(docs, cfg).localCheckpoint(eager=True)
-    pairs, _ = pairs_from_buckets(minhash_buckets(sigs), bucket_cap=64)
+    # LAZY persist on the bucket table: pairs_from_buckets' eager
+    # skew-detection collect fills the cache in its own pass, so the
+    # signature UDF and the explode run exactly once across both
+    # actions — no checkpoint write barrier, no second UDF pass
+    # (round-2 bench regression: eager localCheckpoint + overcap
+    # action cost these standalone queries ~20% wall)
+    buckets = minhash_buckets(minhash_signatures(docs, cfg)).persist()
+    pairs, _ = pairs_from_buckets(buckets, bucket_cap=64)
     out = verify_jaccard(pairs, docs, cfg.shingle_k, cfg.jaccard_threshold)
     return _canon_pairs(out)
 
@@ -228,7 +230,10 @@ def q_simhash_pairs(spark, sf_dir):
     """D2 SimHash (caption channel) on document text (rows-only)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = SimHashConfig(use_phash=False)
-    sigs = simhash_signatures(docs, cfg).localCheckpoint(eager=True)
+    # persist SIGS here (not buckets): the Hamming verify re-reads the
+    # signature table, so caching at the sig level serves all three
+    # consumers (overcap collect, pairing, verify) with one UDF pass
+    sigs = simhash_signatures(docs, cfg).persist()
     pairs, _ = pairs_from_buckets(simhash_buckets(sigs, cfg), bucket_cap=64)
     out = simhash_pairs_verified(pairs, sigs, cfg)
     return _canon_pairs(out)
@@ -244,8 +249,8 @@ def q_substring_pairs(spark, sf_dir):
     self-join at sf0.01 (500 docs)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = SuffixConfig(min_match_len=32)
-    sigs = suffix_signatures(docs, cfg).localCheckpoint(eager=True)
-    pairs, _ = pairs_from_buckets(suffix_buckets(sigs), bucket_cap=64)
+    buckets = suffix_buckets(suffix_signatures(docs, cfg)).persist()
+    pairs, _ = pairs_from_buckets(buckets, bucket_cap=64)
     out = verify_substring(pairs, docs, cfg)
     return _canon_pairs(out)
 

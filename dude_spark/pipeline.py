@@ -406,7 +406,35 @@ def run_pipeline(
     # and CC round downstream is keyed by 8-byte longs instead of id
     # strings — ~3× narrower rows on the pipeline's widest shuffles.
     # Built BEFORE the concurrent detector chains (they all read it).
-    ids_map = st.run("ids", "all", "ids@" + in_fp, lambda: encode_ids(images))
+    # cfg.id_encoding="auto" sizes the decision with a BOUNDED probe
+    # (limit n+1, never a full count — same cost at 10^12 rows): below
+    # the threshold the mapping joins cost more than narrow shuffles
+    # save, so small inputs keep the direct string-keyed plan.
+    if cfg.id_encoding == "auto":
+        probe = cfg.id_encoding_min_rows
+        use_iid = (
+            images.select("image_id").limit(probe).count() >= probe
+        )
+    else:
+        use_iid = cfg.id_encoding == "on"
+    if use_iid:
+        ids_map = st.run("ids", "all", "ids@" + in_fp, lambda: encode_ids(images))
+
+        def _enc(df: DataFrame, cols) -> DataFrame:
+            return encode_keys(df, ids_map, cols)
+
+        def _dec(df: DataFrame, cols) -> DataFrame:
+            return decode_keys(df, ids_map, cols)
+
+        iid_tag = "#iid1"
+    else:
+        def _enc(df: DataFrame, cols) -> DataFrame:
+            return df
+
+        def _dec(df: DataFrame, cols) -> DataFrame:
+            return df
+
+        iid_tag = ""
 
     def run_detector(det: str) -> DataFrame:
         """signatures → candidates → verified edges for one detector."""
@@ -419,7 +447,7 @@ def run_pipeline(
         # stages keyed by long iids carry a schema-version tag so a
         # checkpoint written by the string-keyed layout can never be
         # resumed into the long-keyed plan (type-mismatched joins)
-        cid_iid = cid + "#iid1"
+        cid_iid = cid + iid_tag
 
         def compute_sigs():
             if cfg.use_cache:
@@ -436,7 +464,7 @@ def run_pipeline(
             # encode BEFORE the bucket explode: the exploded bucket
             # table (rows × bands) is the widest shuffle in the
             # pipeline — it must carry longs, not id strings
-            sigs_enc = encode_keys(sigs, ids_map, ("image_id",))
+            sigs_enc = _enc(sigs, ("image_id",))
             pairs, overcap = pairs_from_buckets(
                 _buckets(sigs_enc, det, cfg), cfg.bucket_cap
             )
@@ -457,9 +485,9 @@ def run_pipeline(
             # the two mapping joins per side cost far less than
             # encoding a payload projection would (bytes must never
             # shuffle at table width — SURVEY §7 hard-part (e))
-            pairs_str = decode_keys(pairs, ids_map, ("a", "b"))
+            pairs_str = _dec(pairs, ("a", "b"))
             verified = _verify(pairs_str, images, sigs, det, cfg)
-            return encode_keys(verified.select("a", "b"), ids_map, ("a", "b"))
+            return _enc(verified.select("a", "b"), ("a", "b"))
 
         edges = st.run(f"edges_{det}", det, cid_iid, compute_edges)
         return edges.select("a", "b")
@@ -481,7 +509,7 @@ def run_pipeline(
         all_edges = all_edges.unionByName(e)
 
     combined_cid = (
-        "+".join(cfg.config_id(d) for d in cfg.detectors) + "@" + in_fp + "#iid1"
+        "+".join(cfg.config_id(d) for d in cfg.detectors) + "@" + in_fp + iid_tag
     )
     # CC iterates entirely on long iids; the component minimum decodes
     # to min(image_id) because the mapping is order-preserving (dense
@@ -490,9 +518,8 @@ def run_pipeline(
     # results stay string-keyed for every consumer.
     assignments = st.run(
         "components", "all", combined_cid,
-        lambda: decode_keys(
+        lambda: _dec(
             connected_components(all_edges.distinct()),
-            ids_map,
             ("image_id", "cluster_id"),
         ),
     )

@@ -41,6 +41,9 @@ def first_run(spark, input_dir, tmp_path_factory):
         results_dir=str(work / "results"),
         detectors=ALL,
         run_id="r1",
+        # force the dictionary-encoded layout at fixture size (auto
+        # would keep strings below id_encoding_min_rows)
+        id_encoding="on",
     )
     return run_pipeline(spark, cfg), cfg
 
@@ -96,6 +99,27 @@ def test_hot_path_stages_are_long_keyed(first_run, spark):
     # the decoded surface stays string-keyed for every consumer
     comp = spark.read.parquet(os.path.join(stages, "components"))
     assert dict(comp.dtypes) == {"image_id": "string", "cluster_id": "string"}
+
+
+def test_id_encoding_off_produces_identical_assignments(
+    first_run, spark, input_dir, tmp_path_factory
+):
+    """id_encoding is a physical-layout choice, never a semantic one:
+    the string-keyed plan (auto below threshold / off) must yield the
+    exact same assignment set as the long-keyed fixture run."""
+    import dataclasses
+
+    result_on, cfg_on = first_run
+    work = tmp_path_factory.mktemp("pipe_off")
+    cfg = dataclasses.replace(
+        cfg_on,
+        checkpoint_dir=str(work / "ckpt"),
+        results_dir=str(work / "results"),
+        id_encoding="auto",  # fixture is far below min_rows → strings
+    )
+    result_off = run_pipeline(spark, cfg)
+    assert "ids" not in result_off.stages
+    assert _assign_set(result_off) == _assign_set(result_on)
 
 
 def test_resume_skips_everything(first_run, spark):
