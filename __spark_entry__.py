@@ -208,11 +208,36 @@ def _canon_pairs(out):
     ).orderBy("a", "b")
 
 
+def _plant_near_dups(
+    docs: DataFrame, n: int = 10, offset: int = 200000, tail: str | None = " planted near dup tail"
+) -> DataFrame:
+    """Deterministic planted near-dup slice for the rows-only detector
+    queries (VERDICT r2 missing #4): docs with id < n re-keyed +offset
+    and lightly perturbed (a short appended tail keeps char-shingle
+    Jaccard near 1 and the simhash Hamming distance small), so the
+    output must contain ~n cross-pairs (id, id+offset).  Signatures are
+    seed-deterministic, so whether each planted pair survives LSH
+    banding is a fixed fact, not a coin flip — a recall collapse now
+    shows up as a visible row-count drop in the rows-only gate."""
+    cap = (
+        F.col("caption") if tail is None
+        else F.concat(F.col("caption"), F.lit(tail))
+    )
+    planted = docs.where(F.col("image_id").cast("long") < n).select(
+        (F.col("image_id").cast("long") + offset).cast("string").alias("image_id"),
+        cap.alias("caption"),
+    )
+    return docs.unionByName(planted)
+
+
 def q_minhash_pairs(spark, sf_dir):
     """D1 MinHash-LSH + exact-Jaccard verify on document text (rows-only:
     LSH candidate generation is probabilistic; the verify floor is the
-    same integer-free contract tested exactly by ngram_jaccard_pairs)."""
-    docs = _docs_as_images(spark, sf_dir)
+    same integer-free contract tested exactly by ngram_jaccard_pairs).
+    Includes the _plant_near_dups slice: at sf0.01 the output carries
+    10 planted (id, id+200000) pairs on top of the corpus's organic
+    near-dups."""
+    docs = _plant_near_dups(_docs_as_images(spark, sf_dir))
     cfg = MinHashConfig()
     # LAZY persist on the bucket table: pairs_from_buckets' eager
     # skew-detection collect fills the cache in its own pass, so the
@@ -227,8 +252,15 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """D2 SimHash (caption channel) on document text (rows-only)."""
-    docs = _docs_as_images(spark, sf_dir)
+    """D2 SimHash (caption channel) on document text (rows-only).
+    Includes the _plant_near_dups slice as EXACT re-keyed copies
+    (tail=None): the caption channel runs at Hamming radius 1, where
+    even a one-character edit on these docs flips 1-5 signature bits
+    (measured), so any textual perturbation would make the plant
+    probabilistic per-doc.  Hamming-0 plants deterministically gate the
+    banding/bucketing/verify machinery; near-dup TOLERANCE is gated by
+    tests/test_simhash.py recall over the planted fixture corpus."""
+    docs = _plant_near_dups(_docs_as_images(spark, sf_dir), tail=None)
     cfg = SimHashConfig(use_phash=False)
     # persist SIGS here (not buckets): the Hamming verify re-reads the
     # signature table, so caching at the sig level serves all three
