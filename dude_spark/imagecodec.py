@@ -7,9 +7,11 @@ quantization step is chosen so PSNR >= 40 dB always holds at quality 90
 (the BASELINE.json per-row invariant), and a coarser-quantized "gif".
 The container formats, header layout, and Spark-side plumbing (binary
 column in/out, Arrow batch shape, schema) are real; only the
-entropy-coding internals are simplified.  If Pillow is present it is
-used transparently for nothing — swap `encode`/`decode` bodies to PIL
-calls behind the same signatures for production.
+entropy-coding internals are simplified.  When Pillow IS importable
+(production clusters), `decode` transparently handles real PNG/JPEG/
+GIF/WebP bytes too: container magic is tried first (deterministic test
+path), anything else falls through to PIL behind the same signature
+and error taxonomy — the "swap is a body change" claim, executable.
 
 Reference analogue: the e2e fixture generators produce real 256x256
 PNG/JPEG-q90/GIF files (/root/reference/tests/e2e_tests/
@@ -35,10 +37,11 @@ _FMT_BY_MAGIC = {v: k for k, v in MAGIC.items()}
 _QUANT_STEP = {"jpeg": 4, "gif": 6}
 
 try:  # pragma: no cover - not present in this container
-    import PIL  # noqa: F401
+    from PIL import Image as _PILImage
 
     HAVE_PIL = True
 except ImportError:
+    _PILImage = None
     HAVE_PIL = False
 
 
@@ -73,6 +76,8 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
         raise CodecError("payload too short")
     fmt = _FMT_BY_MAGIC.get(bytes(data[:4]))
     if fmt is None:
+        if HAVE_PIL:
+            return _decode_pil(data)
         raise CodecError("bad magic")
     w, h = struct.unpack("<HH", bytes(data[4:8]))
     try:
@@ -82,6 +87,21 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     if len(raw) != h * w * 3:
         raise CodecError("size mismatch")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), fmt
+
+
+def _decode_pil(data: bytes) -> tuple[np.ndarray, str]:  # pragma: no cover
+    """Real-image fallback when Pillow is importable: PNG/JPEG/GIF/WebP
+    bytes → ((h, w, 3) uint8, fmt).  Same CodecError taxonomy, so every
+    caller's skip-and-count contract is unchanged."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(data)) as img:
+            fmt = (img.format or "unknown").lower()
+            pixels = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception as e:  # PIL raises a zoo of types for bad bytes
+        raise CodecError(f"undecodable image payload: {e}") from e
+    return pixels, fmt
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

