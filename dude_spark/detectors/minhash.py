@@ -226,6 +226,43 @@ def _batch_band_hashes(
     return out
 
 
+def _batch_shingle_segments(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All captions' k-shingle hashes in one rolling-hash pass:
+    returns (hashes uint64, seg_ids int64) where seg_ids[i] is the
+    index of the caption that owns hashes[i].  NOT deduplicated —
+    callers needing set semantics unique within segments themselves.
+
+    Unlike the band path, short captions (0 < len < k) are handled in
+    the same vectorized pass: their single whole-string shingle is just
+    a window of length len(text) under the same prefix-hash identity
+    h = (T[s+l] - T[s]) * B^(s+l-1).  Empty/None captions contribute
+    zero shingles."""
+    lens = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
+    cp = np.frombuffer(
+        "".join(t for t in texts if t).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    N = cp.shape[0]
+    win_lens_per = np.minimum(lens, k)
+    win_counts = np.where(lens > 0, np.maximum(lens - k + 1, 1), 0)
+    seg_ids = np.repeat(np.arange(len(texts), dtype=np.int64), win_counts)
+    win_starts = np.repeat(starts, win_counts) + _ragged_arange(win_counts)
+    win_lens = np.repeat(win_lens_per, win_counts)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        powsB = np.empty(N + 1, dtype=np.uint64)
+        powsB[0] = 1
+        np.cumprod(np.full(N, _POLY_B, dtype=np.uint64), out=powsB[1:])
+        T = np.empty(N + 1, dtype=np.uint64)
+        T[0] = 0
+        np.cumsum(cp * _pows_inv(N), out=T[1:])
+        H = (T[win_starts + win_lens] - T[win_starts]) * powsB[
+            win_starts + win_lens - 1
+        ]
+    return H, seg_ids
+
+
 def _pows_inv(n: int) -> np.ndarray:
     """[Binv^0, …, Binv^(n-1)] mod 2^64."""
     with np.errstate(over="ignore"):

@@ -116,14 +116,10 @@ def verify_substring(
             dtype="bool",
         )
 
-    caps = images.select("image_id", "caption")
-    j = (
-        pairs.join(
-            caps.select(F.col("image_id").alias("a"), F.col("caption").alias("caption_a")),
-            "a",
-        ).join(
-            caps.select(F.col("image_id").alias("b"), F.col("caption").alias("caption_b")),
-            "b",
-        )
-    )
+    # same semi-reduced payload attach as the other verifiers
+    # (operators/verify._attach): captions for rows outside any pair
+    # never ride the join shuffle
+    from ..operators.verify import _attach
+
+    j = _attach(pairs, images.select("image_id", "caption"), "caption")
     return j.where(shares("caption_a", "caption_b")).select("a", "b")

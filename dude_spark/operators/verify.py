@@ -85,6 +85,54 @@ def shingle_set(text: str, k: int) -> set:
     return {text[i : i + k] for i in range(len(text) - k + 1)}
 
 
+def _batch_jaccard(ca: list, cb: list, k: int) -> "np.ndarray":
+    """Whole-batch exact Jaccard over 64-bit hashed k-shingle SETS —
+    one rolling-hash pass + two sorts for the entire Arrow batch
+    instead of a Python loop per pair (round-2 VERDICT wrong #6).
+    Value-identical to the per-pair scalar reference (gated by
+    test_batch_jaccard_equals_scalar_reference).
+
+    Shape: both caption sides share one shingle pass (a-side captions
+    are segments 0..n-1, b-side n..2n-1); a (segment, value) lexsort
+    dedupes within segments to set semantics; a (pair, value) lexsort
+    then counts values present on BOTH sides of a pair — each value
+    appears at most once per side, so adjacent equal (pair, value)
+    entries ARE the intersection."""
+    import numpy as np
+
+    from ..detectors.minhash import _batch_shingle_segments
+
+    n = len(ca)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    texts = [x or "" for x in ca] + [y or "" for y in cb]
+    H, seg = _batch_shingle_segments(texts, k)
+
+    # set semantics within each caption: sort by (segment, value), drop
+    # adjacent duplicates
+    order = np.lexsort((H, seg))
+    Hs, segs = H[order], seg[order]
+    keep = np.ones(Hs.shape[0], dtype=bool)
+    keep[1:] = (Hs[1:] != Hs[:-1]) | (segs[1:] != segs[:-1])
+    uh, useg = Hs[keep], segs[keep]
+    sizes = np.bincount(useg, minlength=2 * n)
+
+    # intersection per pair: fold both sides into pair space and count
+    # adjacent equal (pair, value) entries
+    pair = np.where(useg < n, useg, useg - n)
+    order2 = np.lexsort((uh, pair))
+    hp, pp = uh[order2], pair[order2]
+    both = (hp[1:] == hp[:-1]) & (pp[1:] == pp[:-1])
+    inter = np.bincount(pp[1:][both], minlength=n).astype(np.float64)
+
+    sa, sb = sizes[:n].astype(np.float64), sizes[n:].astype(np.float64)
+    union = sa + sb - inter
+    out = np.divide(inter, union, out=np.zeros(n, dtype=np.float64),
+                    where=union > 0)
+    out[(sa == 0) & (sb == 0)] = 1.0  # two empty captions are identical
+    return out
+
+
 def verify_jaccard(
     pairs: DataFrame, images: DataFrame, k: int, threshold: float
 ) -> DataFrame:
@@ -93,29 +141,15 @@ def verify_jaccard(
     (SURVEY.md §2.1 O8 generalization).
 
     Computed over 64-bit hashed shingle sets (the same vectorized
-    rolling-hash as the D1 signature) with np.intersect1d — ~20×
-    faster than Python string-set intersection per pair, and exact up
-    to 64-bit hash collisions (probability ~|A||B|/2^64 per pair —
-    immaterial even at 10^12 pairs).  tests/test_minhash.py re-checks
-    survivors against raw string shingle sets.
+    rolling-hash as the D1 signature) whole-batch via _batch_jaccard —
+    no Python loop per pair — and exact up to 64-bit hash collisions
+    (probability ~|A||B|/2^64 per pair — immaterial even at 10^12
+    pairs).  tests/test_minhash.py re-checks survivors against raw
+    string shingle sets.
     """
-    import numpy as np
-
-    from ..detectors.minhash import _shingle_hashes
-
     @F.pandas_udf("double")
     def jac(ca: pd.Series, cb: pd.Series) -> pd.Series:
-        out = np.empty(len(ca), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(ca, cb)):
-            sx = _shingle_hashes(x or "", k)
-            sy = _shingle_hashes(y or "", k)
-            if sx.size == 0 and sy.size == 0:
-                out[i] = 1.0  # two empty captions are identical
-                continue
-            inter = np.intersect1d(sx, sy, assume_unique=True).size
-            u = sx.size + sy.size - inter
-            out[i] = inter / u if u else 0.0
-        return pd.Series(out)
+        return pd.Series(_batch_jaccard(list(ca), list(cb), k))
 
     j = _attach(pairs, images, "caption")
     return (

@@ -157,3 +157,42 @@ def test_batch_minhash_pathological_caption_sliced_path():
         mh._CHUNK_SHINGLES = old
     want = mh._band_hashes(mh._shingle_hashes(big, k), a, b, nh, bands, rpb)
     assert np.array_equal(got[1], want)
+
+
+def test_batch_jaccard_equals_scalar_reference():
+    """The whole-batch Jaccard (verify hot path since round 3) must be
+    value-identical to the per-pair scalar: shingle sets via
+    _shingle_hashes + intersect1d."""
+    import random
+    import string
+
+    from dude_spark.detectors.minhash import _shingle_hashes
+    from dude_spark.operators.verify import _batch_jaccard
+
+    k = 6
+    rng = random.Random(5)
+
+    def cap():
+        n = rng.randint(0, 60)
+        return "".join(rng.choice("abcde ") for _ in range(n))
+
+    ca: list = [None, "", "abc", "identical caption", cap()]
+    cb: list = ["", None, "abd", "identical caption", cap()]
+    for _ in range(300):
+        x = cap()
+        # mix: unrelated, near-dup (shared prefix), exact
+        r = rng.random()
+        y = x if r < 0.2 else (x + cap() if r < 0.6 else cap())
+        ca.append(x)
+        cb.append(y)
+    got = _batch_jaccard(ca, cb, k)
+    for i, (x, y) in enumerate(zip(ca, cb)):
+        sx = _shingle_hashes(x or "", k)
+        sy = _shingle_hashes(y or "", k)
+        if sx.size == 0 and sy.size == 0:
+            want = 1.0
+        else:
+            inter = np.intersect1d(sx, sy, assume_unique=True).size
+            u = sx.size + sy.size - inter
+            want = inter / u if u else 0.0
+        assert got[i] == want, (i, repr(x), repr(y), got[i], want)
