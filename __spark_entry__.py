@@ -42,7 +42,7 @@ from dude_spark.functions.text import (
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.operators.textdedup import ngram_jaccard_pairs
-from dude_spark.operators.verify import verify_jaccard
+from dude_spark.operators.verify import prefilter_minhash, verify_jaccard
 
 STOPWORD_SQL = "('a','the','and','of','to','in')"
 
@@ -239,14 +239,22 @@ def q_minhash_pairs(spark, sf_dir):
     near-dups."""
     docs = _plant_near_dups(_docs_as_images(spark, sf_dir))
     cfg = MinHashConfig()
-    # LAZY persist on the bucket table: pairs_from_buckets' eager
-    # skew-detection collect fills the cache in its own pass, so the
-    # signature UDF and the explode run exactly once across both
-    # actions — no checkpoint write barrier, no second UDF pass
-    # (round-2 bench regression: eager localCheckpoint + overcap
-    # action cost these standalone queries ~20% wall)
-    buckets = minhash_buckets(minhash_signatures(docs, cfg)).persist()
-    pairs, _ = pairs_from_buckets(buckets, bucket_cap=64)
+    # eager localCheckpoint on the UDF signatures: pairs_from_buckets
+    # runs a skew-detection action plus the pairs action, and the
+    # prefilter + verify re-read sigs — without a checkpoint each
+    # action re-runs the signature UDF chain.  (A lazy persist() on
+    # buckets was A/B-measured round 3 and LOST: its first-action
+    # cache fill cost more than the checkpoint barrier in every
+    # pairing — 46/42 s vs 32/31 s walls.)
+    sigs = minhash_signatures(docs, cfg).localCheckpoint(eager=True)
+    pairs, _ = pairs_from_buckets(minhash_buckets(sigs), bucket_cap=64)
+    # sketch-estimate prefilter drops the LSH false-positive bulk
+    # (119,731 → ~10^3 here) before the caption attach; survivors
+    # still face the exact verify (operators/verify.py docs)
+    pairs = prefilter_minhash(
+        pairs, sigs, cfg.jaccard_threshold, cfg.num_hashes,
+        cfg.prefilter_margin_sigmas,
+    )
     out = verify_jaccard(pairs, docs, cfg.shingle_k, cfg.jaccard_threshold)
     return _canon_pairs(out)
 
@@ -262,10 +270,11 @@ def q_simhash_pairs(spark, sf_dir):
     tests/test_simhash.py recall over the planted fixture corpus."""
     docs = _plant_near_dups(_docs_as_images(spark, sf_dir), tail=None)
     cfg = SimHashConfig(use_phash=False)
-    # persist SIGS here (not buckets): the Hamming verify re-reads the
-    # signature table, so caching at the sig level serves all three
+    # eager checkpoint on SIGS: the Hamming verify re-reads the
+    # signature table, so pinning the sig level serves all three
     # consumers (overcap collect, pairing, verify) with one UDF pass
-    sigs = simhash_signatures(docs, cfg).persist()
+    # (lazy persist A/B-measured round 3: never faster, see minhash)
+    sigs = simhash_signatures(docs, cfg).localCheckpoint(eager=True)
     pairs, _ = pairs_from_buckets(simhash_buckets(sigs, cfg), bucket_cap=64)
     out = simhash_pairs_verified(pairs, sigs, cfg)
     return _canon_pairs(out)
@@ -281,8 +290,8 @@ def q_substring_pairs(spark, sf_dir):
     self-join at sf0.01 (500 docs)."""
     docs = _docs_as_images(spark, sf_dir)
     cfg = SuffixConfig(min_match_len=32)
-    buckets = suffix_buckets(suffix_signatures(docs, cfg)).persist()
-    pairs, _ = pairs_from_buckets(buckets, bucket_cap=64)
+    sigs = suffix_signatures(docs, cfg).localCheckpoint(eager=True)
+    pairs, _ = pairs_from_buckets(suffix_buckets(sigs), bucket_cap=64)
     out = verify_substring(pairs, docs, cfg)
     return _canon_pairs(out)
 

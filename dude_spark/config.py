@@ -49,6 +49,18 @@ class MinHashConfig:
     # random-pair tail (J ≈ 0.03-0.1) almost never fires — r=4 rather
     # than r=3 because at n^2 pair volume even a 0.4% tail rate floods
     # the verify stage with O(n^2/250) candidates.
+    #
+    # Sketch-estimate prefilter (verify.prefilter_minhash): before the
+    # exact-Jaccard verify attaches captions, candidate pairs whose
+    # full-signature agreement estimates J < threshold − margin·σ
+    # (σ = sqrt(τ(1−τ)/num_hashes) ≈ 0.038 here) are dropped JVM-side.
+    # At 4σ the per-true-pair loss is ~3e-5 — noise against the 0.99
+    # recall bar — while on high-overlap corpora it removes ~99% of
+    # candidates before the wide caption join.  Set margin_sigmas to
+    # raise/lower the cut; verify_prefilter=False restores the pure
+    # exact verify.
+    verify_prefilter: bool = True
+    prefilter_margin_sigmas: float = 4.0
 
     def __post_init__(self) -> None:
         if self.num_hashes % self.bands != 0:

@@ -92,6 +92,25 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h64)
 
 
+def _minwise_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray | None:
+    """Classic minwise signature, shape (num_hashes,) uint64, or None
+    for empty shingle sets (no shingles ⇒ no buckets ⇒ no candidates)."""
+    if shingles.size == 0:
+        return None
+    x = shingles % np.uint64(_P31)
+    # (num_hashes, n_shingles) universal hashes; min along shingles.
+    return ((a[:, None] * x[None, :] + b[:, None]) % np.uint64(_P31)).min(axis=1)
+
+
+def _fold_bands(sig: np.ndarray, bands: int, rpb: int) -> np.ndarray:
+    """Per-band polynomial fold of a minwise signature → (bands,) int64."""
+    folded = np.zeros(bands, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        for j in range(rpb):  # rpb is small (e.g. 3); wide axis vectorized
+            folded = folded * _POLY_B + sig[j::rpb][:bands]
+    return folded.astype(np.int64)
+
+
 def _band_hashes(
     shingles: np.ndarray,
     a: np.ndarray,
@@ -100,19 +119,10 @@ def _band_hashes(
     bands: int,
     rpb: int,
 ) -> np.ndarray | None:
-    """Classic minwise signature → per-band fold, shape (bands,) int64,
-    or None for empty shingle sets (no shingles ⇒ no buckets ⇒ no
-    candidates)."""
-    if shingles.size == 0:
-        return None
-    x = shingles % np.uint64(_P31)
-    # (num_hashes, n_shingles) universal hashes; min along shingles.
-    sig = ((a[:, None] * x[None, :] + b[:, None]) % np.uint64(_P31)).min(axis=1)
-    folded = np.zeros(bands, dtype=np.uint64)
-    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
-        for j in range(rpb):  # rpb is small (e.g. 3); wide axis vectorized
-            folded = folded * _POLY_B + sig[j::rpb][:bands]
-    return folded.astype(np.int64)
+    """Minwise signature → per-band fold (the scalar reference kernel;
+    the UDF hot path is _batch_sigs_and_bands)."""
+    sig = _minwise_sig(shingles, a, b)
+    return None if sig is None else _fold_bands(sig, bands, rpb)
 
 
 # modular inverse of the polynomial base mod 2^64 (the base is odd, so
@@ -132,7 +142,7 @@ _POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
 _CHUNK_SHINGLES = 1 << 14
 
 
-def _batch_band_hashes(
+def _batch_sigs_and_bands(
     texts: list[str | None],
     a: np.ndarray,
     b: np.ndarray,
@@ -140,11 +150,16 @@ def _batch_band_hashes(
     bands: int,
     rpb: int,
     k: int,
-) -> list[np.ndarray | None]:
-    """Whole-batch band hashes — bit-identical to the scalar
-    ``_band_hashes(_shingle_hashes(t, k), ...)`` per caption (gated by
-    test_batch_minhash_equals_scalar_reference), ~one numpy pass per
-    Arrow batch instead of a Python loop per caption.
+) -> tuple[list[np.ndarray | None], list[np.ndarray | None]]:
+    """Whole-batch (minwise signatures, band hashes) — bit-identical to
+    the scalar ``_band_hashes(_shingle_hashes(t, k), ...)`` per caption
+    (gated by test_batch_minhash_equals_scalar_reference), ~one numpy
+    pass per Arrow batch instead of a Python loop per caption.
+
+    Signatures are returned as int32 (minwise values < 2^31−1): the
+    full signature rides along so the verify stage can estimate Jaccard
+    JVM-side before attaching captions (verify.prefilter_minhash) —
+    int32 halves its storage/shuffle width vs int64.
 
     Captions shorter than k (their single shingle needs its own power
     vector) and empties take the scalar path; everything else shares
@@ -152,17 +167,21 @@ def _batch_band_hashes(
     per caption with ``np.minimum.reduceat`` (duplicate shingles don't
     affect a min, so the scalar path's np.unique is skipped)."""
     n = len(texts)
+    out_sig: list[np.ndarray | None] = [None] * n
     out: list[np.ndarray | None] = [None] * n
     long_idx = []
     for i, t in enumerate(texts):
         if not t:
             continue
         if len(t) < k:
-            out[i] = _band_hashes(_shingle_hashes(t, k), a, b, nh, bands, rpb)
+            s = _minwise_sig(_shingle_hashes(t, k), a, b)
+            if s is not None:
+                out_sig[i] = s.astype(np.int32)
+                out[i] = _fold_bands(s, bands, rpb)
         else:
             long_idx.append(i)
     if not long_idx:
-        return out
+        return out_sig, out
 
     lens = np.array([len(texts[i]) for i in long_idx], dtype=np.int64)
     cp = np.frombuffer(
@@ -221,9 +240,25 @@ def _batch_band_hashes(
         for j in range(rpb):  # rpb is small (e.g. 3); wide axes vectorized
             folded = folded * _POLY_B + blocks[:, :, j]
     folded = folded.astype(np.int64)
+    sigs32 = sigs.astype(np.int32)
     for row, i in enumerate(long_idx):
+        out_sig[i] = sigs32[row]
         out[i] = folded[row]
-    return out
+    return out_sig, out
+
+
+def _batch_band_hashes(
+    texts: list[str | None],
+    a: np.ndarray,
+    b: np.ndarray,
+    nh: int,
+    bands: int,
+    rpb: int,
+    k: int,
+) -> list[np.ndarray | None]:
+    """Band hashes only — thin wrapper over _batch_sigs_and_bands (the
+    bit-identity gates and band-only callers use this)."""
+    return _batch_sigs_and_bands(texts, a, b, nh, bands, rpb, k)[1]
 
 
 def _batch_shingle_segments(
@@ -283,29 +318,43 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 
 
 def minhash_bands_udf(cfg: MinHashConfig):
-    """pandas_udf: caption → array<long> of band hashes (len = bands)."""
+    """pandas_udf: caption → struct(sig array<int>, bands array<long>).
+
+    `bands` (len = cfg.bands) keys the LSH explode; `sig` is the full
+    minwise signature (len = num_hashes, int32 — values < 2^31−1), kept
+    so the verify stage can estimate pair Jaccard JVM-side and drop the
+    LSH false-positive bulk BEFORE the caption attach
+    (verify.prefilter_minhash)."""
     a, b = _params(cfg)
     k, nh, bands, rpb = cfg.shingle_k, cfg.num_hashes, cfg.bands, cfg.rows_per_band
 
-    @F.pandas_udf("array<long>")
-    def bands_of(captions: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @F.pandas_udf("sig array<int>, bands array<long>")
+    def bands_of(captions: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for batch in captions:
-            out = _batch_band_hashes(
+            sig, bnd = _batch_sigs_and_bands(
                 [None if c is None else c for c in batch], a, b, nh, bands, rpb, k
             )
-            yield pd.Series(out, dtype=object)
+            yield pd.DataFrame(
+                {
+                    "sig": pd.Series(sig, dtype=object),
+                    "bands": pd.Series(bnd, dtype=object),
+                }
+            )
 
     return bands_of
 
 
 def minhash_signatures(images: DataFrame, cfg: MinHashConfig) -> DataFrame:
-    """images → (image_id, bands array<long>).  Scan reads only
-    (image_id, caption) — verify with .explain() that ReadSchema
-    excludes `bytes` (SURVEY.md §4: the biggest I/O lever at 10^12)."""
+    """images → (image_id, sig array<int>, bands array<long>).  Scan
+    reads only (image_id, caption) — verify with .explain() that
+    ReadSchema excludes `bytes` (SURVEY.md §4: the biggest I/O lever at
+    10^12).  The bucket explode selects only `bands`, so Catalyst
+    prunes `sig` out of the wide (rows × bands) shuffle — it moves
+    only through the narrow verify prefilter join."""
     udf = minhash_bands_udf(cfg)
     return images.select("image_id", "caption").select(
-        "image_id", udf("caption").alias("bands")
-    )
+        "image_id", udf("caption").alias("sb")
+    ).select("image_id", F.col("sb.sig").alias("sig"), F.col("sb.bands").alias("bands"))
 
 
 def minhash_buckets(signatures: DataFrame) -> DataFrame:

@@ -159,6 +159,57 @@ def verify_jaccard(
     )
 
 
+def prefilter_minhash(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    margin_sigmas: float = 4.0,
+) -> DataFrame:
+    """Sketch-estimate prefilter: drop candidate pairs whose minwise-
+    signature agreement says Jaccard is FAR below the verify threshold,
+    before the (much wider) caption attach + exact Jaccard.
+
+    Why: LSH banding is tuned for recall at the threshold, so on
+    high-baseline-similarity corpora the candidate set is dominated by
+    pairs the exact verify will reject (measured sf0.1 documents:
+    119,731 candidates → 256 survivors; the exact verify was 28 s of a
+    33 s query).  The per-component signature match fraction is an
+    unbiased estimator of Jaccard with σ = sqrt(J(1−J)/num_hashes)
+    (Broder, resemblance sketches) — cutting at
+    ``threshold − margin_sigmas·σ`` keeps a true-positive pair (J ≥
+    threshold) with probability ≥ 1 − Φ(−margin_sigmas) (~3e-5 at 4σ,
+    immaterial vs the ≥0.99 recall target) while killing the J ≲
+    cut − few·σ bulk JVM-side: the join attaches int32 signature
+    arrays (≤ num_hashes·4 B — narrower than document-scale captions)
+    and the agreement fold is whole-stage-codegen ``zip_with`` +
+    ``aggregate``, no Python, no Arrow.
+
+    Survivors still face the EXACT verify — this never adds false
+    positives.  Null signature on either side → pair kept (the
+    error→assume-equal contract, hashing.go:219-222).
+    """
+    sigs = signatures.select("image_id", "sig")
+    cut = threshold - margin_sigmas * (
+        (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    )
+    if cut <= 0:
+        return pairs
+    min_matches = -(-cut * num_hashes // 1)  # ceil, as float
+    j = _attach(pairs, sigs, "sig")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    keep = (
+        F.col("sig_a").isNull()
+        | F.col("sig_b").isNull()
+        | (matches >= F.lit(int(min_matches)))
+    )
+    return j.where(keep).select(*pairs.columns)
+
+
 def verify_hamming(pairs: DataFrame, signatures: DataFrame, radius: int) -> DataFrame:
     """Keep pairs whose 64-bit signature Hamming distance <= radius.
 

@@ -57,7 +57,7 @@ from .operators.candidates import pairs_from_buckets
 from .operators.components import connected_components
 from .operators.ids import decode_keys, encode_ids, encode_keys
 from .operators.report import assignments_to_report, write_csv_report
-from .operators.verify import verify_exact, verify_jaccard
+from .operators.verify import prefilter_minhash, verify_exact, verify_jaccard
 from .storage import ParquetManifestStore, StageStore
 
 
@@ -216,8 +216,16 @@ def _verify(
             return pairs
         return verify_exact(pairs, images)
     if detector == "minhash":
+        mh = cfg.minhash
+        if mh.verify_prefilter:
+            # sketch-estimate cut kills the LSH false-positive bulk
+            # JVM-side before captions are attached (verify.py docs)
+            pairs = prefilter_minhash(
+                pairs, signatures, mh.jaccard_threshold,
+                mh.num_hashes, mh.prefilter_margin_sigmas,
+            )
         return verify_jaccard(
-            pairs, images, cfg.minhash.shingle_k, cfg.minhash.jaccard_threshold
+            pairs, images, mh.shingle_k, mh.jaccard_threshold
         ).select("a", "b")
     if detector == "simhash":
         return d_simhash.simhash_pairs_verified(pairs, signatures, cfg.simhash)

@@ -22,7 +22,11 @@ from dude_spark.detectors.minhash import (
 from dude_spark.fixtures import IMAGES_COLUMNS, expected_pairs
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
-from dude_spark.operators.verify import shingle_set, verify_jaccard
+from dude_spark.operators.verify import (
+    prefilter_minhash,
+    shingle_set,
+    verify_jaccard,
+)
 
 CFG = MinHashConfig()
 
@@ -157,6 +161,55 @@ def test_batch_minhash_pathological_caption_sliced_path():
         mh._CHUNK_SHINGLES = old
     want = mh._band_hashes(mh._shingle_hashes(big, k), a, b, nh, bands, rpb)
     assert np.array_equal(got[1], want)
+
+
+def test_prefilter_minhash_unit(spark):
+    """Agreement semantics: identical sigs kept, disjoint sigs dropped,
+    null sig kept (error→assume-equal contract)."""
+    nh = CFG.num_hashes
+    s1 = list(range(nh))
+    s2 = list(range(nh))            # identical → est 1.0
+    s3 = [v + nh for v in range(nh)]  # disjoint → est 0.0
+    sigs = spark.createDataFrame(
+        [("x", s1), ("y", s2), ("z", s3), ("w", None)],
+        "image_id string, sig array<int>",
+    )
+    pairs = spark.createDataFrame(
+        [("x", "y"), ("x", "z"), ("x", "w")], "a string, b string"
+    )
+    kept = {
+        (r["a"], r["b"])
+        for r in prefilter_minhash(
+            pairs, sigs, CFG.jaccard_threshold, nh, CFG.prefilter_margin_sigmas
+        ).collect()
+    }
+    assert ("x", "y") in kept       # est 1.0 >= cut
+    assert ("x", "z") not in kept   # est 0.0 < cut
+    assert ("x", "w") in kept       # null sig → kept
+
+
+def test_prefilter_preserves_verified_output(spark, images_df):
+    """The sketch cut must not change the exact-verify output on the
+    fixture corpus (it may only drop pairs the verify rejects)."""
+    sigs = minhash_signatures(images_df, CFG).localCheckpoint(eager=True)
+    pairs, _ = pairs_from_buckets(minhash_buckets(sigs), bucket_cap=64)
+    base = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in verify_jaccard(
+            pairs, images_df, CFG.shingle_k, CFG.jaccard_threshold
+        ).select("a", "b").collect()
+    }
+    pf = prefilter_minhash(
+        pairs, sigs, CFG.jaccard_threshold, CFG.num_hashes,
+        CFG.prefilter_margin_sigmas,
+    )
+    got = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in verify_jaccard(
+            pf, images_df, CFG.shingle_k, CFG.jaccard_threshold
+        ).select("a", "b").collect()
+    }
+    assert got == base
 
 
 def test_batch_jaccard_equals_scalar_reference():
