@@ -147,16 +147,42 @@ def verify_jaccard(
     pairs).  tests/test_minhash.py re-checks survivors against raw
     string shingle sets.
     """
-    @F.pandas_udf("double")
-    def jac(ca: pd.Series, cb: pd.Series) -> pd.Series:
-        return pd.Series(_batch_jaccard(list(ca), list(cb), k))
-
-    j = _attach(pairs, images, "caption")
-    return (
-        j.withColumn("score", jac("caption_a", "caption_b"))
-        .where(F.col("score") >= F.lit(threshold))
-        .select("a", "b", "score")
+    j = _spread_for_python(_attach(pairs, images, "caption")).select(
+        "a", "b", "caption_a", "caption_b"
     )
+    a_t, b_t = (f.dataType.simpleString() for f in j.schema.fields[:2])
+
+    def keep_scored(batches):
+        import numpy as np
+
+        for pdf in batches:
+            sc = _batch_jaccard(list(pdf["caption_a"]), list(pdf["caption_b"]), k)
+            m = sc >= threshold
+            yield pd.DataFrame(
+                {"a": pdf["a"][m], "b": pdf["b"][m], "score": sc[m]}
+            )
+
+    return j.mapInPandas(keep_scored, f"a {a_t}, b {b_t}, score double")
+
+
+def _spread_for_python(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's full parallelism before
+    a Python-kernel stage.
+
+    AQE coalesces shuffle outputs by BYTE size (advisory 64 MB), which
+    is right for JVM stages and wrong before a pandas UDF: the sf0.1
+    substring verify's attached-pairs join coalesced to 3 partitions,
+    so a ~100 s Python kernel ran on 3 of 32 cores (measured — 35 s
+    wall instead of ~4).  CPU-heavy Python stages must be spread by
+    WORK, not bytes; the extra narrow shuffle costs far less than the
+    idle cores.
+
+    The downstream kernel must be a ``mapInPandas`` stage, NOT a
+    pandas-UDF ``where`` filter: Catalyst pushes filter predicates
+    through Repartition (right for bytes, wrong here again — measured:
+    the pushed-down UDF filter ran on the pre-repartition 3 partitions,
+    making this spread a no-op), while a MapInPandas node stays put."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def prefilter_minhash(

@@ -145,3 +145,29 @@ def test_hashed_substring_equals_exact():
             assert has_common_substring_hashed(a, b, L) == has_common_substring(
                 a, b, L
             ), (a, b, L)
+
+
+def test_batch_shares_equals_scalar():
+    """The whole-batch verify kernel (unique-caption dedup + sorted-set
+    probes) must agree with the scalar per-pair reference on every
+    pair, including short/None sides and repeated captions."""
+    from dude_spark.detectors.suffix import _batch_shares_substring
+    from dude_spark.suffixarray import has_common_substring_hashed
+
+    rs = np.random.RandomState(7)
+    texts = [
+        "".join(rs.choice(list("abcde "), size=int(rs.randint(0, 90))))
+        for _ in range(40)
+    ]
+    shared_core = "the quick brown fox jumps over it"
+    texts += [t + shared_core for t in texts[:6]]  # planted true matches
+    ca, cb = [], []
+    for _ in range(400):
+        ca.append(texts[rs.randint(len(texts))])
+        cb.append(texts[rs.randint(len(texts))])
+    ca += [None, "", "short", texts[0]]
+    cb += [texts[0], texts[1], "short", None]
+    for L in (8, 16, 33):
+        got = _batch_shares_substring(ca, cb, L)
+        for i, (x, y) in enumerate(zip(ca, cb)):
+            assert got[i] == has_common_substring_hashed(x, y, L), (i, L)
