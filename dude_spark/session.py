@@ -67,6 +67,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer floors partitions at minPartitionSize even
+        # with parallelismFirst=true; at the default 1 MB a small-BYTE
+        # but CPU-heavy stage (long-keyed pair shuffles, Python verify
+        # kernels — 16 B/row says nothing about per-row cost) coalesces
+        # to a handful of partitions and starves all but a few cores —
+        # measured: a 100 s Python kernel on 3 of 32 cores, and the
+        # same under-partitioning on JVM pair stages at n=600k.  64 KB
+        # lets parallelismFirst actually reach defaultParallelism;
+        # scheduling overhead for the extra tasks is microseconds
+        # against the idle-core cost.  Same math on a 1000-executor
+        # cluster, where defaultParallelism is huge and byte-floors
+        # under-partition every CPU-bound stage.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # `bytes` rows can be large — cap Arrow batch row counts so a
