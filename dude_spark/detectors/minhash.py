@@ -132,14 +132,20 @@ def _band_hashes(
 # T = cumsum(cp * Binv^i), exactly the scalar polynomial mod 2^64.
 _POLY_B_INV = np.uint64(pow(int(_POLY_B), -1, 1 << 64))
 
-# cap on shingles hashed per universal-hash matrix.  Bounds memory AND
-# is the measured sweet spot: at 2^14 the (num_hashes × chunk) uint64
-# temporaries (~22 MB at nh=168) stay L3-resident — 0.5 s/4096 captions
-# steady-state vs 1.4–7.8 s at 2^19 (page-fault/bandwidth bound) and
-# 0.8 s for the per-caption scalar loop.  Mersenne shift/add reduction
+# cap on shingles hashed per universal-hash matrix.  Sized for the
+# CONCURRENT case, not one process: the (num_hashes × chunk) uint64
+# temporaries are ~22 MB at 2^14 — "L3-resident" for a single worker,
+# but 32 Spark python workers × 22 MB blow the shared L3 and the whole
+# signature stage degrades to DRAM bandwidth (measured: FLAT 8→32 core
+# scaling, 19.5 s vs 18.4 s at n=600k).  At 2^9 each matrix is ~0.7 MB,
+# 32 workers fit in cache together, and the multiply/add/mod/reduceat
+# passes stop touching DRAM: 32-worker aggregate 96k → 172k caps/s
+# (+79%), 8→32 scaling restored to ~4.0×, and even a SINGLE worker is
+# 22% faster (6.9k vs 5.6k caps/s) — smaller loses only below 2^8
+# where numpy per-call overhead bites.  Mersenne shift/add reduction
 # was tried and LOST to numpy's u64 `%` (58 ms vs 17 ms per 2.7M elems:
 # three broadcast passes beat one division pass only on paper).
-_CHUNK_SHINGLES = 1 << 14
+_CHUNK_SHINGLES = 1 << 9
 
 
 def _batch_sigs_and_bands(
