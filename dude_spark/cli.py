@@ -14,9 +14,14 @@ CheckIfResultsExist) onto subcommands:
 Cluster usage (the north-rule packaging contract):
 
   zip -r dude_spark.zip dude_spark
-  spark-submit --py-files dude_spark.zip -m dude_spark run \\
+  spark-submit --py-files dude_spark.zip scripts/submit_driver.py run \\
       --input s3://…/images --checkpoint s3://…/ckpt \\
       --results out/ --detectors exact,minhash
+
+(spark-submit takes an application FILE, not a module; the tracked
+launcher scripts/submit_driver.py is the primary file.  Proven end to
+end by tests/test_submit.py.  `python -m dude_spark run …` works for
+plain-python local runs.)
 
 On a cluster, omit --master (spark-submit supplies it); locally a
 local[N] session is built from --cpus.
