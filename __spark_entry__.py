@@ -218,7 +218,20 @@ def _plant_near_dups(
     output must contain ~n cross-pairs (id, id+offset).  Signatures are
     seed-deterministic, so whether each planted pair survives LSH
     banding is a fixed fact, not a coin flip — a recall collapse now
-    shows up as a visible row-count drop in the rows-only gate."""
+    shows up as a visible row-count drop in the rows-only gate.
+
+    The re-key is only collision-free while every organic id is below
+    ``offset``; at a corpus that big a planted id would shadow a real
+    row and silently corrupt the very gate this hardens — so guard it
+    (one tiny agg over a long-cast id column, driver-side scalar)."""
+    max_id = docs.agg(
+        F.max(F.col("image_id").cast("long")).alias("m")
+    ).collect()[0]["m"]
+    if max_id is not None and max_id >= offset:
+        raise ValueError(
+            f"planted-dup offset {offset} collides with organic ids "
+            f"(max {max_id}); raise the offset for this corpus size"
+        )
     cap = (
         F.col("caption") if tail is None
         else F.concat(F.col("caption"), F.lit(tail))

@@ -47,15 +47,17 @@ def main() -> None:
     try:
         # -------- flagship: images near-dup pipeline (untimed generate)
         write_fixture(spark, work, n=n_images, partitions=cpus)
-        # Untimed warm-up: spin up the python-worker pool and JIT the
-        # scan path so the timed reps measure the pipeline, not process
-        # start-up.  Then best-of-2 full runs: single cold samples on
-        # this shared VM swing ±30% with host weather (BENCH.md round-3
-        # cold-probe series: 28.4–39.3 s for identical code), and the
-        # best-of is the standard way to report a repeatable wall.
-        spark.read.parquet(f"{work}/images.parquet").limit(2048).groupBy(
-            "fmt"
-        ).count().collect()
+        # Untimed warm-up: fork the python-worker pool (a JVM-only query
+        # would not — workers only spawn for Python stages) and touch
+        # the scan path, so the timed reps measure the pipeline, not
+        # process start-up.  Then best-of-2 full runs: single cold
+        # samples on this shared VM swing ±30% with host weather
+        # (BENCH.md round-3 cold-probe series: 28.4–39.3 s for
+        # identical code), and the best-of is the standard way to
+        # report a repeatable wall.
+        warm = spark.read.parquet(f"{work}/images.parquet").limit(4096)
+        warm = warm.repartition(cpus).select("image_id")
+        warm.mapInPandas(lambda it: it, warm.schema).count()
         pipeline_s = float("inf")
         n_assigned = 0
         for rep in range(2):

@@ -18,8 +18,9 @@ two narrow jobs (the same shape as operators/ids.py dense rank):
      ``total // n + 1`` rows, the rest ``total // n``.
 
 Reference analogue: none — DuDe has no ranking surface; this exists for
-the analytics queries (__spark_entry__.q_length_deciles) and any future
-percentile/quantile operator.
+the analytics queries (__spark_entry__.q_length_deciles), any future
+percentile/quantile operator, and as THE dense-rank primitive behind
+operators/ids.encode_ids (one implementation, two consumers).
 """
 
 from __future__ import annotations
@@ -41,6 +42,17 @@ def with_global_rank(
     ``ORDER BY *order_cols`` (ties broken by the caller including a
     unique column, exactly as a window's row_number would require).
     No single-partition exchange at any input size."""
+    return _with_global_rank(df, order_cols, out_col, partitions)[0]
+
+
+def _with_global_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "rn",
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`with_global_rank` plus the exact total row count — the
+    per-partition count pass already knows it, so callers that need the
+    scalar (ntile arithmetic) must not pay a second full pass through
+    the Python rank kernel to re-derive it."""
     cols = list(order_cols)
     if partitions:
         part = df.repartitionByRange(partitions, *[F.col(c) for c in cols])
@@ -76,7 +88,7 @@ def with_global_rank(
             nxt += n
             yield pdf
 
-    return part.mapInPandas(assign, schema)
+    return part.mapInPandas(assign, schema), acc
 
 
 def ntile_exact(
@@ -93,10 +105,11 @@ def ntile_exact(
     n_tiles``), then tiles of size ``base``; when ``base == 0`` each of
     the first ``total`` tiles holds exactly one row.
     """
-    ranked = with_global_rank(df, order_cols, out_col="__rn")
-    # one map-side-combinable count over the pinned checkpoint — the
-    # scalar the tile arithmetic needs, not a window
-    n_total = ranked.count()
+    # the rank pass's per-partition count job already knows the total —
+    # a ranked.count() here would push the whole input through the
+    # Python rank kernel a second time (MapInPandas may change
+    # cardinality, so Spark cannot skip it for a count)
+    ranked, n_total = _with_global_rank(df, order_cols, out_col="__rn")
     base, rem = divmod(n_total, n_tiles)
     rn = F.col("__rn")
     if base == 0:

@@ -34,12 +34,12 @@ Design constraints and why this shape:
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.ranking import with_global_rank
 
 
 def encode_ids(
@@ -49,40 +49,15 @@ def encode_ids(
     id_col (0-based, deterministic for a given id set).  Assumes id_col
     values are unique (the table contract — TEXT UNIQUE in the
     reference, db/database.go:44); duplicate ids would each get their
-    own iid and split one identity."""
-    ids = images.select(id_col)
-    if partitions:
-        ids = ids.repartitionByRange(partitions, F.col(id_col))
-    else:
-        ids = ids.repartitionByRange(F.col(id_col))
-    ids = ids.sortWithinPartitions(id_col).localCheckpoint(eager=True)
-    counts = {
-        r["pid"]: r["n"]
-        for r in ids.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    own iid and split one identity.
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        nxt = offsets.get(TaskContext.get().partitionId(), 0)
-        for pdf in batches:
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "iid": np.arange(nxt, nxt + n, dtype=np.int64),
-                }
-            )
-            nxt += n
-
-    return ids.mapInPandas(assign, f"{id_col} string, iid long")
+    The dense rank itself is :func:`functions.ranking.with_global_rank`
+    — ONE implementation of the two-pass distributed enumeration (the
+    docstring above explains the shape), not a second copy."""
+    return with_global_rank(
+        images.select(id_col), (id_col,), out_col="iid",
+        partitions=partitions,
+    )
 
 
 def encode_keys(df: DataFrame, ids: DataFrame, cols: Sequence[str]) -> DataFrame:

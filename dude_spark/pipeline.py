@@ -487,6 +487,10 @@ def run_pipeline(
         pairs = st.run(f"candidates_{det}", det, cid_iid, compute_pairs)
 
         def compute_edges():
+            if det == "exact" and not cfg.paranoid:
+                # verify is a no-op here — don't pay the decode/encode
+                # sandwich (four mapping joins) to reproduce the input
+                return pairs.select("a", "b")
             # verification runs in STRING space between a decode and a
             # re-encode: the payload attach (captions / bytes) joins
             # the raw images table, and pairs are small post-LSH, so

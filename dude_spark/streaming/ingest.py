@@ -33,7 +33,10 @@ Scale notes: the within-batch join goes through
 path as batch (one hot bucket inside a micro-batch degrades to star
 edges instead of an O(b²) self-join).  The new-vs-known join is
 bucket-equi against the known-sigs table (batch side is small — AQE
-broadcasts it).  State writes go to per-epoch partition directories
+broadcasts it) with its own per-bucket cap on the KNOWN side, the
+side that grows without bound across epochs (see ``_batch_pairs``);
+every capped bucket is recorded durably under ``overcap/epoch=N``,
+never silent.  State writes go to per-epoch partition directories
 with overwrite semantics, so a replay after a mid-batch crash rewrites
 its own epoch exactly — idempotent without transactions — and the
 known-sigs read filters the current epoch out so a half-written
@@ -79,32 +82,71 @@ def _batch_pairs(
     state_sigs_path: str,
     batch_id: int,
     bucket_cap: int,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """New duplicate pairs from one micro-batch's signatures:
     new-vs-known (bucket join against state) + new-vs-new (within
     batch, skew-capped via pairs_from_buckets), oriented
     (existing, newcomer) for the cross-epoch side.  Rows this same
     epoch wrote on a previous failed attempt are excluded from `known`
     via the epoch partition column — a replay must not see its own
-    output."""
+    output.
+
+    Returns ``(pairs, overcap)``.  Both joins are capped, and every
+    cap is RECORDED, never silent (the batch pipeline's own contract):
+
+    - within batch, ``pairs_from_buckets`` degrades an over-cap bucket
+      to star edges around its min id — each member still surfaces in
+      at least one pair, but member×member pairs are not enumerated;
+    - new-vs-known, the known side grows without bound across epochs
+      (a boilerplate-caption bucket accumulates members forever), so a
+      bucket whose KNOWN membership exceeds ``bucket_cap`` is joined
+      through its min known id only — O(batch) rows per epoch instead
+      of O(batch × corpus).  The cut is a map-side-combinable
+      aggregate, no window, so one pathological bucket never owns a
+      single fat task.
+
+    ``overcap`` lists every capped bucket as (bucket, bucket_size,
+    side∈{batch,known}); the caller persists it per epoch."""
     known_all = _read_state(spark, state_sigs_path)
+    overcap_known = None
     if known_all is not None:
         known = known_all.where(F.col("epoch") != F.lit(batch_id)).select(
             F.col("image_id").alias("known_id"), F.col("bucket")
         )
+        # only state buckets the batch actually touches participate
+        batch_bkts = sigs.select("bucket").distinct()
+        known_hit = known.join(batch_bkts, "bucket")
+        kstats = known_hit.groupBy("bucket").agg(
+            F.count("*").alias("bucket_size"),
+            F.min("known_id").alias("bucket_min"),
+        )
+        hot = kstats.where(F.col("bucket_size") > bucket_cap)
+        join_side = known_hit.join(
+            hot.select("bucket"), "bucket", "left_anti"
+        ).unionByName(
+            hot.select("bucket", F.col("bucket_min").alias("known_id"))
+        )
         vs_known = (
             sigs.select(F.col("image_id").alias("new_id"), "bucket")
-            .join(known, "bucket")
+            .join(join_side, "bucket")
             .where(F.col("known_id") != F.col("new_id"))
             .select(F.col("known_id").alias("a"), F.col("new_id").alias("b"))
         )
+        overcap_known = hot.select(
+            "bucket", "bucket_size", F.lit("known").alias("side")
+        )
     else:
         vs_known = None
-    vs_new, _overcap = pairs_from_buckets(
+    vs_new, overcap_batch = pairs_from_buckets(
         sigs.select("image_id", "bucket"), bucket_cap
     )
+    overcap = overcap_batch.select(
+        "bucket", "bucket_size", F.lit("batch").alias("side")
+    )
+    if overcap_known is not None:
+        overcap = overcap.unionByName(overcap_known)
     out = vs_new if vs_known is None else vs_new.unionByName(vs_known)
-    return out.distinct()
+    return out.distinct(), overcap
 
 
 def minhash_ingest(
@@ -160,6 +202,7 @@ def start_incremental_dedup(
     rows_path = os.path.join(state_dir, "rows")
     pairs_path = os.path.join(state_dir, "pairs")
     epochs_path = os.path.join(state_dir, "epochs")
+    overcap_path = os.path.join(state_dir, "overcap")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # Replay idempotency WITHOUT transactions: every epoch writes
@@ -181,7 +224,9 @@ def start_incremental_dedup(
             .select("image_id", "bucket")
             .localCheckpoint(eager=True)
         )
-        pairs = _batch_pairs(spark, sigs, sigs_path, batch_id, bucket_cap)
+        pairs, overcap = _batch_pairs(
+            spark, sigs, sigs_path, batch_id, bucket_cap
+        )
         if verify_fn is not None:
             new_rows = batch_df.select("image_id", *state_cols)
             past = _read_state(spark, rows_path)
@@ -197,6 +242,12 @@ def start_incremental_dedup(
             pairs = verify_fn(pairs, rows).select("a", "b")
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"epoch={batch_id}")
+        )
+        # durable record of every capped bucket this epoch (batch-side
+        # star degradation + known-side rep cut) — the no-silent-
+        # truncation contract the batch pipeline's overcap_{det} keeps
+        overcap.write.mode("overwrite").parquet(
+            os.path.join(overcap_path, f"epoch={batch_id}")
         )
         sigs.write.mode("overwrite").parquet(
             os.path.join(sigs_path, f"epoch={batch_id}")

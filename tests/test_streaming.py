@@ -127,3 +127,45 @@ def test_incremental_dedup_stream_minhash(spark, tmp_path):
 
     # epoch markers + per-epoch overwrite partitions: replay-idempotent
     assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
+
+
+def test_stream_known_side_bucket_cap(spark, tmp_path):
+    """A bucket whose KNOWN membership exceeds bucket_cap joins new
+    rows through its min known id only — O(batch) pairs per epoch
+    instead of O(batch × corpus) — and the cut lands in the durable
+    overcap record (no silent truncation)."""
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary"
+
+    # epoch 1: 9 byte-identical rows — one exact bucket in state
+    _write_batch(
+        spark, input_dir, [(f"k{i}", b"hot-payload") for i in range(9)]
+    )
+    _drain_capped(spark, input_dir, state_dir, schema, bucket_cap=4)
+
+    # epoch 2: two newcomers hit the hot known bucket
+    _write_batch(spark, input_dir, [("x", b"hot-payload"), ("y", b"hot-payload")])
+    _drain_capped(spark, input_dir, state_dir, schema, bucket_cap=4)
+
+    e2 = spark.read.parquet(os.path.join(state_dir, "pairs", "epoch=1"))
+    vs_known = {(r["a"], r["b"]) for r in e2.collect() if r["a"].startswith("k")}
+    # capped: each newcomer pairs with the min known id only, not all 9
+    assert vs_known == {("k0", "x"), ("k0", "y")}
+
+    overcap = spark.read.parquet(os.path.join(state_dir, "overcap"))
+    rec = overcap.where(overcap["side"] == "known").collect()
+    assert len(rec) == 1 and rec[0]["bucket_size"] == 9
+
+    # epoch 1's within-batch star degradation is also on record
+    batch_rec = overcap.where(
+        (overcap["side"] == "batch") & (overcap["epoch"] == 0)
+    ).collect()
+    assert len(batch_rec) == 1 and batch_rec[0]["bucket_size"] == 9
+
+
+def _drain_capped(spark, input_dir, state_dir, schema, bucket_cap):
+    q = start_incremental_dedup(
+        spark, input_dir, state_dir, schema, bucket_cap=bucket_cap
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
