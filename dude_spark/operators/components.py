@@ -26,8 +26,10 @@ because the mapping is order-preserving.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -75,16 +77,84 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: union-find on the driver over a BOUNDED
+    collected edge list.  Exists because the distributed star rounds
+    are 5–8 Spark jobs of fixed scheduling latency — a flat ~8 s tail
+    in the measured 600k pipeline (BENCH.md round-3) that dominates
+    nothing but the Amdahl serial floor when the verified edge set is
+    tiny (dedup edges ≈ O(dups), orders of magnitude below the input).
+    The caller guarantees the bound; at data scale the distributed
+    rounds run instead."""
+    spark = edges.sparkSession
+    out_schema = StructType(
+        [
+            StructField("image_id", edges.schema["a"].dataType),
+            StructField("cluster_id", edges.schema["b"].dataType),
+        ]
+    )
+    pdf = edges.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], schema=out_schema)
+    codes, uniques = pd.factorize(pd.concat([pdf["a"], pdf["b"]]), sort=False)
+    m = len(pdf)
+    parent = list(range(len(uniques)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for u, v in zip(codes[:m].tolist(), codes[m:].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    roots = [find(i) for i in range(len(uniques))]
+    # component label = min NODE VALUE, not min factorize index
+    # (factorize orders by appearance) — same contract as the star
+    # rounds: cluster_id = min(image_id) over the component
+    nodes = pd.Series(uniques)
+    rep = nodes.groupby(roots).transform("min")
+    out = pd.DataFrame({"image_id": nodes, "cluster_id": rep})
+    return spark.createDataFrame(out, schema=out_schema)
+
+
+# Bounded decision for the driver fast path: ≤ cap edges collect to
+# ~tens of MB and union-find in well under the latency of ONE star
+# round's jobs.  Same adaptivity precedent as candidates.py's eager
+# over-cap probe — a tiny action picks the plan the data deserves.
+DRIVER_EDGE_CAP = 2_000_000
+
+
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 30, checkpoint: bool = True
+    pairs: DataFrame,
+    max_iterations: int = 30,
+    checkpoint: bool = True,
+    driver_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """pairs(a, b) → assignments(image_id, cluster_id).
 
     cluster_id = min(image_id) over the component.  Only nodes that
     appear in at least one pair are returned (singletons are dropped,
     ≅ hashing.go:366-368).
+
+    Adaptive: a bounded ``limit(cap+1).count()`` probe routes edge sets
+    of ≤ ``driver_cap`` distinct edges through driver union-find
+    (:func:`_driver_components` — removes the star rounds' flat
+    multi-job tail), everything larger through the distributed
+    large-star/small-star rounds.  ``driver_cap=0`` forces the
+    distributed path (the equivalence test does).
     """
     edges = pairs.select("a", "b").where(F.col("a") != F.col("b")).distinct()
+    if driver_cap:
+        if checkpoint:
+            # pin so the probe's materialization is reused by whichever
+            # path runs (toPandas, or round 1 of the star loop)
+            edges = edges.localCheckpoint(eager=False)
+        n_edges = edges.limit(driver_cap + 1).count()
+        if n_edges <= driver_cap:
+            return _driver_components(edges)
     prev = None
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges))
