@@ -149,6 +149,13 @@ def _batch_simhash(captions) -> list[int | None]:
     short_lens = lens[short_mask]
     hashes = np.empty(n, dtype=np.uint64)
 
+    # Scratch budget PER CONCURRENT WORKER, not per process (the
+    # minhash chunk lesson, SURVEY §10.2): at K=_VEC_CAP a whole-batch
+    # scatter matrix is ~40 MB of uint64 — "L3-resident" for one
+    # worker, DRAM-bound for 32.  Token rows are processed in slices
+    # of ≤ _SCATTER_ELEMS elements (~0.5 MB) so every worker's
+    # scatter/multiply/sum stays cached under full concurrency.
+    _SCATTER_ELEMS = 1 << 16
     with np.errstate(over="ignore"):
         if short_lens.size:
             short_toks = (
@@ -156,25 +163,31 @@ def _batch_simhash(captions) -> list[int | None]:
                 if long_idx.size == 0
                 else [t for t, keep in zip(all_toks, short_mask) if keep]
             )
-            cp = np.frombuffer(
-                "".join(short_toks).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.uint64)
-            ns, total, K = len(short_toks), int(short_lens.sum()), int(short_lens.max())
-            # scatter code points right-aligned into (ns, K)
-            row = np.repeat(np.arange(ns), short_lens)
-            starts = np.concatenate(([0], np.cumsum(short_lens)[:-1]))
-            within = np.arange(total) - np.repeat(starts, short_lens)
-            col = K - np.repeat(short_lens, short_lens) + within
-            M = np.zeros((ns, K), dtype=np.uint64)
-            M[row, col] = cp
+            ns, K = len(short_toks), int(short_lens.max())
             pows = np.empty(K + 1, dtype=np.uint64)
             pows[0] = 1
             for j in range(1, K + 1):  # K <= _VEC_CAP, tiny
                 pows[j] = pows[j - 1] * _POLY_B
-            short_hashes = (M * pows[K - 1 :: -1][None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-            short_hashes += _FNV_OFFSET * pows[short_lens]
+            pows_rev = pows[K - 1 :: -1]
+            short_hashes = np.empty(ns, dtype=np.uint64)
+            step = max(1, _SCATTER_ELEMS // K)
+            for r0 in range(0, ns, step):
+                r1 = min(ns, r0 + step)
+                lens_c = short_lens[r0:r1]
+                total_c = int(lens_c.sum())
+                cp = np.frombuffer(
+                    "".join(short_toks[r0:r1]).encode("utf-32-le"),
+                    dtype=np.uint32,
+                ).astype(np.uint64)
+                # scatter code points right-aligned into (rows, K)
+                row = np.repeat(np.arange(r1 - r0), lens_c)
+                starts = np.concatenate(([0], np.cumsum(lens_c)[:-1]))
+                within = np.arange(total_c) - np.repeat(starts, lens_c)
+                col = K - np.repeat(lens_c, lens_c) + within
+                M = np.zeros((r1 - r0, K), dtype=np.uint64)
+                M[row, col] = cp
+                h_c = (M * pows_rev[None, :]).sum(axis=1, dtype=np.uint64)
+                short_hashes[r0:r1] = h_c + _FNV_OFFSET * pows[lens_c]
             hashes[short_mask] = short_hashes
         for i in long_idx:  # rare outliers — scalar reference math
             cp_i = np.frombuffer(
