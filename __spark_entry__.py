@@ -260,7 +260,9 @@ def q_minhash_pairs(spark, sf_dir):
     # cache fill cost more than the checkpoint barrier in every
     # pairing — 46/42 s vs 32/31 s walls.)
     sigs = minhash_signatures(docs, cfg).localCheckpoint(eager=True)
-    pairs, _ = pairs_from_buckets(minhash_buckets(sigs), bucket_cap=64)
+    pairs, _ = pairs_from_buckets(
+        minhash_buckets(sigs), bucket_cap=64, overcap_mode="exhaustive"
+    )
     # sketch-estimate prefilter drops the LSH false-positive bulk
     # (119,731 → ~10^3 here) before the caption attach; survivors
     # still face the exact verify (operators/verify.py docs)
@@ -288,7 +290,9 @@ def q_simhash_pairs(spark, sf_dir):
     # consumers (overcap collect, pairing, verify) with one UDF pass
     # (lazy persist A/B-measured round 3: never faster, see minhash)
     sigs = simhash_signatures(docs, cfg).localCheckpoint(eager=True)
-    pairs, _ = pairs_from_buckets(simhash_buckets(sigs, cfg), bucket_cap=64)
+    pairs, _ = pairs_from_buckets(
+        simhash_buckets(sigs, cfg), bucket_cap=64, overcap_mode="exhaustive"
+    )
     out = simhash_pairs_verified(pairs, sigs, cfg)
     return _canon_pairs(out)
 
@@ -304,7 +308,9 @@ def q_substring_pairs(spark, sf_dir):
     docs = _docs_as_images(spark, sf_dir)
     cfg = SuffixConfig(min_match_len=32)
     sigs = suffix_signatures(docs, cfg).localCheckpoint(eager=True)
-    pairs, _ = pairs_from_buckets(suffix_buckets(sigs), bucket_cap=64)
+    pairs, _ = pairs_from_buckets(
+        suffix_buckets(sigs), bucket_cap=64, overcap_mode="exhaustive"
+    )
     out = verify_substring(pairs, docs, cfg)
     return _canon_pairs(out)
 

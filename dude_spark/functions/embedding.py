@@ -317,15 +317,14 @@ def cosine_dup_pairs(
                  exact JVM-side cosine re-check.  Precision is exact;
                  recall is guaranteed for pairs within Hamming radius
                  ``lsh_radius`` of each other (cos ≳ cos(π·r/64) —
-                 0.989 at r=3) EXCEPT inside over-cap buckets: a bucket
-                 with more than ``bucket_cap`` members degrades to star
-                 edges around its min id (skew defense), so non-star
-                 in-bucket pairs there are found only if they co-occur
-                 in another, under-cap bucket — the overcap frame
-                 returned by pairs_from_buckets records exactly which
-                 keys were degraded.  Below the radius recall is
-                 probabilistic, which is the near-dup regime this
-                 operator exists for.  The only
+                 0.989 at r=3) INCLUDING inside over-cap buckets: this
+                 is a PAIR-semantics operator, so hot buckets take
+                 pairs_from_buckets' exhaustive salted-grid path (all
+                 in-bucket pairs, no task over ~2·cap rows) rather
+                 than star degradation; the overcap frame still
+                 records which keys paid the quadratic cost.  Below
+                 the radius recall is probabilistic, which is the
+                 near-dup regime this operator exists for.  The only
                  driver materialization on this path is the tiny
                  skew-detection aggregate inside pairs_from_buckets
                  (over-cap keys, bounded by construction) — the corpus
@@ -403,7 +402,9 @@ def _cosine_dup_pairs_lsh(
             pigeonhole_key_array(F.col("sig"), segments, lsh_radius, tag="ce")
         ).alias("bucket"),
     )
-    pairs, _overcap = pairs_from_buckets(buckets, bucket_cap)
+    pairs, _overcap = pairs_from_buckets(
+        buckets, bucket_cap, overcap_mode="exhaustive"
+    )
     e = base.select("image_id", "emb")
     verified = (
         pairs.join(

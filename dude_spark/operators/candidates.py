@@ -44,13 +44,33 @@ def overcap_stats(buckets: DataFrame, bucket_cap: int) -> DataFrame:
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, bucket_cap: int = 64
+    buckets: DataFrame, bucket_cap: int = 64, overcap_mode: str = "star"
 ) -> tuple[DataFrame, DataFrame]:
     """(image_id, bucket) → ((a, b) with a < b distinct, overcap stats).
 
     Returns ``(pairs, overcap)`` where ``overcap`` is
-    ``(bucket, bucket_size)`` for every bucket that fell back to star
-    edges — feed it to the lineage sink.
+    ``(bucket, bucket_size)`` for every bucket larger than the cap —
+    feed it to the lineage sink.
+
+    ``overcap_mode`` picks the skew fallback by the CALLER's semantics:
+
+    - ``"star"`` (default) — over-cap buckets degrade to star edges
+      around the bucket min.  Right for ASSIGNMENT semantics: the
+      connected-components stage restores the component through the
+      star center, so cluster membership is preserved at O(b) edges.
+    - ``"exhaustive"`` — over-cap buckets emit EVERY in-bucket pair
+      through a salted block grid: each member gets a hash salt in
+      [0, ceil(b/cap)); grid cell (i ≤ j) joins salt-i members against
+      salt-j members, so no task ever sees more than ~2·cap rows and
+      the b²/2 pairs spread over b²/(2·cap²) cells.  Required for PAIR
+      semantics (an exact-oracle pair query, a recall-guaranteed LSH
+      pairs operator): a verify stage downstream decides per pair, so
+      a dropped candidate is a silently lost result — the ADVICE-r2
+      cosine_dup_pairs finding, observed live as 9 missing
+      substring_pairs at sf0.1.  The quadratic candidate count is
+      intrinsic to exact pair semantics; this mode distributes it
+      instead of dropping it (and ``overcap`` still records which
+      buckets paid it).
 
     EAGER: calling this runs one Spark action (the map-side-combinable
     over-cap detection aggregate, collected — tiny by construction),
@@ -58,10 +78,12 @@ def pairs_from_buckets(
     (one window shuffle, measured ~2× faster end-to-end than the
     always-broadcast shape at n=600k because the fat exploded bucket
     table is scanned once, not three times) and the skewed path
-    (broadcast star edges for the collected hot keys, window for the
-    rest).  ``overcap`` is built from the collected rows — reading it
-    costs nothing.
+    (broadcast star edges or the salted grid for the collected hot
+    keys, window for the rest).  ``overcap`` is built from the
+    collected rows — reading it costs nothing.
     """
+    if overcap_mode not in ("star", "exhaustive"):
+        raise ValueError(f"unknown overcap_mode: {overcap_mode!r}")
     b = buckets.where(F.col("bucket").isNotNull())
     spark = buckets.sparkSession
 
@@ -82,25 +104,73 @@ def pairs_from_buckets(
     )
 
     if overcap_rows:
-        # Skewed input: hot rows take star edges through a broadcast
-        # join of the collected keys — the 10^8-row hot bucket never
-        # streams through a single WindowExec task (round-1 VERDICT
-        # "what's wrong" #7) — and are removed map-side before the
-        # window.  Only actually-skewed inputs pay these extra scans.
-        hot = F.broadcast(
-            spark.createDataFrame(
-                [(r["bucket"], r["bucket_min"]) for r in overcap_rows],
-                schema=b.select(
-                    "bucket", F.col("image_id").alias("bucket_min")
-                ).schema,
+        # Skewed input: hot rows leave the window path through a
+        # broadcast join of the collected keys — the 10^8-row hot
+        # bucket never streams through a single WindowExec task
+        # (round-1 VERDICT "what's wrong" #7) — and are removed
+        # map-side before the window.  Only actually-skewed inputs
+        # pay these extra scans.
+        if overcap_mode == "exhaustive":
+            nb = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (r["bucket"], -(-r["bucket_size"] // bucket_cap))
+                        for r in overcap_rows
+                    ],
+                    schema=b.select(
+                        "bucket", F.lit(0).cast("int").alias("nb")
+                    ).schema,
+                )
             )
-        )
-        star_pairs = (
-            b.join(hot, "bucket")
-            .where(F.col("image_id") != F.col("bucket_min"))
-            .select(F.col("bucket_min").alias("a"), F.col("image_id").alias("b"))
-        )
-        pairing_input = b.join(hot.select("bucket"), "bucket", "left_anti")
+            salted = b.join(nb, "bucket").withColumn(
+                "s", F.pmod(F.xxhash64("image_id"), F.col("nb")).cast("int")
+            )
+            # grid cell (gi <= gj): salt-gi members (role A) × salt-gj
+            # members (role B).  A member with salt s plays role A in
+            # cells (s, j>=s) and role B in cells (i<=s, s); the
+            # diagonal cell emits both orders and least/greatest +
+            # the final distinct() canonicalize.
+            a_side = salted.select(
+                "bucket",
+                F.col("image_id").alias("pa"),
+                F.col("s").alias("gi"),
+                F.explode(
+                    F.sequence(F.col("s"), F.col("nb") - F.lit(1))
+                ).alias("gj"),
+            )
+            b_side = salted.select(
+                "bucket",
+                F.col("image_id").alias("pb"),
+                F.explode(F.sequence(F.lit(0), F.col("s"))).alias("gi"),
+                F.col("s").alias("gj"),
+            )
+            star_pairs = (
+                a_side.join(b_side, ["bucket", "gi", "gj"])
+                .where(F.col("pa") != F.col("pb"))
+                .select(
+                    F.least("pa", "pb").alias("a"),
+                    F.greatest("pa", "pb").alias("b"),
+                )
+            )
+            hot_keys = nb.select("bucket")
+        else:
+            hot = F.broadcast(
+                spark.createDataFrame(
+                    [(r["bucket"], r["bucket_min"]) for r in overcap_rows],
+                    schema=b.select(
+                        "bucket", F.col("image_id").alias("bucket_min")
+                    ).schema,
+                )
+            )
+            star_pairs = (
+                b.join(hot, "bucket")
+                .where(F.col("image_id") != F.col("bucket_min"))
+                .select(
+                    F.col("bucket_min").alias("a"), F.col("image_id").alias("b")
+                )
+            )
+            hot_keys = hot.select("bucket")
+        pairing_input = b.join(hot_keys, "bucket", "left_anti")
     else:
         star_pairs = None
         pairing_input = b

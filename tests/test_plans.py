@@ -97,6 +97,34 @@ def test_hot_bucket_star_edges_via_broadcast(spark):
     assert len(oc) == 1 and oc[0]["bucket"] == "HOT" and oc[0]["bucket_size"] == 5000
 
 
+def test_hot_bucket_exhaustive_grid_emits_all_pairs(spark):
+    """overcap_mode='exhaustive' (pair-semantics callers): a hot bucket
+    must emit EVERY in-bucket pair via the salted block grid — the
+    exact set a naive self-join would produce — while under-cap
+    buckets keep the window path, and the cut is still recorded."""
+    n_hot = 300
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{i:05d}" for i in range(n_hot)]
+            + [f"p{i}" for i in range(4)],
+            "bucket": ["HOT"] * n_hot + ["ok"] * 4,
+        }
+    )
+    pairs, overcap = pairs_from_buckets(
+        spark.createDataFrame(pdf), bucket_cap=64, overcap_mode="exhaustive"
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    hot_all = {
+        (f"i{i:05d}", f"i{j:05d}")
+        for i in range(n_hot)
+        for j in range(i + 1, n_hot)
+    }
+    full = {(f"p{i}", f"p{j}") for i in range(4) for j in range(i + 1, 4)}
+    assert got == hot_all | full
+    oc = overcap.collect()
+    assert len(oc) == 1 and oc[0]["bucket_size"] == n_hot
+
+
 def test_salted_two_stage_equals_direct(spark):
     # hot key: 5000 rows in one bucket; salted two-stage count must
     # equal the direct group count exactly
