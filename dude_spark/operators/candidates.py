@@ -43,6 +43,11 @@ def overcap_stats(buckets: DataFrame, bucket_cap: int) -> DataFrame:
     )
 
 
+# Refuse exhaustive over-cap jobs above this many candidate pairs — a
+# universal bucket at corpus scale is an impossible job, not a slow one.
+_MAX_EXHAUSTIVE_PAIRS = 1_000_000_000
+
+
 def pairs_from_buckets(
     buckets: DataFrame, bucket_cap: int = 64, overcap_mode: str = "star"
 ) -> tuple[DataFrame, DataFrame]:
@@ -111,6 +116,26 @@ def pairs_from_buckets(
         # map-side before the window.  Only actually-skewed inputs
         # pay these extra scans.
         if overcap_mode == "exhaustive":
+            # Cost guard: exhaustive pair semantics is intrinsically
+            # quadratic, and a universal bucket (boilerplate text
+            # shared by 10^8 docs) means 10^15+ pairs — a job that
+            # should be REFUSED loudly, not launched.  The overcap
+            # rows are already on the driver, so the bound is free.
+            grid_pairs = sum(
+                r["bucket_size"] * (r["bucket_size"] - 1) // 2
+                for r in overcap_rows
+            )
+            if grid_pairs > _MAX_EXHAUSTIVE_PAIRS:
+                worst = max(overcap_rows, key=lambda r: r["bucket_size"])
+                raise ValueError(
+                    f"exhaustive over-cap pairing would emit "
+                    f"{grid_pairs:,} candidate pairs "
+                    f"(largest bucket: {worst['bucket_size']:,} members) — "
+                    f"above the {_MAX_EXHAUSTIVE_PAIRS:,} safety bound. "
+                    f"Raise bucket_cap selectivity (more bands/longer "
+                    f"grams), drop the degenerate keys, or use "
+                    f"overcap_mode='star' (assignment semantics)."
+                )
             nb = F.broadcast(
                 spark.createDataFrame(
                     [

@@ -125,6 +125,22 @@ def test_hot_bucket_exhaustive_grid_emits_all_pairs(spark):
     assert len(oc) == 1 and oc[0]["bucket_size"] == n_hot
 
 
+def test_exhaustive_grid_refuses_impossible_jobs(spark, monkeypatch):
+    """A universal bucket above the pair-count safety bound must raise
+    loudly instead of launching a quadratic job."""
+    from dude_spark.operators import candidates
+
+    monkeypatch.setattr(candidates, "_MAX_EXHAUSTIVE_PAIRS", 1000)
+    pdf = pd.DataFrame(
+        {"image_id": [f"i{i}" for i in range(100)], "bucket": ["U"] * 100}
+    )
+    with pytest.raises(ValueError, match="safety bound"):
+        candidates.pairs_from_buckets(
+            spark.createDataFrame(pdf), bucket_cap=10,
+            overcap_mode="exhaustive",
+        )
+
+
 def test_salted_two_stage_equals_direct(spark):
     # hot key: 5000 rows in one bucket; salted two-stage count must
     # equal the direct group count exactly
