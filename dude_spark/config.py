@@ -174,12 +174,6 @@ class JobConfig:
         invalidates the reference's row cache (hashing.go:84-88).
         """
         sub: dict = {"detector": detector}
-        if detector == "exact":
-            # paranoid toggles the exact detector's verify stage (the
-            # fuzzy detectors always verify) — an edges checkpoint
-            # written without verification must not resume into a
-            # paranoid run
-            sub["paranoid"] = self.paranoid
         if detector == "minhash":
             sub.update(dataclasses.asdict(self.minhash))
         elif detector == "simhash":

@@ -169,7 +169,7 @@ def pairs_from_buckets(
                 F.explode(F.sequence(F.lit(0), F.col("s"))).alias("gi"),
                 F.col("s").alias("gj"),
             )
-            star_pairs = (
+            hot_pairs = (
                 a_side.join(b_side, ["bucket", "gi", "gj"])
                 .where(F.col("pa") != F.col("pb"))
                 .select(
@@ -187,7 +187,7 @@ def pairs_from_buckets(
                     ).schema,
                 )
             )
-            star_pairs = (
+            hot_pairs = (
                 b.join(hot, "bucket")
                 .where(F.col("image_id") != F.col("bucket_min"))
                 .select(
@@ -197,7 +197,7 @@ def pairs_from_buckets(
             hot_keys = hot.select("bucket")
         pairing_input = b.join(hot_keys, "bucket", "left_anti")
     else:
-        star_pairs = None
+        hot_pairs = None
         pairing_input = b
 
     # Single fat shuffle for the pairing path: a partitionBy(bucket)
@@ -216,8 +216,8 @@ def pairs_from_buckets(
     pairs = (
         left.join(right, "bucket").where(F.col("a") < F.col("b")).select("a", "b")
     )
-    if star_pairs is not None:
-        pairs = pairs.unionByName(star_pairs.select("a", "b"))
+    if hot_pairs is not None:
+        pairs = pairs.unionByName(hot_pairs.select("a", "b"))
     return pairs.distinct(), overcap_out
 
 

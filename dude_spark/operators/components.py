@@ -139,12 +139,17 @@ def connected_components(
     appear in at least one pair are returned (singletons are dropped,
     ≅ hashing.go:366-368).
 
-    Adaptive: a bounded ``limit(cap+1).count()`` probe routes edge sets
-    of ≤ ``driver_cap`` distinct edges through driver union-find
+    Adaptive: a count probe routes edge sets of ≤ ``driver_cap``
+    distinct edges through driver union-find
     (:func:`_driver_components` — removes the star rounds' flat
     multi-job tail), everything larger through the distributed
     large-star/small-star rounds.  ``driver_cap=0`` forces the
-    distributed path (the equivalence test does).
+    distributed path (the equivalence test does).  A plain count, not
+    ``limit(cap+1).count()``: the distinct() below must consume all
+    its input regardless, so a limit early-exits nothing and its
+    GlobalLimit would funnel up to cap+1 rows PER partition through
+    one task — count is map-side combinable (one combined row per
+    partition to the driver).
     """
     edges = pairs.select("a", "b").where(F.col("a") != F.col("b")).distinct()
     if driver_cap:
@@ -152,8 +157,7 @@ def connected_components(
             # pin so the probe's materialization is reused by whichever
             # path runs (toPandas, or round 1 of the star loop)
             edges = edges.localCheckpoint(eager=False)
-        n_edges = edges.limit(driver_cap + 1).count()
-        if n_edges <= driver_cap:
+        if edges.count() <= driver_cap:
             return _driver_components(edges)
     prev = None
     for _ in range(max_iterations):

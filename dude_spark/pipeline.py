@@ -201,6 +201,13 @@ def _buckets(signatures: DataFrame, detector: str, cfg: JobConfig) -> DataFrame:
     raise ValueError(detector)
 
 
+def _verify_is_noop(detector: str, cfg: JobConfig) -> bool:
+    """True when _verify returns its input unchanged — the ONE source
+    of truth for both _verify's early return and compute_edges'
+    decode/encode-sandwich skip (and the edges stage key tag)."""
+    return detector == "exact" and not cfg.paranoid
+
+
 def _verify(
     pairs: DataFrame,
     images: DataFrame,
@@ -212,7 +219,7 @@ def _verify(
     fuzzy detectors verification is NOT optional — it is what turns
     candidate buckets into true near-dup pairs."""
     if detector == "exact":
-        if not cfg.paranoid:
+        if _verify_is_noop(detector, cfg):
             return pairs
         return verify_exact(pairs, images)
     if detector == "minhash":
@@ -487,8 +494,8 @@ def run_pipeline(
         pairs = st.run(f"candidates_{det}", det, cid_iid, compute_pairs)
 
         def compute_edges():
-            if det == "exact" and not cfg.paranoid:
-                # verify is a no-op here — don't pay the decode/encode
+            if _verify_is_noop(det, cfg):
+                # verify is a no-op — don't pay the decode/encode
                 # sandwich (four mapping joins) to reproduce the input
                 return pairs.select("a", "b")
             # verification runs in STRING space between a decode and a
@@ -501,7 +508,14 @@ def run_pipeline(
             verified = _verify(pairs_str, images, sigs, det, cfg)
             return _enc(verified.select("a", "b"), ("a", "b"))
 
-        edges = st.run(f"edges_{det}", det, cid_iid, compute_edges)
+        # the verify-noop tag keys ONLY the edges stage: an edge set
+        # written without verification must not resume into a paranoid
+        # run (and vice versa), but signatures and candidates are
+        # byte-identical across paranoid settings — tagging the whole
+        # config_id would force a pointless corpus re-fingerprint on
+        # every --no-paranoid toggle
+        cid_edges = cid_iid + ("#v0" if _verify_is_noop(det, cfg) else "")
+        edges = st.run(f"edges_{det}", det, cid_edges, compute_edges)
         return edges.select("a", "b")
 
     # Detector chains are independent until the edge union — run them

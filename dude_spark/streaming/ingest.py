@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from ..config import MinHashConfig
 from ..detectors.exact import exact_buckets
 from ..detectors.minhash import minhash_buckets, minhash_signatures
-from ..operators.candidates import pairs_from_buckets
+from ..operators.candidates import overcap_stats, pairs_from_buckets
 from ..operators.verify import verify_jaccard
 
 BucketFn = Callable[[DataFrame], DataFrame]
@@ -108,7 +108,7 @@ def _batch_pairs(
     ``overcap`` lists every capped bucket as (bucket, bucket_size,
     side∈{batch,known}); the caller persists it per epoch."""
     known_all = _read_state(spark, state_sigs_path)
-    overcap_known = None
+    overcap_known_rows: list = []
     if known_all is not None:
         known = known_all.where(F.col("epoch") != F.lit(batch_id)).select(
             F.col("image_id").alias("known_id"), F.col("bucket")
@@ -116,24 +116,35 @@ def _batch_pairs(
         # only state buckets the batch actually touches participate
         batch_bkts = sigs.select("bucket").distinct()
         known_hit = known.join(batch_bkts, "bucket")
-        kstats = known_hit.groupBy("bucket").agg(
-            F.count("*").alias("bucket_size"),
-            F.min("known_id").alias("bucket_min"),
-        )
-        hot = kstats.where(F.col("bucket_size") > bucket_cap)
-        join_side = known_hit.join(
-            hot.select("bucket"), "bucket", "left_anti"
-        ).unionByName(
-            hot.select("bucket", F.col("bucket_min").alias("known_id"))
-        )
+        # the skew-detection aggregate is candidates.overcap_stats (ONE
+        # implementation of the cap semantics), collected eagerly —
+        # bounded by the batch's distinct buckets, and collecting it
+        # means the pairs action below scans the multi-TB sigs state
+        # ONCE, not once per lazy reference to the hot aggregate
+        overcap_known_rows = overcap_stats(
+            known_hit.select(F.col("known_id").alias("image_id"), "bucket"),
+            bucket_cap,
+        ).collect()
+        if overcap_known_rows:
+            hot_reps = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (r["bucket"], r["bucket_min"])
+                        for r in overcap_known_rows
+                    ],
+                    schema=known_hit.select("bucket", "known_id").schema,
+                )
+            )
+            join_side = known_hit.join(
+                hot_reps.select("bucket"), "bucket", "left_anti"
+            ).unionByName(hot_reps.select("bucket", "known_id"))
+        else:
+            join_side = known_hit
         vs_known = (
             sigs.select(F.col("image_id").alias("new_id"), "bucket")
             .join(join_side, "bucket")
             .where(F.col("known_id") != F.col("new_id"))
             .select(F.col("known_id").alias("a"), F.col("new_id").alias("b"))
-        )
-        overcap_known = hot.select(
-            "bucket", "bucket_size", F.lit("known").alias("side")
         )
     else:
         vs_known = None
@@ -143,8 +154,16 @@ def _batch_pairs(
     overcap = overcap_batch.select(
         "bucket", "bucket_size", F.lit("batch").alias("side")
     )
-    if overcap_known is not None:
-        overcap = overcap.unionByName(overcap_known)
+    if overcap_known_rows:
+        overcap = overcap.unionByName(
+            spark.createDataFrame(
+                [
+                    (r["bucket"], r["bucket_size"], "known")
+                    for r in overcap_known_rows
+                ],
+                schema=overcap.schema,
+            )
+        )
     out = vs_new if vs_known is None else vs_new.unionByName(vs_known)
     return out.distinct(), overcap
 
