@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from dude_spark.config import MinHashConfig, SimHashConfig, SuffixConfig
 from dude_spark.detectors.minhash import minhash_buckets, minhash_signatures
 from dude_spark.detectors.simhash import (
+    pigeonhole_key_array,
     simhash_buckets,
     simhash_pairs_verified,
     simhash_signatures,
@@ -36,13 +37,18 @@ from dude_spark.functions.text import (
     lang_id,
     norm_fingerprint,
     punct_count,
+    quality_signals,
     stopword_count,
     token_count,
 )
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.operators.textdedup import ngram_jaccard_pairs
-from dude_spark.operators.verify import prefilter_minhash, verify_jaccard
+from dude_spark.operators.verify import (
+    prefilter_minhash,
+    verify_hamming,
+    verify_jaccard,
+)
 
 STOPWORD_SQL = "('a','the','and','of','to','in')"
 
@@ -107,6 +113,18 @@ def q_token_stats(spark, sf_dir):
         punct_count(t).cast("long").alias("punct_chars"),
         F.length(t).cast("long").alias("n_chars_m"),
         bpe_token_count(t).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """Quality scoring for LLM training-data curation: Gopher-style
+    integer signals + a first-match quality class per document
+    (functions/text.quality_signals).  On this corpus the cascade is
+    live at every SF: a mix of too_short / low_stopword / ok."""
+    cols = quality_signals(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[c.alias(name) for name, c in cols],
     )
 
 
@@ -315,6 +333,70 @@ def q_substring_pairs(spark, sf_dir):
     return _canon_pairs(out)
 
 
+# 3 bits spread across distinct 8-bit segments (5, 23, 58) — within the
+# radius-3 ball, so the pigeonhole guarantee makes every planted pair's
+# recovery DETERMINISTIC, not probabilistic.
+_HAMMING_MASK = (1 << 5) | (1 << 23) | (1 << 58)
+_HAMMING_RADIUS = 3
+_HAMMING_SEGMENTS = 8
+_HAMMING_OFFSET = 300000
+
+
+def q_hamming_pairs(spark, sf_dir):
+    """Oracle-gated exercise of the D2 BUCKETING MACHINERY: pigeonhole
+    segment-subset keys (pigeonhole_key_array — the same implementation
+    D2 and the embedding LSH path share), exhaustive over-cap pairing,
+    and the JVM `bit_count(a^b)` Hamming verify.
+
+    The caption-simhash SIGNATURE is not SQL-expressible (custom token
+    hashing), which is why `simhash_pairs` is rows-only; here the
+    signature is replaced by a 64-bit value both engines derive
+    identically from md5(text), so everything DOWNSTREAM of the
+    signature UDF gets a DuckDB hash gate: radius-3 pigeonhole
+    bucketing has exact recall (WWW'07 multi-table scheme), so the
+    output must equal DuckDB's brute-force all-pairs
+    `bit_count(xor) <= 3` self-join.  Planted rows (doc_id < 20
+    re-keyed +300000, sig XOR a fixed 3-bit mask) guarantee the gate is
+    live — 20 pairs at Hamming distance exactly 3 — on a corpus whose
+    organic md5-derived sigs are ~32 bits apart."""
+    docs = _docs(spark, sf_dir)
+    hexs = F.md5(F.encode(F.col("text"), "UTF-8"))
+    hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("sig"),
+    )
+    max_id = base.agg(F.max("image_id").alias("m")).collect()[0]["m"]
+    if max_id is not None and max_id >= _HAMMING_OFFSET:
+        raise ValueError(
+            f"planted-sig offset {_HAMMING_OFFSET} collides with organic "
+            f"ids (max {max_id}); raise the offset for this corpus size"
+        )
+    planted = base.where(F.col("image_id") < 20).select(
+        (F.col("image_id") + _HAMMING_OFFSET).alias("image_id"),
+        F.col("sig").bitwiseXOR(F.lit(_HAMMING_MASK)).alias("sig"),
+    )
+    sigs = base.unionByName(planted)
+    buckets = sigs.select(
+        "image_id",
+        F.explode(
+            pigeonhole_key_array(
+                F.col("sig"), _HAMMING_SEGMENTS, _HAMMING_RADIUS, tag="hp"
+            )
+        ).alias("bucket"),
+    )
+    pairs, _ = pairs_from_buckets(
+        buckets, bucket_cap=64, overcap_mode="exhaustive"
+    )
+    out = verify_hamming(pairs, sigs, _HAMMING_RADIUS)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4 on this corpus's
     similarity scale) — exact all-pairs, DuckDB-oracle-gated."""
@@ -357,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
+        "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": q_ngram_pairs,
         "corpus_summary": q_corpus_summary,
@@ -368,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "hamming_pairs": q_hamming_pairs,
         "ann_topk": q_ann_topk,
     }
 
@@ -446,6 +530,32 @@ def oracle_sql() -> dict[str, str]:
                 AS bpe_tokens
             FROM documents
         """,
+        "doc_quality": f"""
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS n_tokens,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> lower(t) IN {STOPWORD_SQL})) END AS stop,
+                length(text) AS chars
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE stop * 1000 // n_tokens END AS stop_x1000,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE chars * 10 // n_tokens END AS mwl_x10
+              FROM s
+            )
+            SELECT doc_id, n_tokens, stop_x1000, mwl_x10,
+              CASE WHEN n_tokens < 20 THEN 'too_short'
+                   WHEN stop_x1000 < 80 THEN 'low_stopword'
+                   ELSE 'ok' END AS quality
+            FROM r
+        """,
         "lang_id": """
             SELECT doc_id,
               CASE
@@ -497,6 +607,31 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, cluster_id FROM assigns",
         "dup_group_sizes": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
         + "SELECT cluster_id, count(*) AS group_size FROM assigns GROUP BY cluster_id",
+        "hamming_pairs": f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                CAST(CASE WHEN hi >= 2147483648
+                     THEN hi::HUGEINT * 4294967296 + lo
+                          - 18446744073709551616::HUGEINT
+                     ELSE hi::HUGEINT * 4294967296 + lo END AS BIGINT) AS sig
+              FROM (
+                SELECT doc_id,
+                  CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hi,
+                  CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) AS lo
+                FROM documents)
+            ),
+            aug AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT id + {_HAMMING_OFFSET} AS id,
+                     xor(sig, {_HAMMING_MASK}) AS sig
+              FROM base WHERE id < 20
+            )
+            SELECT x.id AS a, y.id AS b,
+                   CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+            FROM aug x JOIN aug y ON x.id < y.id
+            WHERE bit_count(xor(x.sig, y.sig)) <= {_HAMMING_RADIUS}
+        """,
         "embedding_dup_pairs": """
             WITH e AS (
               SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,

@@ -96,6 +96,47 @@ def norm_fingerprint(text: Column) -> Column:
     )
 
 
+# quality_signals thresholds (Gopher-style filters, Rae et al. 2021
+# §A.1.1 — length, stopword-ratio, and word-length cuts, integerized):
+# docs under MIN_TOKENS are fragments; a stopword ratio under
+# MIN_STOP_X1000 (per mille) marks keyword-list/gibberish text.
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_STOP_X1000 = 80
+
+
+def quality_signals(text: Column) -> list[tuple[str, Column]]:
+    """Integerized document-quality signals + class, Gopher-style:
+    ``n_tokens``, ``stop_x1000`` (stopword per-mille of tokens),
+    ``mwl_x10`` (mean word length ×10, chars/token incl. separators),
+    and ``quality`` ∈ {too_short, low_stopword, ok} — a first-match
+    cascade like lang_id, so precedence is part of the contract.
+
+    All arithmetic is integer floor-division on non-negative values, so
+    the DuckDB twin (``//``) hashes identically; everything is JVM
+    expressions inside whole-stage codegen (same contract as the rest
+    of this module)."""
+    n_tok = token_count(text)
+    chars = F.length(text)
+    zero = F.lit(0).cast("long")
+    stop_x1000 = F.when(n_tok == 0, zero).otherwise(
+        F.floor(stopword_count(text) * 1000 / n_tok).cast("long")
+    )
+    mwl_x10 = F.when(n_tok == 0, zero).otherwise(
+        F.floor(chars * 10 / n_tok).cast("long")
+    )
+    quality = (
+        F.when(n_tok < QUALITY_MIN_TOKENS, F.lit("too_short"))
+        .when(stop_x1000 < QUALITY_MIN_STOP_X1000, F.lit("low_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    return [
+        ("n_tokens", n_tok.cast("long")),
+        ("stop_x1000", stop_x1000),
+        ("mwl_x10", mwl_x10),
+        ("quality", quality),
+    ]
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Array of space-joined word n-grams (< n tokens → empty array).
 
