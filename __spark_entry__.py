@@ -31,6 +31,7 @@ from dude_spark.detectors.simhash import (
 )
 from dude_spark.detectors.suffix import suffix_buckets, suffix_signatures, verify_substring
 from dude_spark.functions.embedding import ann_topk, brute_force_topk, cosine_dup_pairs
+from dude_spark.functions.events import sessionize, tumbling_window_stats
 from dude_spark.functions.ranking import ntile_exact
 from dude_spark.functions.text import (
     bpe_token_count,
@@ -201,6 +202,25 @@ def q_length_deciles(spark, sf_dir):
             F.max("chars").cast("long").alias("max_chars"),
         )
     )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_event_window_stats(spark, sf_dir):
+    """Tumbling-window aggregation over the events table (the batch
+    twin of a Structured-Streaming windowed agg): per (1-day window,
+    event_type) — counts, distinct users, per-event-rounded value sum.
+    One map-side-combinable hash aggregate (functions/events.py)."""
+    return tumbling_window_stats(_events(spark, sf_dir))
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) per user — lag +
+    running-sum windows PARTITIONED BY USER, no global-order window;
+    microsecond-exact interval comparison so any engine agrees."""
+    return sessionize(_events(spark, sf_dir))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -444,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_pairs,
         "corpus_summary": q_corpus_summary,
         "length_deciles": q_length_deciles,
+        "event_window_stats": q_event_window_stats,
+        "user_sessions": q_user_sessions,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
         "embedding_topk": q_embedding_topk,
@@ -592,6 +614,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n_docs,
                    min(chars) AS min_chars, max(chars) AS max_chars
             FROM d GROUP BY decile
+        """,
+        "event_window_stats": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_x100
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessed AS (
+              SELECT user_id, ts, value,
+                sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS sess
+              FROM flagged
+            )
+            SELECT user_id,
+                   -- floor, not CAST: DuckDB double->BIGINT casts ROUND,
+                   -- Spark unix_timestamp truncates seconds
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_x100
+            FROM sessed GROUP BY user_id, sess
         """,
         "substring_pairs": """
             WITH g AS (

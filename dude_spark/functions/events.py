@@ -1,0 +1,108 @@
+"""Event-stream aggregation surface: tumbling windows + sessionization.
+
+The shapes a training-data/telemetry pipeline runs over timestamped
+event tables (the driver's `events` table), built scale-first:
+
+  tumbling_window_stats   groupBy(window(ts), key) — a plain hash
+                          aggregate with map-side combine; the batch
+                          twin of a Structured-Streaming windowed agg
+                          (readStream + same expression + watermark).
+  sessionize              gap-based session assignment via
+                          lag/cumsum windows PARTITIONED BY USER —
+                          each user's event sequence is one partition,
+                          so there is no global-order window anywhere
+                          (the length_deciles lesson); skew is bounded
+                          by the hottest single user, and the session
+                          id is deterministic (first event's epoch).
+
+Outputs are integers (epoch seconds, counts, value sums pre-rounded
+per event to ×100 longs) so the DuckDB oracle twins hash exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_x100(value: Column) -> Column:
+    """Per-EVENT integerization of a 2-decimal double (×100, round,
+    long) — rounding before the sum keeps cross-engine float summation
+    order out of the result entirely."""
+    return F.round(value * 100).cast("long")
+
+
+def tumbling_window_stats(
+    events: DataFrame,
+    window: str = "1 day",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per (tumbling window, key): event count, distinct users, and
+    per-event-rounded value sum.  One hash aggregate — partial
+    map-side combine, no window functions; identical expression works
+    under readStream with a watermark."""
+    w = F.window(F.col(ts_col), window)
+    return (
+        events.groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(value_x100(F.col("value"))).cast("long").alias("sum_value_x100"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("win_start"),
+            key_col,
+            "n_events",
+            "n_users",
+            "sum_value_x100",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    to the previous event of the SAME user exceeds ``gap_minutes``.
+    Returns one row per session: (user, session_start epoch seconds,
+    n_events, sum_value_x100).
+
+    lag + running-sum windows partitioned by user — per-user task
+    locality, no SinglePartition exchange; at 10^12 events the shuffle
+    key is the user id and the cost profile is an ordinary keyed
+    window."""
+    ts = F.col(ts_col).cast("timestamp")
+    per_user = Window.partitionBy(user_col).orderBy(ts_col)
+    # full-precision timestamp comparison (microseconds): second-
+    # truncating epoch arithmetic here would disagree with any oracle
+    # (or any other engine) at sub-second boundaries
+    prev = F.lag(ts).over(per_user)
+    new_sess = F.when(
+        prev.isNull()
+        | (ts > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_sess = events.withColumn("_new", new_sess).withColumn(
+        "_sess",
+        F.sum("_new").over(
+            per_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy(user_col, "_sess")
+        .agg(
+            F.unix_timestamp(F.min(ts)).cast("long").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(value_x100(F.col("value"))).cast("long").alias("sum_value_x100"),
+        )
+        .select(
+            F.col(user_col).cast("long").alias(user_col),
+            "session_start",
+            "n_events",
+            "sum_value_x100",
+        )
+    )
