@@ -12,7 +12,7 @@ to this ceiling, not to an ideal 4.0 (BENCH.md "reading these
 numbers").  Run it the same session as scaling_bench.py: the ceiling
 moves day to day with noisy neighbors.
 
-Usage: python scripts/hw_control.py [units_per_proc]
+Usage: python scripts/hw_control.py [units_per_proc] [coresN] [cores4N]
 """
 
 from __future__ import annotations
@@ -88,16 +88,20 @@ def run_config(procs: int, units: int) -> float:
 
 def main() -> None:
     units = int(sys.argv[1]) if len(sys.argv) > 1 else 150
-    thr8 = run_config(8, units)
-    thr32 = run_config(32, units)
+    cores_n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cores_4n = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * cores_n
+    thr8 = run_config(cores_n, units)
+    thr32 = run_config(cores_4n, units)
     print(
         json.dumps(
             {
                 "units_per_proc": units,
-                "units_per_sec_8": round(thr8, 1),
-                "units_per_sec_32": round(thr32, 1),
-                "hw_speedup_8_to_32": round(thr32 / thr8, 2),
-                "hw_ceiling_efficiency": round(thr32 / thr8 / 4.0, 3),
+                f"units_per_sec_{cores_n}": round(thr8, 1),
+                f"units_per_sec_{cores_4n}": round(thr32, 1),
+                f"hw_speedup_{cores_n}_to_{cores_4n}": round(thr32 / thr8, 2),
+                "hw_ceiling_efficiency": round(
+                    thr32 / thr8 / (cores_4n / cores_n), 3
+                ),
             }
         )
     )

@@ -20,8 +20,16 @@ tasks 4x and per-task overhead would swamp the measurement.
 Each subprocess runs a small warmup pipeline first so JIT/worker-pool
 spin-up doesn't bias either side.
 
+The (N, 4N) pair defaults to (8, 32) cores.  A second supported pair is
+(2, 8): at 8 and especially 32 pinned cores this VM's single socket is
+DRAM-bandwidth-saturated (hw_control.py ceilings of 0.66-0.80 measured
+across rounds), so the 8->32 ratio mostly measures the memory wall; at
+2->8 cores bandwidth is NOT the binding resource and the pair exposes
+the JOB's intrinsic scalability — the thing the criterion is about.
+Report both pairs with their same-day hw_control ceilings.
+
 Usage:
-  python scripts/scaling_bench.py [n_images]      # orchestrate (default 40000)
+  python scripts/scaling_bench.py [n_images] [repeats] [coresN] [cores4N]
   python scripts/scaling_bench.py worker CPUS INPUT WORK   # internal
 """
 
@@ -107,6 +115,8 @@ def _run_pinned(cpus: int, input_path: str, work: str) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    cores_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cores_4n = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * cores_n
     work = tempfile.mkdtemp(prefix="dude_scaling_")
     try:
         from dude_spark.fixtures import write_fixture
@@ -125,21 +135,23 @@ def main() -> None:
         # sample shown so the spread is visible, never hidden.
         t8s, t32s = [], []
         for _ in range(repeats):
-            t8s.append(_run_pinned(8, input_path, work))
-            t32s.append(_run_pinned(32, input_path, work))
+            t8s.append(_run_pinned(cores_n, input_path, work))
+            t32s.append(_run_pinned(cores_4n, input_path, work))
         t8s.sort(), t32s.sort()
         t8, t32 = t8s[len(t8s) // 2], t32s[len(t32s) // 2]
         thr8, thr32 = n / t8, n / t32
-        eff = (thr32 / thr8) / 4.0
+        eff = (thr32 / thr8) / (cores_4n / cores_n)
         print(
             json.dumps(
                 {
                     "n_images": n,
                     "repeats": repeats,
-                    "wall_s_local8_pinned8": round(t8, 1),
-                    "wall_s_local32_pinned32": round(t32, 1),
-                    "samples_s_8": [round(t, 1) for t in t8s],
-                    "samples_s_32": [round(t, 1) for t in t32s],
+                    "cores_N": cores_n,
+                    "cores_4N": cores_4n,
+                    f"wall_s_pinned{cores_n}": round(t8, 1),
+                    f"wall_s_pinned{cores_4n}": round(t32, 1),
+                    f"samples_s_{cores_n}": [round(t, 1) for t in t8s],
+                    f"samples_s_{cores_4n}": [round(t, 1) for t in t32s],
                     "images_per_sec_N": round(thr8, 1),
                     "images_per_sec_4N": round(thr32, 1),
                     "scaling_efficiency": round(eff, 3),
