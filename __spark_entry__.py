@@ -387,12 +387,20 @@ def q_hamming_pairs(spark, sf_dir):
         F.col("doc_id").cast("long").alias("image_id"),
         F.shiftleft(hi, 32).bitwiseOR(lo).alias("sig"),
     )
-    max_id = base.agg(F.max("image_id").alias("m")).collect()[0]["m"]
-    if max_id is not None and max_id >= _HAMMING_OFFSET:
-        raise ValueError(
-            f"planted-sig offset {_HAMMING_OFFSET} collides with organic "
-            f"ids (max {max_id}); raise the offset for this corpus size"
-        )
+    # LAZY collision guard: building this query must not run a Spark
+    # job (an eager max() collect here made queries() construction pay
+    # a full documents scan).  assert_true folds into the output plan
+    # as a 1-row broadcast and fires at ACTION time if the planted-id
+    # offset ever collides with organic ids.
+    guard = base.agg(
+        F.assert_true(
+            F.coalesce(F.max("image_id"), F.lit(-1)) < F.lit(_HAMMING_OFFSET),
+            F.lit(
+                f"planted-sig offset {_HAMMING_OFFSET} collides with "
+                "organic doc ids; raise _HAMMING_OFFSET for this corpus"
+            ),
+        ).alias("_guard")
+    )
     planted = base.where(F.col("image_id") < 20).select(
         (F.col("image_id") + _HAMMING_OFFSET).alias("image_id"),
         F.col("sig").bitwiseXOR(F.lit(_HAMMING_MASK)).alias("sig"),
@@ -410,10 +418,17 @@ def q_hamming_pairs(spark, sf_dir):
         buckets, bucket_cap=64, overcap_mode="exhaustive"
     )
     out = verify_hamming(pairs, sigs, _HAMMING_RADIUS)
-    return out.select(
-        F.col("a").cast("long").alias("a"),
-        F.col("b").cast("long").alias("b"),
-        F.col("hamming").cast("long").alias("hamming"),
+    return (
+        out.crossJoin(F.broadcast(guard))
+        # the guard column must be REFERENCED or Catalyst prunes it
+        # and assert_true never evaluates; when it passes it is NULL,
+        # so this filter keeps every row
+        .where(F.col("_guard").isNull())
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
     )
 
 

@@ -37,6 +37,8 @@ def tumbling_window_stats(
     window: str = "1 day",
     ts_col: str = "ts",
     key_col: str = "event_type",
+    user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Per (tumbling window, key): event count, distinct users, and
     per-event-rounded value sum.  One hash aggregate — partial
@@ -47,8 +49,8 @@ def tumbling_window_stats(
         events.groupBy(w.alias("win"), F.col(key_col))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.countDistinct("user_id").cast("long").alias("n_users"),
-            F.sum(value_x100(F.col("value"))).cast("long").alias("sum_value_x100"),
+            F.countDistinct(user_col).cast("long").alias("n_users"),
+            F.sum(value_x100(F.col(value_col))).cast("long").alias("sum_value_x100"),
         )
         .select(
             F.unix_timestamp(F.col("win.start")).cast("long").alias("win_start"),
@@ -65,6 +67,7 @@ def sessionize(
     gap_minutes: int = 30,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap
     to the previous event of the SAME user exceeds ``gap_minutes``.
@@ -76,7 +79,11 @@ def sessionize(
     key is the user id and the cost profile is an ordinary keyed
     window."""
     ts = F.col(ts_col).cast("timestamp")
-    per_user = Window.partitionBy(user_col).orderBy(ts_col)
+    # order by the CAST column: ordering and gap arithmetic must see
+    # the same chronology (a raw string ts_col would sort
+    # lexicographically — '2024-9…' > '2024-10…' — and lag() would
+    # pick the wrong previous event)
+    per_user = Window.partitionBy(user_col).orderBy(ts)
     # full-precision timestamp comparison (microseconds): second-
     # truncating epoch arithmetic here would disagree with any oracle
     # (or any other engine) at sub-second boundaries
@@ -97,7 +104,7 @@ def sessionize(
         .agg(
             F.unix_timestamp(F.min(ts)).cast("long").alias("session_start"),
             F.count("*").cast("long").alias("n_events"),
-            F.sum(value_x100(F.col("value"))).cast("long").alias("sum_value_x100"),
+            F.sum(value_x100(F.col(value_col))).cast("long").alias("sum_value_x100"),
         )
         .select(
             F.col(user_col).cast("long").alias(user_col),

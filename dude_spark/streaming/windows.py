@@ -56,6 +56,20 @@ def _stream(spark: SparkSession, input_dir: str, schema: str):
     return spark.readStream.schema(schema).parquet(input_dir)
 
 
+def _start_append_sink(agg, out_dir: str, checkpoint_dir: str) -> StreamingQuery:
+    """Shared sink contract for both window shapes: finalized-append
+    to parquet, exactly-once per row via the streaming checkpoint,
+    availableNow trigger (drain-everything-then-stop semantics)."""
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_stats(
     spark: SparkSession,
     input_dir: str,
@@ -95,14 +109,7 @@ def start_windowed_stats(
             "sum_value_x100",
         )
     )
-    return (
-        agg.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_append_sink(agg, out_dir, checkpoint_dir)
 
 
 def start_session_stats(
@@ -144,11 +151,4 @@ def start_session_stats(
             "sum_value_x100",
         )
     )
-    return (
-        agg.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_append_sink(agg, out_dir, checkpoint_dir)

@@ -121,6 +121,6 @@ def test_session_stats_gap_merge_and_finalize(spark, tmp_path):
     assert rows[1]["sum_value_x100"] == 600
     assert rows[1]["session_start"] == int(_ts(10, 0).timestamp())
     assert rows[2]["n_events"] == 1
-    # user 3's session (12:00 + 30m gap) is still open at watermark
-    # 12:50 -> not finalized, not emitted
+    # user 3's session (end 12:00 + 30m gap = 12:30) is still open at
+    # watermark 12:25 -> not finalized, not emitted
     assert 3 not in rows
