@@ -261,22 +261,33 @@ def _plant_near_dups(
     The re-key is only collision-free while every organic id is below
     ``offset``; at a corpus that big a planted id would shadow a real
     row and silently corrupt the very gate this hardens — so guard it
-    (one tiny agg over a long-cast id column, driver-side scalar)."""
-    max_id = docs.agg(
-        F.max(F.col("image_id").cast("long")).alias("m")
-    ).collect()[0]["m"]
-    if max_id is not None and max_id >= offset:
-        raise ValueError(
-            f"planted-dup offset {offset} collides with organic ids "
-            f"(max {max_id}); raise the offset for this corpus size"
-        )
+    LAZILY (an assert_true folded onto the planted branch: building
+    the query runs no Spark job, and the query's own first action
+    fires the check; the guard column must be referenced through a
+    filter or Catalyst prunes it away unevaluated)."""
+    guard = docs.agg(
+        F.assert_true(
+            F.coalesce(F.max(F.col("image_id").cast("long")), F.lit(-1))
+            < F.lit(offset),
+            F.lit(
+                f"planted-dup offset {offset} collides with organic ids; "
+                "raise the offset for this corpus size"
+            ),
+        ).alias("_guard")
+    )
     cap = (
         F.col("caption") if tail is None
         else F.concat(F.col("caption"), F.lit(tail))
     )
-    planted = docs.where(F.col("image_id").cast("long") < n).select(
-        (F.col("image_id").cast("long") + offset).cast("string").alias("image_id"),
-        cap.alias("caption"),
+    planted = (
+        docs.where(F.col("image_id").cast("long") < n)
+        .select(
+            (F.col("image_id").cast("long") + offset).cast("string").alias("image_id"),
+            cap.alias("caption"),
+        )
+        .crossJoin(F.broadcast(guard))
+        .where(F.col("_guard").isNull())
+        .drop("_guard")
     )
     return docs.unionByName(planted)
 

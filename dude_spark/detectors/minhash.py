@@ -304,6 +304,24 @@ def _batch_shingle_segments(
     return H, seg_ids
 
 
+def _segment_sorted_sets(
+    H: np.ndarray, seg: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """SET semantics over (hash, segment) pairs: lexsort by (segment,
+    hash), drop adjacent duplicates — returns (uh, useg) where each
+    segment's hashes are sorted and unique.  The one implementation of
+    the dedupe idiom shared by the Jaccard verify (operators/verify.
+    _batch_jaccard) and the substring verify (detectors/suffix.
+    _batch_shares_substring); callers derive per-segment sizes
+    (np.bincount(useg)) or slice bounds (np.searchsorted(useg, …))
+    as needed."""
+    order = np.lexsort((H, seg))
+    Hs, segs = H[order], seg[order]
+    keep = np.ones(Hs.shape[0], dtype=bool)
+    keep[1:] = (Hs[1:] != Hs[:-1]) | (segs[1:] != segs[:-1])
+    return Hs[keep], segs[keep]
+
+
 def _pows_inv(n: int) -> np.ndarray:
     """[Binv^0, …, Binv^(n-1)] mod 2^64."""
     with np.errstate(over="ignore"):

@@ -117,7 +117,7 @@ def _batch_shares_substring(ca: list, cb: list, L: int) -> "np.ndarray":
     """
     import numpy as np
 
-    from .minhash import _batch_shingle_segments
+    from .minhash import _batch_shingle_segments, _segment_sorted_sets
 
     n = len(ca)
     if L <= 0:  # scalar contract: empty threshold matches everything
@@ -143,11 +143,7 @@ def _batch_shares_substring(ca: list, cb: list, L: int) -> "np.ndarray":
     if not uniq:
         return out
     H, seg = _batch_shingle_segments(uniq, L)
-    order = np.lexsort((H, seg))
-    Hs, segs = H[order], seg[order]
-    keep = np.ones(Hs.shape[0], dtype=bool)
-    keep[1:] = (Hs[1:] != Hs[:-1]) | (segs[1:] != segs[:-1])
-    uh, useg = Hs[keep], segs[keep]
+    uh, useg = _segment_sorted_sets(H, seg)
     bounds = np.searchsorted(useg, np.arange(len(uniq) + 1))
     sets = [uh[bounds[i] : bounds[i + 1]] for i in range(len(uniq))]
     for row in range(n):

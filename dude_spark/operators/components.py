@@ -29,6 +29,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StructField, StructType
 
 
@@ -120,10 +121,14 @@ def _driver_components(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema=out_schema)
 
 
-# Bounded decision for the driver fast path: ≤ cap edges collect to
-# ~tens of MB and union-find in well under the latency of ONE star
-# round's jobs.  Same adaptivity precedent as candidates.py's eager
-# over-cap probe — a tiny action picks the plan the data deserves.
+# Bounded decision for the driver fast path: ≤ cap LONG-keyed edges
+# collect to ~tens of MB (2 × 8 B per edge plus pandas overhead) and
+# union-find in well under the latency of ONE star round's jobs.  Same
+# adaptivity precedent as candidates.py's eager over-cap probe — a
+# tiny action picks the plan the data deserves.  String-keyed edges
+# are ~an order of magnitude heavier per row on the driver (Python
+# string objects), so the cap shrinks 8× for them (see
+# connected_components).
 DRIVER_EDGE_CAP = 2_000_000
 
 
@@ -153,6 +158,13 @@ def connected_components(
     """
     edges = pairs.select("a", "b").where(F.col("a") != F.col("b")).distinct()
     if driver_cap:
+        # the cap budgets driver MEMORY, and string node ids cost ~8×
+        # a long per collected edge — scale the count cap by key type
+        # so a 2M-edge string-keyed graph doesn't toPandas hundreds of
+        # MB onto a small driver
+        a_type = pairs.schema["a"].dataType
+        if not isinstance(a_type, (T.LongType, T.IntegerType, T.ShortType)):
+            driver_cap = max(1, driver_cap // 8)
         if checkpoint:
             # pin so the probe's materialization is reused by whichever
             # path runs (toPandas, or round 1 of the star loop)

@@ -100,7 +100,7 @@ def _batch_jaccard(ca: list, cb: list, k: int) -> "np.ndarray":
     entries ARE the intersection."""
     import numpy as np
 
-    from ..detectors.minhash import _batch_shingle_segments
+    from ..detectors.minhash import _batch_shingle_segments, _segment_sorted_sets
 
     n = len(ca)
     if n == 0:
@@ -108,13 +108,8 @@ def _batch_jaccard(ca: list, cb: list, k: int) -> "np.ndarray":
     texts = [x or "" for x in ca] + [y or "" for y in cb]
     H, seg = _batch_shingle_segments(texts, k)
 
-    # set semantics within each caption: sort by (segment, value), drop
-    # adjacent duplicates
-    order = np.lexsort((H, seg))
-    Hs, segs = H[order], seg[order]
-    keep = np.ones(Hs.shape[0], dtype=bool)
-    keep[1:] = (Hs[1:] != Hs[:-1]) | (segs[1:] != segs[:-1])
-    uh, useg = Hs[keep], segs[keep]
+    # set semantics within each caption (shared sorted-set idiom)
+    uh, useg = _segment_sorted_sets(H, seg)
     sizes = np.bincount(useg, minlength=2 * n)
 
     # intersection per pair: fold both sides into pair space and count

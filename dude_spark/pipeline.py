@@ -329,18 +329,29 @@ def _incremental_signatures(
     cached signature without re-running the signature UDF.
     """
     fp = images.withColumn("row_fp", _row_fp(detector))
+    full = _signatures(images, detector, cfg).join(
+        fp.select("image_id", "row_fp"), "image_id"
+    )
     try:
         if not store.exists(sig_stage):
             raise FileNotFoundError(sig_stage)
-        # localCheckpoint BEFORE the stage overwrites the cache — Spark
-        # reads lazily, so writing over the table still being scanned
-        # would corrupt the very cache being merged.  (With Iceberg this
-        # is a snapshot-isolated MERGE INTO and the checkpoint is free.)
-        cached = store.read(sig_stage).localCheckpoint(eager=True)
+        cached = store.read(sig_stage)
     except Exception:  # first run — no cache yet
-        return _signatures(images, detector, cfg).join(
-            fp.select("image_id", "row_fp"), "image_id"
-        )
+        return full
+    if set(cached.columns) != set(full.columns):
+        # signature SCHEMA migrated since the cache was written (e.g.
+        # round 3 added the full `sig` column to minhash signatures):
+        # a stale-schema cache cannot be row-merged — unionByName would
+        # abort the run — so recompute everything; this stage's own
+        # write then refreshes the cache to the new schema.  Checked
+        # BEFORE the checkpoint so the useless cache is never
+        # materialized.
+        return full
+    # localCheckpoint BEFORE the stage overwrites the cache — Spark
+    # reads lazily, so writing over the table still being scanned
+    # would corrupt the very cache being merged.  (With Iceberg this
+    # is a snapshot-isolated MERGE INTO and the checkpoint is free.)
+    cached = cached.localCheckpoint(eager=True)
     current = fp.select("image_id", "row_fp")
     unchanged = cached.join(current, ["image_id", "row_fp"])  # semi via inner
     stale_ids = current.join(

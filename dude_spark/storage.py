@@ -172,7 +172,14 @@ class IcebergStageStore(StageStore):
         src = self.spark.createDataFrame(
             pd.DataFrame({"stage": [stage], "meta": [json.dumps(meta)]})
         )
-        view = f"__dude_manifest_src_{abs(hash(stage)) % 10**8}"
+        # uuid-suffixed: detector stages publish manifests from
+        # CONCURRENT threads, and a name derived from hash(stage)
+        # could collide across stages (and varies with PYTHONHASHSEED)
+        # — createOrReplaceTempView would then swap the view under
+        # another thread's not-yet-run MERGE
+        import uuid
+
+        view = f"__dude_manifest_src_{uuid.uuid4().hex}"
         src.createOrReplaceTempView(view)
         try:
             self.spark.sql(

@@ -82,6 +82,7 @@ def _batch_pairs(
     state_sigs_path: str,
     batch_id: int,
     bucket_cap: int,
+    overcap_mode: str = "star",
 ) -> tuple[DataFrame, DataFrame]:
     """New duplicate pairs from one micro-batch's signatures:
     new-vs-known (bucket join against state) + new-vs-new (within
@@ -94,9 +95,13 @@ def _batch_pairs(
     Returns ``(pairs, overcap)``.  Both joins are capped, and every
     cap is RECORDED, never silent (the batch pipeline's own contract):
 
-    - within batch, ``pairs_from_buckets`` degrades an over-cap bucket
-      to star edges around its min id — each member still surfaces in
-      at least one pair, but member×member pairs are not enumerated;
+    - within batch, ``pairs_from_buckets`` (default ``overcap_mode=
+      "star"``) degrades an over-cap bucket to star edges around its
+      min id — each member still surfaces in at least one pair, but
+      member×member pairs are not enumerated.  Pass ``overcap_mode=
+      "exhaustive"`` when the pairs table itself is the product (every
+      in-bucket pair enumerated via the salted grid, at O(b²/epoch)
+      cost for a hot bucket);
     - new-vs-known, the known side grows without bound across epochs
       (a boilerplate-caption bucket accumulates members forever), so a
       bucket whose KNOWN membership exceeds ``bucket_cap`` is joined
@@ -149,7 +154,7 @@ def _batch_pairs(
     else:
         vs_known = None
     vs_new, overcap_batch = pairs_from_buckets(
-        sigs.select("image_id", "bucket"), bucket_cap
+        sigs.select("image_id", "bucket"), bucket_cap, overcap_mode
     )
     overcap = overcap_batch.select(
         "bucket", "bucket_size", F.lit("batch").alias("side")
@@ -200,6 +205,7 @@ def start_incremental_dedup(
     verify_fn: VerifyFn | None = None,
     state_cols: Sequence[str] = ("caption",),
     bucket_cap: int = 64,
+    overcap_mode: str = "star",
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
@@ -216,6 +222,17 @@ def start_incremental_dedup(
     drains everything currently available and stops — the
     batch-friendly test and catch-up mode; pass False for a continuous
     micro-batch stream.
+
+    ``overcap_mode``: with the default ``"star"``, hot buckets keep
+    per-epoch work LINEAR in the batch, and the pairs table is then a
+    connectivity-preserving edge set — every duplicate row is linked
+    (transitively, across epochs) to its group, so group membership is
+    recovered by running connected components over ``pairs``; it is
+    NOT an exhaustive member×member enumeration for capped buckets
+    (each cap is durably recorded under ``overcap/``).  Pass
+    ``"exhaustive"`` when the raw pairs themselves are the product —
+    every in-bucket pair is then enumerated via the salted grid at
+    O(bucket²) per epoch for hot buckets.
     """
     sigs_path = os.path.join(state_dir, "sigs")
     rows_path = os.path.join(state_dir, "rows")
@@ -244,7 +261,7 @@ def start_incremental_dedup(
             .localCheckpoint(eager=True)
         )
         pairs, overcap = _batch_pairs(
-            spark, sigs, sigs_path, batch_id, bucket_cap
+            spark, sigs, sigs_path, batch_id, bucket_cap, overcap_mode
         )
         if verify_fn is not None:
             new_rows = batch_df.select("image_id", *state_cols)

@@ -229,3 +229,26 @@ def test_incremental_signature_cache(spark, fixture_pdf, tmp_path_factory):
         .collect()[0]["bands"]
     )
     assert list(sigs2.loc[changed_id, "bands"]) == list(fresh)
+
+
+def test_incremental_signatures_survive_schema_migration(spark, images_df, tmp_path):
+    """A signature cache written before a schema change (e.g. round 3
+    added the full `sig` column to minhash signatures) must fall back
+    to full recompute, not abort the run on a unionByName mismatch."""
+    from dude_spark.config import JobConfig
+    from dude_spark.pipeline import _incremental_signatures
+    from dude_spark.storage import ParquetManifestStore
+
+    store = ParquetManifestStore(spark, str(tmp_path))
+    cfg = JobConfig(use_cache=True)
+    images = images_df.limit(40)
+    stage = "signatures_minhash"
+
+    fresh = _incremental_signatures(spark, images, "minhash", cfg, store, stage)
+    assert "sig" in fresh.columns
+    # simulate the pre-migration cache: same rows, `sig` column absent
+    store.write(fresh.drop("sig"), stage)
+
+    merged = _incremental_signatures(spark, images, "minhash", cfg, store, stage)
+    assert set(merged.columns) == set(fresh.columns)
+    assert merged.count() == images.count()
