@@ -47,6 +47,14 @@ def overcap_stats(buckets: DataFrame, bucket_cap: int) -> DataFrame:
 # universal bucket at corpus scale is an impossible job, not a slow one.
 _MAX_EXHAUSTIVE_PAIRS = 1_000_000_000
 
+# Over-cap buckets collect to the driver only up to this many rows
+# (the skew plan wants them broadcast anyway); above it — a corpus
+# where a large share of ALL buckets overflows, i.e. the cap/detector
+# selectivity mismatches the data — the plan falls back to deriving
+# hot-key frames DISTRIBUTEDLY (plain joins, no driver
+# materialization), so the driver never holds an unbounded row list.
+_MAX_COLLECTED_OVERCAP = 100_000
+
 
 def pairs_from_buckets(
     buckets: DataFrame, bucket_cap: int = 64, overcap_mode: str = "star"
@@ -100,15 +108,37 @@ def pairs_from_buckets(
     # handful of pathological keys; a corpus where a large share of
     # buckets overflows needs a larger cap, and the record makes that
     # visible, never silent).
-    overcap_rows = overcap_stats(b, bucket_cap).collect()
-    overcap_out = spark.createDataFrame(
-        [(r["bucket"], r["bucket_size"]) for r in overcap_rows],
-        schema=b.select(
-            "bucket", F.lit(0).cast("long").alias("bucket_size")
-        ).schema,
-    )
+    hot_stats = overcap_stats(b, bucket_cap)
+    overcap_rows = hot_stats.limit(_MAX_COLLECTED_OVERCAP + 1).collect()
+    few_hot = len(overcap_rows) <= _MAX_COLLECTED_OVERCAP
+    if few_hot:
+        overcap_out = spark.createDataFrame(
+            [(r["bucket"], r["bucket_size"]) for r in overcap_rows],
+            schema=b.select(
+                "bucket", F.lit(0).cast("long").alias("bucket_size")
+            ).schema,
+        )
+        # (bucket, bucket_size, bucket_min) for the skew plan — tiny,
+        # broadcast (the normal skew regime: a handful of hot keys)
+        hot_df = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (r["bucket"], r["bucket_size"], r["bucket_min"])
+                    for r in overcap_rows
+                ],
+                schema=hot_stats.schema,
+            )
+        ) if overcap_rows else None
+    else:
+        # Pathological regime: >100k over-cap buckets means the cap /
+        # detector selectivity mismatches the corpus — still a
+        # computable job for star semantics, so dedupe it
+        # distributedly: hot-key frames stay DataFrames (plain joins,
+        # no broadcast, nothing materialized on the driver).
+        overcap_out = hot_stats.select("bucket", "bucket_size")
+        hot_df = hot_stats
 
-    if overcap_rows:
+    if hot_df is not None:
         # Skewed input: hot rows leave the window path through a
         # broadcast join of the collected keys — the 10^8-row hot
         # bucket never streams through a single WindowExec task
@@ -119,33 +149,39 @@ def pairs_from_buckets(
             # Cost guard: exhaustive pair semantics is intrinsically
             # quadratic, and a universal bucket (boilerplate text
             # shared by 10^8 docs) means 10^15+ pairs — a job that
-            # should be REFUSED loudly, not launched.  The overcap
-            # rows are already on the driver, so the bound is free.
-            grid_pairs = sum(
-                r["bucket_size"] * (r["bucket_size"] - 1) // 2
-                for r in overcap_rows
-            )
+            # should be REFUSED loudly, not launched.  With few hot
+            # keys the rows are already on the driver (bound is
+            # free); in the pathological many-hot-keys regime it is
+            # one 1-row aggregate action.
+            if few_hot:
+                grid_pairs = sum(
+                    r["bucket_size"] * (r["bucket_size"] - 1) // 2
+                    for r in overcap_rows
+                )
+                worst_size = max(r["bucket_size"] for r in overcap_rows)
+            else:
+                agg = hot_stats.agg(
+                    F.sum(
+                        F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+                    ).alias("p"),
+                    F.max("bucket_size").alias("w"),
+                ).collect()[0]
+                grid_pairs, worst_size = int(agg["p"]), agg["w"]
             if grid_pairs > _MAX_EXHAUSTIVE_PAIRS:
-                worst = max(overcap_rows, key=lambda r: r["bucket_size"])
                 raise ValueError(
                     f"exhaustive over-cap pairing would emit "
                     f"{grid_pairs:,} candidate pairs "
-                    f"(largest bucket: {worst['bucket_size']:,} members) — "
+                    f"(largest bucket: {worst_size:,} members) — "
                     f"above the {_MAX_EXHAUSTIVE_PAIRS:,} safety bound. "
                     f"Raise bucket_cap selectivity (more bands/longer "
                     f"grams), drop the degenerate keys, or use "
                     f"overcap_mode='star' (assignment semantics)."
                 )
-            nb = F.broadcast(
-                spark.createDataFrame(
-                    [
-                        (r["bucket"], -(-r["bucket_size"] // bucket_cap))
-                        for r in overcap_rows
-                    ],
-                    schema=b.select(
-                        "bucket", F.lit(0).cast("int").alias("nb")
-                    ).schema,
-                )
+            nb = hot_df.select(
+                "bucket",
+                F.ceil(F.col("bucket_size") / F.lit(bucket_cap))
+                .cast("int")
+                .alias("nb"),
             )
             salted = b.join(nb, "bucket").withColumn(
                 "s", F.pmod(F.xxhash64("image_id"), F.col("nb")).cast("int")
@@ -179,14 +215,7 @@ def pairs_from_buckets(
             )
             hot_keys = nb.select("bucket")
         else:
-            hot = F.broadcast(
-                spark.createDataFrame(
-                    [(r["bucket"], r["bucket_min"]) for r in overcap_rows],
-                    schema=b.select(
-                        "bucket", F.col("image_id").alias("bucket_min")
-                    ).schema,
-                )
-            )
+            hot = hot_df.select("bucket", "bucket_min")
             hot_pairs = (
                 b.join(hot, "bucket")
                 .where(F.col("image_id") != F.col("bucket_min"))

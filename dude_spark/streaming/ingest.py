@@ -58,7 +58,11 @@ from pyspark.sql import functions as F
 from ..config import MinHashConfig
 from ..detectors.exact import exact_buckets
 from ..detectors.minhash import minhash_buckets, minhash_signatures
-from ..operators.candidates import overcap_stats, pairs_from_buckets
+from ..operators.candidates import (
+    _MAX_COLLECTED_OVERCAP,
+    overcap_stats,
+    pairs_from_buckets,
+)
 from ..operators.verify import verify_jaccard
 
 BucketFn = Callable[[DataFrame], DataFrame]
@@ -126,10 +130,26 @@ def _batch_pairs(
         # bounded by the batch's distinct buckets, and collecting it
         # means the pairs action below scans the multi-TB sigs state
         # ONCE, not once per lazy reference to the hot aggregate
-        overcap_known_rows = overcap_stats(
-            known_hit.select(F.col("known_id").alias("image_id"), "bucket"),
-            bucket_cap,
-        ).collect()
+        overcap_known_rows = (
+            overcap_stats(
+                known_hit.select(F.col("known_id").alias("image_id"), "bucket"),
+                bucket_cap,
+            )
+            .limit(_MAX_COLLECTED_OVERCAP + 1)
+            .collect()
+        )
+        if len(overcap_known_rows) > _MAX_COLLECTED_OVERCAP:
+            # >100k of THIS batch's buckets are over-cap in state: the
+            # detector/cap config mismatches the corpus and every epoch
+            # would pay it — fail the stream loudly (restart with a
+            # fixed config) instead of OOMing the driver silently.
+            raise ValueError(
+                f"micro-batch {batch_id} touches over "
+                f"{_MAX_COLLECTED_OVERCAP:,} over-cap KNOWN buckets — "
+                "bucket_cap / detector selectivity mismatches this "
+                "corpus; raise bucket_cap or use a more selective "
+                "detector config"
+            )
         if overcap_known_rows:
             hot_reps = F.broadcast(
                 spark.createDataFrame(

@@ -179,3 +179,38 @@ def test_whole_stage_codegen_covers_bucket_path(parquet_images):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # null-filter reaches the parquet scan
     assert "PushedFilters: [IsNotNull(bytes)]" in plan
+
+
+def test_many_overcap_buckets_distributed_fallback(spark, monkeypatch):
+    """Above _MAX_COLLECTED_OVERCAP over-cap buckets (cap/selectivity
+    mismatching the corpus), the skew plan must not materialize the
+    hot-key list on the driver — hot frames join distributedly — and
+    both modes' outputs stay identical to the broadcast plan's."""
+    from dude_spark.operators import candidates
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{b}_{i}" for b in range(6) for i in range(8)]
+            + [f"p{i}" for i in range(3)],
+            "bucket": [f"H{b}" for b in range(6) for _ in range(8)]
+            + ["ok"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def run(mode):
+        pairs, overcap = candidates.pairs_from_buckets(
+            df, bucket_cap=4, overcap_mode=mode
+        )
+        return (
+            {(r["a"], r["b"]) for r in pairs.collect()},
+            {(r["bucket"], r["bucket_size"]) for r in overcap.collect()},
+        )
+
+    expected = {m: run(m) for m in ("star", "exhaustive")}
+    monkeypatch.setattr(candidates, "_MAX_COLLECTED_OVERCAP", 3)
+    for m in ("star", "exhaustive"):
+        got_pairs, got_overcap = run(m)
+        assert got_pairs == expected[m][0]
+        assert got_overcap == expected[m][1]
+        assert got_overcap == {(f"H{b}", 8) for b in range(6)}
