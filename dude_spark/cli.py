@@ -6,6 +6,10 @@ CheckIfResultsExist) onto subcommands:
 
   run      ≅ StartExecution: validate args, run the pipeline, print
            the results CSV path (or 'no duplicates').
+  stream   incremental dedup at ingest (streaming/ingest.py): watch a
+           directory, emit only NEW duplicate pairs per micro-batch —
+           the streaming generalization of the reference's cache
+           semantics; --detector exact|minhash.
   reset    ≅ FullReset: truncate the checkpoint root (cache + stages
            + lineage), runner.go:57-88 / db/database.go:58-61.
   results  ≅ GetResults/ShowResults: print the latest assignments
@@ -66,6 +70,32 @@ def _parser() -> argparse.ArgumentParser:
     r.add_argument("--progress", action="store_true",
                    help="live task-progress bar (≅ progress_tracker.go ticker)")
 
+    st = sub.add_parser(
+        "stream",
+        help="incremental dedup at ingest (readStream → new pairs only)",
+    )
+    st.add_argument("--input", required=True,
+                    help="directory the producer appends parquet files to")
+    st.add_argument("--state", required=True,
+                    help="durable state dir (sigs/rows/pairs/checkpoint)")
+    st.add_argument("--schema", default="image_id string, bytes binary",
+                    help="input schema DDL (file streams need one)")
+    st.add_argument("--detector", choices=("exact", "minhash"),
+                    default="exact",
+                    help="exact sha2 buckets, or MinHash-LSH near-dup "
+                         "candidates + exact-Jaccard verify")
+    st.add_argument("--minhash-threshold", type=float, default=None)
+    st.add_argument("--bucket-cap", type=int, default=64)
+    st.add_argument("--overcap-mode", choices=("star", "exhaustive"),
+                    default="star",
+                    help="hot-bucket fallback: star = connectivity edges "
+                         "(linear), exhaustive = every in-bucket pair")
+    st.add_argument("--continuous", action="store_true",
+                    help="keep consuming micro-batches (default: drain "
+                         "what's available, then stop)")
+    st.add_argument("--cpus", type=int, default=0)
+    st.add_argument("--local", action="store_true")
+
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
@@ -111,6 +141,42 @@ def main(argv: list[str] | None = None) -> int:
         shutil.rmtree(a.checkpoint, ignore_errors=True)
         print(f"checkpoint reset: {a.checkpoint}")
         return 0
+
+    if a.cmd == "stream":
+        spark = get_spark(
+            "dude_spark_stream",
+            master=f"local[{a.cpus}]" if a.local else None,
+        )
+        try:
+            kw = {}
+            if a.detector == "minhash":
+                from .streaming import minhash_ingest
+
+                mh = (
+                    MinHashConfig(jaccard_threshold=a.minhash_threshold)
+                    if a.minhash_threshold is not None
+                    else MinHashConfig()
+                )
+                bucket_fn, verify_fn, state_cols = minhash_ingest(mh)
+                kw = dict(
+                    bucket_fn=bucket_fn,
+                    verify_fn=verify_fn,
+                    state_cols=state_cols,
+                )
+            from .streaming import start_incremental_dedup
+
+            q = start_incremental_dedup(
+                spark, a.input, a.state, a.schema,
+                trigger_available_now=not a.continuous,
+                bucket_cap=a.bucket_cap,
+                overcap_mode=a.overcap_mode,
+                **kw,
+            )
+            q.awaitTermination()
+            print(f"pairs: {a.state}/pairs")
+            return 0
+        finally:
+            spark.stop()
 
     if a.cmd == "results":
         spark = get_spark("dude_spark_results")
