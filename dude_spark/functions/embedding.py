@@ -57,19 +57,40 @@ def _seeded_rs(tag: str, seed: int) -> np.random.RandomState:
     )
 
 
-def cosine(a, b):
-    """Cosine similarity of two array<float> columns, double precision."""
-    dot = F.aggregate(
+def _dot_col(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda v: F.sqrt(
+
+
+def norm_col(v):
+    """L2 norm of an array<float> column, double precision."""
+    return F.sqrt(
         F.aggregate(
             v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return dot / (norm(a) * norm(b))
+
+
+def cosine(a, b, na=None, nb=None):
+    """Cosine similarity of two array<float> columns, double precision.
+
+    Zero-norm vectors have no direction: the similarity is DEFINED as
+    0.0, never NaN — Spark sorts NaN above every number and treats
+    NaN >= t as true, so an unguarded 0/0 would rank a zero vector as
+    everyone's best neighbor and pass every dup threshold.
+
+    Pass precomputed ``na``/``nb`` norm columns on hot |a|·|b| scoring
+    joins: per-row norms are functionally determined by each side, so
+    computing them once per ROW instead of once per PAIR cuts the
+    per-pair arithmetic to the dot product alone."""
+    na = norm_col(a) if na is None else na
+    nb = norm_col(b) if nb is None else nb
+    return F.when(
+        (na * nb) == F.lit(0.0), F.lit(0.0)
+    ).otherwise(_dot_col(a, b) / (na * nb))
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -93,16 +114,29 @@ def brute_force_topk(
     scan, no shuffle of the corpus; the scored set is
     |queries| · |corpus| rows, so keep |queries| small or use
     ann_topk."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        norm_col(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+    c = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        norm_col(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine(
+                    F.col("q_emb"), F.col("c_emb"),
+                    F.col("q_norm"), F.col("c_norm"),
+                ),
+                9,
+            ),
+        )
     )
     return _rank_topk(scored, k)
 
@@ -145,7 +179,10 @@ def _cells_udf(centroids: np.ndarray, top: int):
     def cells(embs: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in embs:
             X = np.stack(batch.to_numpy()).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0] = 1.0  # zero rows stay zero: score 0 everywhere,
+            # deterministic (input-order) cells instead of NaN argsort
+            X /= n
             order = np.argsort(-(X @ Cn.T), axis=1, kind="stable")[:, :top]
             yield pd.Series(list(order.astype(np.int32)))
 
@@ -170,7 +207,8 @@ def train_ivf_centroids(
     collected sample is ≤ train_sample·dim·8 bytes (~32 MB at the
     defaults)."""
     rows = (
-        corpus.select(F.col(vec_col).alias("v"))
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col(id_col).cast("string")))
         .limit(train_sample)
         .collect()
@@ -241,24 +279,37 @@ def ann_topk(
 
     c_cells = _cells_udf(cent, assign_cells)
     q_cells = _cells_udf(cent, nprobe)
-    cb = corpus.select(
+    cb = corpus.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
+        norm_col(F.col(vec_col)).alias("c_norm"),
         F.explode(c_cells(F.col(vec_col))).alias("cell"),
     )
-    qb = queries.select(
+    qb = queries.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
+        norm_col(F.col(vec_col)).alias("q_norm"),
         F.explode(q_cells(F.col(vec_col))).alias("cell"),
     )
+    # dedupe on the id pair alone: the embedding/norm columns are
+    # functionally determined by the ids, and hashing 2·dim doubles
+    # per candidate row through a distinct() buys nothing
     cands = (
         cb.join(F.broadcast(qb), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
-        .distinct()
+        .select(
+            "query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm"
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
-        "sim", F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9)
+        "sim",
+        F.round(
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ),
+            9,
+        ),
     )
     return _rank_topk(scored, k)
 
@@ -280,6 +331,11 @@ def signature_udf(dim: int, bits: int = 64, seed: int = 42):
     def sig(embs: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in embs:
             X = np.stack(batch.to_numpy())
+            if X.ndim != 2 or X.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim {X.shape[-1]} != configured dim={dim} — "
+                    "pass dim= matching the embedding column"
+                )
             b = (X.astype(np.float64) @ H) > 0
             vals = (b.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
             yield pd.Series(vals.astype(np.int64))
@@ -349,28 +405,48 @@ def cosine_dup_pairs(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def _round_half_up(x: np.ndarray, decimals: int = 9) -> np.ndarray:
+    """Round half AWAY from zero, matching Spark F.round (BigDecimal
+    HALF_UP) and DuckDB round — np.round is half-to-even, which can
+    flip a threshold decision exactly at the rounding boundary and
+    break cross-engine parity."""
+    scale = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def _unit_rows(M: np.ndarray) -> np.ndarray:
+    """Row-normalize; zero-norm rows stay zero (sim 0 to everything —
+    the same contract as cosine())."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
 def _cosine_dup_pairs_exact(
     corpus: DataFrame, threshold: float, id_col: str, vec_col: str
 ) -> DataFrame:
-    rows = corpus.select(id_col, vec_col).collect()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    src = corpus.where(F.col(vec_col).isNotNull())
+    rows = src.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus → empty pairs, not an np.stack crash
+        return corpus.sparkSession.createDataFrame(
+            [], f"a {id_type}, b {id_type}"
+        )
     ids = np.array([r[id_col] for r in rows])
-    C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, C = ids[order], C[order]
+    C = _unit_rows(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    )
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             a_ids = pdf["__id"].to_numpy()
-            X = np.stack(pdf["__emb"].to_numpy()).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            sims = np.round(X @ C.T, 9)
+            X = _unit_rows(np.stack(pdf["__emb"].to_numpy()).astype(np.float64))
+            sims = _round_half_up(X @ C.T)
             ai, bj = np.nonzero(sims >= threshold)
             keep = a_ids[ai] < ids[bj]  # a < b: dedupe + drop self
             yield pd.DataFrame({"a": a_ids[ai][keep], "b": ids[bj][keep]})
 
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    return corpus.select(
+    return src.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb")
     ).mapInPandas(block, f"a {id_type}, b {id_type}")
 
@@ -387,8 +463,10 @@ def _cosine_dup_pairs_lsh(
     seed: int,
 ) -> DataFrame:
     sig = signature_udf(dim, 64, seed)
-    base = corpus.select(
-        F.col(id_col).alias("image_id"), F.col(vec_col).alias("emb")
+    base = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("image_id"),
+        F.col(vec_col).alias("emb"),
+        norm_col(F.col(vec_col)).alias("nrm"),
     ).withColumn("sig", sig(F.col("emb")))
     # pairs_from_buckets runs an eager skew-detection action plus the
     # pairs action — checkpoint the UDF-computed signatures so the
@@ -405,15 +483,34 @@ def _cosine_dup_pairs_lsh(
     pairs, _overcap = pairs_from_buckets(
         buckets, bucket_cap, overcap_mode="exhaustive"
     )
-    e = base.select("image_id", "emb")
+    e = base.select("image_id", "emb", "nrm")
     verified = (
         pairs.join(
-            e.select(F.col("image_id").alias("a"), F.col("emb").alias("emb_a")), "a"
+            e.select(
+                F.col("image_id").alias("a"),
+                F.col("emb").alias("emb_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "a",
         )
         .join(
-            e.select(F.col("image_id").alias("b"), F.col("emb").alias("emb_b")), "b"
+            e.select(
+                F.col("image_id").alias("b"),
+                F.col("emb").alias("emb_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "b",
         )
-        .where(F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9) >= threshold)
+        .where(
+            F.round(
+                cosine(
+                    F.col("emb_a"), F.col("emb_b"),
+                    F.col("nrm_a"), F.col("nrm_b"),
+                ),
+                9,
+            )
+            >= threshold
+        )
         .select("a", "b")
     )
     return verified

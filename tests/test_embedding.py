@@ -161,3 +161,76 @@ def test_cosine_dup_pairs_lsh_is_distributed(planted, monkeypatch):
     }
     found = len(planted_pairs & got) / max(1, len(planted_pairs))
     assert found >= 0.9, f"lsh recall on planted dups {found:.2f}"
+
+
+def test_zero_norm_and_null_embeddings_are_harmless(spark, planted):
+    """A zero vector has cosine 0 to everything (never NaN — Spark
+    would rank NaN first and pass every threshold), and NULL embedding
+    rows are excluded rather than crashing np.stack in the UDFs."""
+    df, vecs = planted
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.array([9000, 9001], dtype=np.int64),
+                "embedding": [
+                    np.zeros(DIM, dtype=np.float32),
+                    None,
+                ],
+            }
+        ),
+        schema=df.schema,
+    )
+    poisoned = df.unionByName(extra)
+
+    queries = poisoned.where(F.col("vec_id") < 3)
+    top = brute_force_topk(poisoned, queries, k=5)
+    assert not any(r["neighbor_id"] in (9000, 9001) for r in top.collect())
+
+    # the zero/null rows must not appear in dup pairs at any threshold
+    pairs = cosine_dup_pairs(poisoned, 0.5, strategy="exact").collect()
+    assert not any(9000 in (r["a"], r["b"]) or 9001 in (r["a"], r["b"])
+                   for r in pairs)
+    pairs_lsh = cosine_dup_pairs(poisoned, 0.95, strategy="lsh").collect()
+    assert not any(9000 in (r["a"], r["b"]) or 9001 in (r["a"], r["b"])
+                   for r in pairs_lsh)
+
+    # a zero-norm QUERY ranks real rows deterministically (all sims 0)
+    zq = ann_topk(poisoned, poisoned.where(F.col("vec_id") == 9000), k=3)
+    got = zq.collect()
+    assert all(np.isfinite(r["rank"]) for r in got)
+
+
+def test_cosine_dup_pairs_empty_corpus(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert cosine_dup_pairs(empty, 0.9).collect() == []
+
+
+def test_lsh_dim_mismatch_raises_clearly(spark):
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(4, dtype=np.int64),
+                "embedding": [np.ones(16, dtype=np.float32)] * 4,
+            }
+        )
+    )
+    with pytest.raises(Exception, match="configured dim"):
+        cosine_dup_pairs(bad, 0.9, strategy="lsh").collect()
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """The exact path's rounding must agree with F.round (HALF_UP) at
+    the boundary — np.round is half-to-even and can flip a threshold
+    decision between the two strategies."""
+    from dude_spark.functions.embedding import _round_half_up
+
+    vals = [1.2345678905, -1.2345678905, 0.0000000005, -0.0000000005, 0.25]
+    got = _round_half_up(np.array(vals)).tolist()
+    exp = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round(F.col("x"), 9).alias("r"))
+        .collect()
+    )
+    assert got == pytest.approx([r["r"] for r in exp], abs=1e-15)
