@@ -57,6 +57,11 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt not in MAGIC:
         raise CodecError(f"unknown format {fmt!r}")
     h, w = pixels.shape[:2]
+    if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
+        # struct.error from pack('<HH') would escape every caller's
+        # except-CodecError handler; zero-area images are undecodable
+        # by contract (see decode)
+        raise CodecError(f"dimensions out of range: {w}x{h} (1..65535)")
     step = _QUANT_STEP.get(fmt)
     if step is not None:
         # mid-rise uniform quantization — the lossy step
@@ -80,11 +85,25 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
             return _decode_pil(data)
         raise CodecError("bad magic")
     w, h = struct.unpack("<HH", bytes(data[4:8]))
+    expected = h * w * 3
+    if expected == 0:
+        # a zero-area image has no pixels to operate on — resize would
+        # index an empty axis, features would be NaN means
+        raise CodecError("zero-area image")
+    # Decompression-bomb guard (same contract as mediacodec's audio
+    # path): the header is ATTACKER-CONTROLLED, so (a) reject sizes no
+    # real payload of this length could inflate to (zlib tops out near
+    # ~1032:1), and (b) hard-cap the decompressor at expected+1 bytes
+    # so a lying stream can't allocate past the claim either way.
+    if expected > len(data) * 1100:
+        raise CodecError(
+            f"implausible dimensions {w}x{h} for a {len(data)}-byte payload"
+        )
     try:
-        raw = zlib.decompress(bytes(data[8:]))
+        raw = zlib.decompressobj().decompress(bytes(data[8:]), expected + 1)
     except zlib.error as e:
         raise CodecError(f"corrupt payload: {e}") from e
-    if len(raw) != h * w * 3:
+    if len(raw) != expected:
         raise CodecError("size mismatch")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), fmt
 

@@ -112,10 +112,19 @@ def _decode_audio_soundfile(blob: bytes) -> tuple[np.ndarray, int]:  # pragma: n
     import io
 
     try:
+        # metadata probe FIRST: rejecting by the header keeps a
+        # multi-hour (or crafted) clip from being fully decoded into
+        # memory before the cap fires — the DWAV path rejects before
+        # decompression for the same reason
+        info = _soundfile.info(io.BytesIO(blob))
+        if info.frames > MAX_AUDIO_SAMPLES:
+            raise CodecError(f"audio clip too long: {info.frames} samples")
         data, rate = _soundfile.read(io.BytesIO(blob), dtype="int16", always_2d=True)
+    except CodecError:
+        raise
     except Exception as e:
         raise CodecError(f"undecodable audio payload: {e}") from e
-    if data.shape[0] > MAX_AUDIO_SAMPLES:
+    if data.shape[0] > MAX_AUDIO_SAMPLES:  # header lied — enforce anyway
         raise CodecError(f"audio clip too long: {data.shape[0]} samples")
     # downmix to mono to match the container contract
     mono = data.mean(axis=1).astype(np.int16) if data.shape[1] > 1 else data[:, 0]
@@ -148,30 +157,47 @@ def encode_video(frames: list[np.ndarray], fps: int, frame_fmt: str = "jpeg") ->
     return b"".join(parts)
 
 
-def _decode_video_av(blob: bytes) -> tuple[list[tuple[int, np.ndarray]], int]:  # pragma: no cover
+def _decode_video_av(blob: bytes):  # pragma: no cover
     """Real-video fallback when pyav is importable: container bytes →
-    ([(ts_ms, (h, w, 3) uint8), ...], fps), same CodecError taxonomy."""
+    (lazy (ts_ms, (h, w, 3) uint8) iterator, fps), same CodecError
+    taxonomy.  Timestamps fall back to frame_index/fps when the stream
+    carries no pts/time_base — 'or 0' arithmetic would collapse every
+    ts to 0 and the sampler would keep only the first frame of a valid
+    video."""
     import io
 
     try:
-        with _av.open(io.BytesIO(blob)) as container:
-            stream = container.streams.video[0]
-            rate = stream.average_rate
-            fps = max(1, int(round(float(rate)))) if rate else 1
-            frames = [
-                (
-                    int((frame.pts or 0) * float(stream.time_base or 0) * 1000),
-                    frame.to_ndarray(format="rgb24"),
-                )
-                for frame in container.decode(stream)
-            ]
+        container = _av.open(io.BytesIO(blob))
+        stream = container.streams.video[0]
+        rate = stream.average_rate
+        fps = max(1, int(round(float(rate)))) if rate else 1
     except Exception as e:
         raise CodecError(f"undecodable video payload: {e}") from e
-    return frames, fps
+
+    def frames():
+        try:
+            with container:
+                tb = float(stream.time_base) if stream.time_base else None
+                for i, frame in enumerate(container.decode(stream)):
+                    if tb is not None and frame.pts is not None:
+                        ts = int(frame.pts * tb * 1000)
+                    else:
+                        ts = i * 1000 // fps
+                    yield ts, frame.to_ndarray(format="rgb24")
+        except Exception as e:
+            raise CodecError(f"undecodable video payload: {e}") from e
+
+    return frames(), fps
 
 
-def decode_video(blob: bytes) -> tuple[list[tuple[int, np.ndarray]], int]:
-    """Container bytes → ([(ts_ms, pixels), ...], fps)."""
+def decode_video(blob: bytes):
+    """Container bytes → (LAZY (ts_ms, pixels) iterator, fps).
+
+    Frames decode one at a time: a 1-hour clip is ~10^5 frames whose
+    pixel arrays must never be held simultaneously (the sampler keeps
+    ~1 per second and discards the rest).  Header validation is EAGER
+    — malformed magic/header raises here, at call time; per-frame
+    corruption raises CodecError from the iterator, mid-iteration."""
     if blob is None or len(blob) < 12:
         raise CodecError("video payload too short")
     if blob[:4] != VIDEO_MAGIC:
@@ -181,16 +207,18 @@ def decode_video(blob: bytes) -> tuple[list[tuple[int, np.ndarray]], int]:
     fps, n_frames = struct.unpack("<ii", blob[4:12])
     if fps <= 0 or n_frames < 0:
         raise CodecError(f"corrupt DVID header fps={fps} n={n_frames}")
-    frames: list[tuple[int, np.ndarray]] = []
-    off = 12
-    for i in range(n_frames):
-        if off + 4 > len(blob):
-            raise CodecError(f"DVID truncated at frame {i}")
-        (plen,) = struct.unpack("<i", blob[off : off + 4])
-        off += 4
-        if plen < 0 or off + plen > len(blob):
-            raise CodecError(f"DVID bad frame length {plen} at frame {i}")
-        pixels, _ = decode_image(blob[off : off + plen])
-        off += plen
-        frames.append((i * 1000 // fps, pixels))
-    return frames, fps
+
+    def frames():
+        off = 12
+        for i in range(n_frames):
+            if off + 4 > len(blob):
+                raise CodecError(f"DVID truncated at frame {i}")
+            (plen,) = struct.unpack("<i", blob[off : off + 4])
+            off += 4
+            if plen < 0 or off + plen > len(blob):
+                raise CodecError(f"DVID bad frame length {plen} at frame {i}")
+            pixels, _ = decode_image(blob[off : off + plen])
+            off += plen
+            yield i * 1000 // fps, pixels
+
+    return frames(), fps

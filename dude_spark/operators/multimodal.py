@@ -99,9 +99,14 @@ def extract_features(images: DataFrame) -> DataFrame:
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Deterministic nearest-neighbor resize, re-encoded in the source
     format → (image_id, bytes, w, h, fmt, ok).  Undecodable rows pass
-    through with ok=false and null bytes."""
+    through with ok=false and null bytes.  Formats the container codec
+    cannot write (a real WebP/BMP decoded via the Pillow fallback)
+    re-encode as png — a decodable image must never come back
+    ok=false just because its source format has no encoder here."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..imagecodec import MAGIC
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
@@ -111,8 +116,10 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                     xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                     out = pix[yi][:, xi]
+                    enc_fmt = fmt if fmt in MAGIC else "png"
                     rows.append(
-                        (r.image_id, encode(out, fmt), out_w, out_h, fmt, True)
+                        (r.image_id, encode(out, enc_fmt), out_w, out_h,
+                         enc_fmt, True)
                     )
                 except CodecError:
                     rows.append((r.image_id, None, None, None, None, False))
@@ -173,16 +180,22 @@ def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     Demuxes the deterministic DVID container (mediacodec — swap
     ``decode_video`` for pyav/ffmpeg in production behind the same
-    signature).  Sampling keeps the first frame at/after each
-    ``every_ms`` boundary.  Undecodable videos emit ONE ok=false row
-    (skip-and-count) instead of failing the job."""
-    from ..imagecodec import encode as encode_image
+    signature); frames stream one at a time, so a long clip never
+    holds all its pixels in memory.  Sampling keeps the first frame
+    at/after each ``every_ms`` boundary (boundaries are MULTIPLES of
+    every_ms, not offsets from the last kept frame — anchoring to the
+    kept frame would drift on irregular timestamps).  Undecodable
+    videos emit ONE ok=false row (skip-and-count, partial frames of a
+    mid-stream corruption are discarded) instead of failing the job;
+    a DECODABLE zero-frame video emits no rows at all — count inputs
+    upstream if per-video accounting must reconcile."""
     from ..mediacodec import decode_video
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                start = len(rows)
                 try:
                     frames, _fps = decode_video(
                         bytes(r.bytes) if r.bytes is not None else b""
@@ -191,12 +204,13 @@ def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
                     for idx, (ts_ms, pixels) in enumerate(frames):
                         if ts_ms < next_ts:
                             continue
-                        next_ts = ts_ms + every_ms
+                        next_ts = (ts_ms // every_ms + 1) * every_ms
                         rows.append(
-                            (r.video_id, idx, encode_image(pixels, "jpeg"),
+                            (r.video_id, idx, encode(pixels, "jpeg"),
                              ts_ms, True)
                         )
                 except CodecError:
+                    del rows[start:]  # drop this video's partial frames
                     rows.append((r.video_id, None, None, None, False))
             yield pd.DataFrame(
                 rows,

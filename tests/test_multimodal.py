@@ -142,8 +142,8 @@ def test_sample_video_frames(spark):
         (rs.randint(0, 255, (8, 8, 3))).astype(np.uint8) for _ in range(10)
     ]
     blob = encode_video(frames, fps=5)  # ts = 0,200,...,1800 ms
-    decoded, fps = decode_video(blob)
-    assert fps == 5 and len(decoded) == 10
+    frame_iter, fps = decode_video(blob)  # frames decode LAZILY
+    assert fps == 5 and len(list(frame_iter)) == 10
     vids = spark.createDataFrame(
         [("v1", blob), ("bad", b"garbage")], "video_id string, bytes binary"
     )
@@ -217,3 +217,94 @@ def test_non_container_bytes_still_raise_without_real_codecs():
     if not mediacodec.HAVE_AV:
         with pytest.raises(imagecodec.CodecError):
             mediacodec.decode_video(b"\x00\x00\x00 ftypisom padding padding")
+
+
+def test_image_decompression_bomb_rejected():
+    """A tiny blob claiming huge dimensions must raise CodecError
+    before allocating the claimed pixels (same contract as the audio
+    bomb guard)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from dude_spark import imagecodec
+
+    bomb = (
+        imagecodec.MAGIC["png"]
+        + _struct.pack("<HH", 65535, 65535)  # claims ~12.9 GB raw
+        + _zlib.compress(b"\x00" * 4096, level=9)
+    )
+    with pytest.raises(imagecodec.CodecError, match="implausible"):
+        imagecodec.decode(bomb)
+    # a lying-but-plausible header is cut off at the cap, not ballooned
+    lying = (
+        imagecodec.MAGIC["png"]
+        + _struct.pack("<HH", 4, 4)
+        + _zlib.compress(b"\x00" * 10_000, level=9)
+    )
+    with pytest.raises(imagecodec.CodecError, match="size mismatch"):
+        imagecodec.decode(lying)
+
+
+def test_zero_area_and_oversize_images_are_codec_errors(spark):
+    import struct as _struct
+    import zlib as _zlib
+
+    from dude_spark import imagecodec
+    from dude_spark.operators.multimodal import resize_images
+
+    zero = (
+        imagecodec.MAGIC["png"]
+        + _struct.pack("<HH", 5, 0)
+        + _zlib.compress(b"")
+    )
+    with pytest.raises(imagecodec.CodecError, match="zero-area"):
+        imagecodec.decode(zero)
+    # through the operator: ok=false row, not an IndexError job failure
+    df = spark.createDataFrame([("z", zero)], "image_id string, bytes binary")
+    rows = resize_images(df, 4, 4).collect()
+    assert len(rows) == 1 and not rows[0]["ok"]
+    # encode: dimensions beyond the u16 container range raise
+    # CodecError, not struct.error escaping the skip-and-count handler
+    with pytest.raises(imagecodec.CodecError, match="out of range"):
+        imagecodec.encode(
+            np.zeros((1, 70000, 3), dtype=np.uint8), "png"
+        )
+
+
+def test_video_boundary_sampling_and_partial_discard(spark):
+    """Sampling anchors to every_ms MULTIPLES (a kept frame at 1100
+    must not push the next boundary to 2100), and a mid-stream
+    corruption discards the video's partial frames for ONE ok=false
+    row."""
+    import struct as _struct
+
+    from dude_spark.mediacodec import VIDEO_MAGIC, encode_video
+    from dude_spark.operators.multimodal import sample_video_frames
+
+    rs = np.random.RandomState(9)
+    frames = [rs.randint(0, 255, (4, 4, 3)).astype(np.uint8) for _ in range(21)]
+    # fps=10 → ts = 0,100,...,2000; boundaries at 0,1000,2000 keep
+    # idx 0, 10, 20 (anchor-to-kept would drift if ts were irregular)
+    blob = encode_video(frames, fps=10)
+
+    # corrupt container: valid header claiming 2 frames, second packet
+    # truncated → the first frame decodes, then CodecError mid-stream
+    f0 = encode_video(frames[:1], fps=10)
+    corrupt = (
+        VIDEO_MAGIC
+        + _struct.pack("<ii", 10, 2)
+        + f0[12:]                      # frame 0's (len, packet)
+        + _struct.pack("<i", 99999)    # frame 1 claims bytes that aren't there
+    )
+    vids = spark.createDataFrame(
+        [("good", blob), ("cut", corrupt)], "video_id string, bytes binary"
+    )
+    rows = sample_video_frames(vids, every_ms=1000).collect()
+    good = sorted(
+        [r for r in rows if r["video_id"] == "good"], key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["ts_ms"]) for r in good] == [
+        (0, 0), (10, 1000), (20, 2000)
+    ]
+    cut = [r for r in rows if r["video_id"] == "cut"]
+    assert len(cut) == 1 and not cut[0]["ok"]
