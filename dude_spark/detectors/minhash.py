@@ -375,8 +375,13 @@ def minhash_signatures(images: DataFrame, cfg: MinHashConfig) -> DataFrame:
     10^12).  The bucket explode selects only `bands`, so Catalyst
     prunes `sig` out of the wide (rows × bands) shuffle — it moves
     only through the narrow verify prefilter join."""
+    from ..session import ensure_min_partitions
+
     udf = minhash_bands_udf(cfg)
-    return images.select("image_id", "caption").select(
+    # spread an under-split scan before the signature UDF: one row
+    # group = one task otherwise, whatever the cluster size
+    images = ensure_min_partitions(images.select("image_id", "caption"))
+    return images.select(
         "image_id", udf("caption").alias("sb")
     ).select("image_id", F.col("sb.sig").alias("sig"), F.col("sb.bands").alias("bands"))
 

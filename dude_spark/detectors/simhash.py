@@ -250,9 +250,13 @@ def simhash_signatures(images: DataFrame, cfg: SimHashConfig) -> DataFrame:
             ).where(F.col("sig").isNotNull())
         )
     if cfg.use_caption:
+        from ..session import ensure_min_partitions
+
         udf = caption_simhash_udf()
         parts.append(
-            images.select("image_id", "caption")
+            # spread an under-split scan before the signature UDF
+            # (one row group = one task otherwise)
+            ensure_min_partitions(images.select("image_id", "caption"))
             .select(
                 "image_id", F.lit("caption").alias("channel"),
                 udf("caption").alias("sig"),

@@ -81,10 +81,13 @@ def suffix_fingerprints_udf(cfg: SuffixConfig):
 
 def suffix_signatures(images: DataFrame, cfg: SuffixConfig) -> DataFrame:
     """images → (image_id, fingerprints array<long>)."""
+    from ..session import ensure_min_partitions
+
     udf = suffix_fingerprints_udf(cfg)
-    return images.select("image_id", "caption").select(
-        "image_id", udf("caption").alias("fingerprints")
-    )
+    # spread an under-split scan before the signature UDF: one row
+    # group = one task otherwise, whatever the cluster size
+    images = ensure_min_partitions(images.select("image_id", "caption"))
+    return images.select("image_id", udf("caption").alias("fingerprints"))
 
 
 def suffix_buckets(signatures: DataFrame) -> DataFrame:

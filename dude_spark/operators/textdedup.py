@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_ngrams
+from ..session import ensure_min_partitions
 
 
 def ngram_jaccard_pairs(
@@ -43,10 +44,20 @@ def ngram_jaccard_pairs(
     BOTH intersection and union (consistent semantics) — the returned
     DataFrame's ``.dropped_grams`` attribute reports how many.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"),
-    )
+    # spread an under-split scan first (one row group = one task for
+    # the tokenize/explode otherwise), then carry grams as xxhash64
+    # LONGS: the inverted-index self-join — the operator's widest
+    # shuffle — moves 8 bytes per gram instead of a ~n-word string.
+    # Distinct-gram semantics are applied on the STRINGS (array_distinct
+    # before hashing); a 64-bit collision merging two grams of one pair
+    # shifts its counts with probability ~|grams|²/2^64 — immaterial
+    # (the same contract as verify_jaccard's hashed shingle sets).
+    grams = ensure_min_partitions(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select(
+        "doc",
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    ).select("doc", F.xxhash64("g").alias("gram"))
     dropped = 0
     if max_gram_df is not None:
         df_counts = grams.groupBy("gram").agg(F.countDistinct("doc").alias("df"))

@@ -12,7 +12,38 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread an under-partitioned input before CPU-heavy per-row work.
+
+    Scan parallelism is set by the FILE layout, not by the work per
+    row: a small table written as one row group (or one hot file)
+    plans as a single input partition, and every downstream narrow
+    stage — signature pandas UDFs, n-gram explodes — then runs on one
+    core regardless of cluster size (measured at sf0.1: the 5000-doc
+    documents.parquet is one row group, so the minhash signature UDF
+    ran on 2 of 32 cores and a 260k-row n-gram explode took 11 s on
+    one task).  The same lesson as verify._spread_for_python, one
+    layer earlier: spread by WORK, not bytes.
+
+    No-op when the plan already has >= the session's default
+    parallelism partitions — at cluster scale a 100 TB scan has far
+    more splits than cores and must NOT pay a pointless full shuffle;
+    only degenerate layouts (tiny dimension tables, a single
+    unsplittable row group) take the narrow repartition, whose cost is
+    bounded by the projected input width.
+
+    Call it on the NARROW projection (ids + the text/feature column),
+    never on payload-bearing frames — `bytes` must not ride this
+    shuffle either.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def get_spark(

@@ -214,3 +214,31 @@ def test_many_overcap_buckets_distributed_fallback(spark, monkeypatch):
         assert got_pairs == expected[m][0]
         assert got_overcap == expected[m][1]
         assert got_overcap == {(f"H{b}", 8) for b in range(6)}
+
+
+def test_ensure_min_partitions_spreads_underpartitioned_scan(spark, tmp_path):
+    """A one-row-group parquet plans as ONE input partition; the
+    signature stage must not inherit that (measured at sf0.1: the
+    minhash signature UDF ran on 2 of 32 cores, a 260k-row n-gram
+    explode took 11 s on one task).  ensure_min_partitions spreads the
+    narrow projection to the session's parallelism — and is a NO-OP
+    when the input is already wide enough (a 100 TB scan must not pay
+    a pointless full shuffle)."""
+    from dude_spark.session import ensure_min_partitions
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(500).selectExpr(
+        "cast(id as string) image_id", "repeat('word ', 40) caption"
+    ).coalesce(1).write.parquet(path)
+    one = spark.read.parquet(path)
+    assert one.rdd.getNumPartitions() == 1
+    spread = ensure_min_partitions(one)
+    target = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == target
+    # idempotent / no-op on an already-spread frame: no second exchange
+    again = ensure_min_partitions(spread)
+    assert again is spread
+    # the signature UDF consumes the spread layout
+    sigs = minhash_signatures(one, MinHashConfig())
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
