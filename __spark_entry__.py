@@ -44,6 +44,7 @@ from dude_spark.functions.text import (
 )
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
+from dude_spark.operators.decontam import contamination_pairs
 from dude_spark.operators.textdedup import ngram_jaccard_pairs
 from dude_spark.operators.verify import (
     prefilter_minhash,
@@ -464,6 +465,32 @@ def q_hamming_pairs(spark, sf_dir):
     )
 
 
+def q_decontam_pairs(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): corpus docs
+    sharing a >=32-char substring with a benchmark set, as (doc_id,
+    bench_id) pairs.  The benchmark set is derived deterministically
+    from the corpus itself — an 80-char slice of every 50th document —
+    so each source doc is contaminated by its own slice BY
+    CONSTRUCTION (a live gate: a recall collapse drops visible rows)
+    and both engines build the identical benchmark.  Exactness is the
+    winnowing guarantee + exact L-gram verify (same theorem as
+    substring_pairs), so DuckDB's brute-force cross 32-gram join is an
+    exact oracle."""
+    docs = _docs(spark, sf_dir)
+    corpus = _docs_as_images(spark, sf_dir)
+    bench = docs.where(
+        (F.col("doc_id") % 50 == 0) & (F.length("text") >= 150)
+    ).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.substring("text", 21, 80).alias("caption"),
+    )
+    out = contamination_pairs(corpus, bench, SuffixConfig(min_match_len=32))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4 on this corpus's
     similarity scale) — exact all-pairs, DuckDB-oracle-gated."""
@@ -520,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "decontam_pairs": q_decontam_pairs,
         "hamming_pairs": q_hamming_pairs,
         "ann_topk": q_ann_topk,
     }
@@ -705,6 +733,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ga.doc_id AS a, gb.doc_id AS b
             FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            GROUP BY 1, 2
+        """,
+        "decontam_pairs": """
+            WITH bench AS (
+              SELECT doc_id AS bench_id, substring(text, 21, 80) AS btext
+              FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 150
+            ),
+            cg AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 32) AS gram
+              FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+              WHERE length(text) >= 32
+            ),
+            bg AS (
+              SELECT DISTINCT bench_id,
+                     substring(btext, CAST(i AS INT), 32) AS gram
+              FROM bench, unnest(range(1, length(btext) - 30)) AS t(i)
+              WHERE length(btext) >= 32
+            )
+            SELECT cg.doc_id AS doc_id, bg.bench_id AS bench_id
+            FROM cg JOIN bg USING (gram)
             GROUP BY 1, 2
         """,
         "dedup_assignments": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")

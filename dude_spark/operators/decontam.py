@@ -1,0 +1,121 @@
+"""Benchmark decontamination — flag training docs that overlap an
+evaluation/benchmark set.
+
+The canonical LLM-training-data hygiene step (n-gram-overlap test-set
+decontamination, as published with GPT-2/GPT-3 and the Pile): a corpus
+document is CONTAMINATED when its text shares a substring of length >=
+``SuffixConfig.min_match_len`` with any benchmark document.  This is
+exactly the D3 substring-duplicate predicate applied ACROSS two tables
+instead of within one, so the operator reuses the winnowing machinery
+(detectors/suffix.py) end to end:
+
+  candidates  winnowed fingerprints on BOTH sides; the winnowing
+              guarantee makes a shared >=L substring imply a shared
+              fingerprint, so the corpus-fp ⨝ benchmark-fp equi-join
+              has exact recall (fp hash collisions only ADD candidates).
+  verify      exact shared-L-gram recheck per candidate pair — the
+              same whole-batch kernel as verify_substring, attached
+              two-sided (corpus caption vs benchmark caption).
+
+Scale shape (the reason this beats a within-union detector run): the
+benchmark side is tiny relative to the corpus (10^3-10^6 eval docs vs
+10^12 training docs), so the candidate join is benchmark-broadcast
+(AQE picks BroadcastHashJoin from the benchmark side's size) and the
+CORPUS NEVER SHUFFLES — each corpus fingerprint row is probed map-side
+and only matching (doc, bench) candidates move.  Running the plain D3
+detector over corpus ∪ benchmark would instead shuffle every corpus
+fingerprint into buckets and enumerate corpus×corpus pairs nobody
+asked for.
+
+No silent truncation: there are NO caps here — a boilerplate benchmark
+gram that matches millions of corpus docs flags millions of docs,
+because that is the decontamination semantics (every one of those docs
+really does overlap the benchmark).  Candidate volume is bounded by
+sum over shared fps of df_corpus(fp) x df_bench(fp); if a benchmark
+set is pathologically boilerplate-heavy, shrink it (or raise L), do
+not cap the flagging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SuffixConfig
+from ..detectors.suffix import _batch_shares_substring, suffix_signatures
+
+
+def _side_fps(docs: DataFrame, out_id: str) -> DataFrame:
+    """(image_id, caption) → (out_id, fp) exploded winnowed fingerprints."""
+    return (
+        docs.where(F.col("fingerprints").isNotNull())
+        .select(
+            F.col("image_id").alias(out_id),
+            F.explode("fingerprints").alias("fp"),
+        )
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame, benchmark: DataFrame, cfg: SuffixConfig | None = None
+) -> DataFrame:
+    """(doc_id, bench_id) for every corpus/benchmark pair sharing a
+    substring of length >= cfg.min_match_len.
+
+    Both inputs are (image_id, caption) frames; the two id namespaces
+    are independent columns in the output, so they may overlap freely.
+    Exact (winnowing recall guarantee + exact L-gram verify): the
+    output equals the brute-force all-cross-pairs shared-32-gram join,
+    which is how the driver oracle checks it.
+    """
+    cfg = cfg or SuffixConfig()
+    c_fp = _side_fps(suffix_signatures(corpus, cfg), "doc_id")
+    b_fp = _side_fps(suffix_signatures(benchmark, cfg), "bench_id")
+    cand = c_fp.join(b_fp, "fp").select("doc_id", "bench_id").distinct()
+
+    # two-sided semi-reduced caption attach (the _attach idiom, one
+    # projection per side): only captions of candidate members move
+    from .verify import _spread_for_python
+
+    c_cap = corpus.select(
+        F.col("image_id").alias("doc_id"), F.col("caption").alias("caption_a")
+    ).join(cand.select("doc_id").distinct(), "doc_id", "leftsemi")
+    b_cap = benchmark.select(
+        F.col("image_id").alias("bench_id"),
+        F.col("caption").alias("caption_b"),
+    ).join(cand.select("bench_id").distinct(), "bench_id", "leftsemi")
+    j = _spread_for_python(
+        cand.join(c_cap, "doc_id").join(b_cap, "bench_id")
+    ).select("doc_id", "bench_id", "caption_a", "caption_b")
+    d_t, b_t = (f.dataType.simpleString() for f in j.schema.fields[:2])
+    L = cfg.min_match_len
+
+    def keep_sharing(batches):
+        for pdf in batches:
+            m = _batch_shares_substring(
+                list(pdf["caption_a"]), list(pdf["caption_b"]), L
+            )
+            yield pdf.loc[m, ["doc_id", "bench_id"]]
+
+    return j.mapInPandas(keep_sharing, f"doc_id {d_t}, bench_id {b_t}")
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, cfg: SuffixConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_corpus, flagged) — remove every contaminated doc.
+
+    ``flagged`` is (doc_id, n_bench_hits): the removed docs with how
+    many benchmark docs each overlapped (the audit trail — removal is
+    never silent).  ``clean_corpus`` keeps the input schema.
+    """
+    pairs = contamination_pairs(corpus, benchmark, cfg)
+    flagged = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bench_hits")
+    )
+    clean = corpus.join(
+        flagged.select(F.col("doc_id").alias("image_id")),
+        "image_id",
+        "left_anti",
+    )
+    return clean, flagged
