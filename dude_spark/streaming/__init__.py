@@ -1,2 +1,6 @@
-from .ingest import minhash_ingest, start_incremental_dedup  # noqa: F401
+from .ingest import (  # noqa: F401
+    minhash_ingest,
+    simhash_ingest,
+    start_incremental_dedup,
+)
 from .windows import start_session_stats, start_windowed_stats  # noqa: F401

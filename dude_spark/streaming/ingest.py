@@ -55,9 +55,14 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import MinHashConfig
+from ..config import MinHashConfig, SimHashConfig
 from ..detectors.exact import exact_buckets
 from ..detectors.minhash import minhash_buckets, minhash_signatures
+from ..detectors.simhash import (
+    simhash_buckets,
+    simhash_pairs_verified,
+    simhash_signatures,
+)
 from ..operators.candidates import (
     _MAX_COLLECTED_OVERCAP,
     overcap_stats,
@@ -211,6 +216,44 @@ def minhash_ingest(
         return verify_jaccard(
             pairs, rows, cfg.shingle_k, cfg.jaccard_threshold
         ).select("a", "b")
+
+    return bucket_fn, verify_fn, ("caption",)
+
+
+def simhash_ingest(
+    cfg: SimHashConfig | None = None,
+) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:
+    """D2 preset for start_incremental_dedup (caption channel).
+
+    Returns ``(bucket_fn, verify_fn, state_cols)`` — pigeonhole
+    Hamming-ball buckets for candidate generation and the exact
+    per-channel Hamming recheck.  The caption channel only: a stream
+    of raw rows carries captions, and persisting captions (not sigs)
+    in the rows state keeps the state schema detector-agnostic — the
+    verify recomputes signatures for just the semi-reduced pair
+    members (the signature UDF cost is O(|pairs|), not O(corpus)).
+    """
+    cfg = cfg or SimHashConfig(use_phash=False)
+    if cfg.use_phash:
+        raise ValueError(
+            "simhash_ingest streams caption rows; use a phash-bearing "
+            "state_cols + custom verify_fn for the phash channel"
+        )
+
+    def bucket_fn(batch: DataFrame) -> DataFrame:
+        return simhash_buckets(simhash_signatures(batch, cfg), cfg)
+
+    def verify_fn(pairs: DataFrame, rows: DataFrame) -> DataFrame:
+        # signatures only for rows that appear in a candidate pair —
+        # the same semi-reduction idiom as operators/verify._attach
+        keys = (
+            pairs.select(F.col("a").alias("image_id"))
+            .unionByName(pairs.select(F.col("b").alias("image_id")))
+            .distinct()
+        )
+        members = rows.join(keys, "image_id", "leftsemi")
+        sigs = simhash_signatures(members, cfg)
+        return simhash_pairs_verified(pairs, sigs, cfg).select("a", "b")
 
     return bucket_fn, verify_fn, ("caption",)
 

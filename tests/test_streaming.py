@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from dude_spark.streaming import minhash_ingest, start_incremental_dedup
 
 
@@ -169,3 +171,55 @@ def _drain_capped(spark, input_dir, state_dir, schema, bucket_cap):
     )
     q.awaitTermination(120)
     assert not q.isActive
+
+
+def test_incremental_dedup_stream_simhash(spark, tmp_path):
+    """The D2 caption-channel preset through foreachBatch: token-bag
+    simhash is order-insensitive, so a REORDERED caption (byte-unequal
+    — the exact detector would miss it) pairs with its source both
+    within a batch and cross-epoch against known state, and the
+    Hamming verify recomputes signatures only for pair members."""
+    from dude_spark.streaming import simhash_ingest
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, caption string"
+    bucket_fn, verify_fn, state_cols = simhash_ingest()
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn, state_cols=state_cols,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    words = _BASE.split()
+    reordered = " ".join(reversed(words))  # same token bag, distance 0
+    uniq1 = (
+        "completely different text about spark shuffle partitions and "
+        "parquet footers that shares no phrases with the pastoral scene"
+    )
+    write([("a", _BASE), ("b", reordered), ("c", uniq1)])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b")}
+
+    # epoch 2: d duplicates the KNOWN token bag; e is fresh
+    write([("d", _BASE), ("e", "totally fresh unrelated caption words")])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b"), ("a", "d"), ("b", "d")}
+    assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
+
+
+def test_simhash_ingest_rejects_phash_config(spark):
+    from dude_spark.config import SimHashConfig
+    from dude_spark.streaming import simhash_ingest
+
+    with pytest.raises(ValueError):
+        simhash_ingest(SimHashConfig(use_phash=True))
