@@ -80,10 +80,11 @@ def _parser() -> argparse.ArgumentParser:
                     help="durable state dir (sigs/rows/pairs/checkpoint)")
     st.add_argument("--schema", default="image_id string, bytes binary",
                     help="input schema DDL (file streams need one)")
-    st.add_argument("--detector", choices=("exact", "minhash"),
+    st.add_argument("--detector", choices=("exact", "minhash", "simhash"),
                     default="exact",
-                    help="exact sha2 buckets, or MinHash-LSH near-dup "
-                         "candidates + exact-Jaccard verify")
+                    help="exact sha2 buckets; MinHash-LSH near-dup "
+                         "candidates + exact-Jaccard verify; or SimHash "
+                         "caption-channel + exact Hamming verify")
     st.add_argument("--minhash-threshold", type=float, default=None)
     st.add_argument("--bucket-cap", type=int, default=64)
     st.add_argument("--overcap-mode", choices=("star", "exhaustive"),
@@ -95,6 +96,23 @@ def _parser() -> argparse.ArgumentParser:
                          "what's available, then stop)")
     st.add_argument("--cpus", type=int, default=0)
     st.add_argument("--local", action="store_true")
+
+    dc = sub.add_parser(
+        "decontam",
+        help="remove corpus docs overlapping a benchmark set "
+             "(shared >=L-char substring; operators/decontam.py)",
+    )
+    dc.add_argument("--corpus", required=True, help="corpus parquet path")
+    dc.add_argument("--benchmark", required=True,
+                    help="benchmark/eval-set parquet path")
+    dc.add_argument("--out", required=True,
+                    help="output dir: clean/ (surviving rows) + "
+                         "flagged/ (doc_id, n_bench_hits audit table)")
+    dc.add_argument("--id-col", default="image_id")
+    dc.add_argument("--text-col", default="caption")
+    dc.add_argument("--min-match-len", type=int, default=32)
+    dc.add_argument("--cpus", type=int, default=0)
+    dc.add_argument("--local", action="store_true")
 
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
@@ -149,15 +167,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             kw = {}
-            if a.detector == "minhash":
-                from .streaming import minhash_ingest
+            if a.detector in ("minhash", "simhash"):
+                if a.detector == "minhash":
+                    from .streaming import minhash_ingest
 
-                mh = (
-                    MinHashConfig(jaccard_threshold=a.minhash_threshold)
-                    if a.minhash_threshold is not None
-                    else MinHashConfig()
-                )
-                bucket_fn, verify_fn, state_cols = minhash_ingest(mh)
+                    mh = (
+                        MinHashConfig(jaccard_threshold=a.minhash_threshold)
+                        if a.minhash_threshold is not None
+                        else MinHashConfig()
+                    )
+                    bucket_fn, verify_fn, state_cols = minhash_ingest(mh)
+                else:
+                    from .streaming import simhash_ingest
+
+                    bucket_fn, verify_fn, state_cols = simhash_ingest()
                 kw = dict(
                     bucket_fn=bucket_fn,
                     verify_fn=verify_fn,
@@ -174,6 +197,46 @@ def main(argv: list[str] | None = None) -> int:
             )
             q.awaitTermination()
             print(f"pairs: {a.state}/pairs")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "decontam":
+        spark = get_spark(
+            "dude_spark_decontam",
+            master=f"local[{a.cpus}]" if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.decontam import decontaminate
+
+            def load(path):
+                df = spark.read.parquet(path)
+                return df.select(
+                    F.col(a.id_col).cast("string").alias("image_id"),
+                    F.col(a.text_col).alias("caption"),
+                )
+
+            _, flagged = decontaminate(
+                load(a.corpus), load(a.benchmark),
+                SuffixConfig(min_match_len=a.min_match_len),
+            )
+            # materialize the (small) flagged table FIRST, then derive
+            # survivors from the written copy — the contamination chain
+            # runs once, and survivors keep the corpus's FULL schema
+            flagged.write.mode("overwrite").parquet(f"{a.out}/flagged")
+            flagged_t = spark.read.parquet(f"{a.out}/flagged")
+            survivors = spark.read.parquet(a.corpus).join(
+                flagged_t.select(F.col("doc_id").alias("__flag_id")),
+                F.col(a.id_col).cast("string") == F.col("__flag_id"),
+                "left_anti",
+            )
+            survivors.write.mode("overwrite").parquet(f"{a.out}/clean")
+            n_flagged = flagged_t.count()
+            n_clean = spark.read.parquet(f"{a.out}/clean").count()
+            print(f"flagged {n_flagged} contaminated docs; "
+                  f"{n_clean} survive -> {a.out}/clean")
             return 0
         finally:
             spark.stop()

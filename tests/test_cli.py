@@ -59,3 +59,36 @@ def test_cli_stream_minhash_flag_builds_detector(spark, tmp_path, monkeypatch):
         for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()
     }
     assert pairs == {("a", "b")}
+
+
+def test_cli_decontam(spark, tmp_path, monkeypatch, capsys):
+    """decontam subcommand: flags overlapping docs, writes an audit
+    table, and survivors keep the corpus's full schema."""
+    corpus_p, bench_p, out = (
+        str(tmp_path / "corpus"), str(tmp_path / "bench"), str(tmp_path / "out")
+    )
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (0, base, "en"),
+        (1, " ".join(f"x{i}" for i in range(60)), "en"),
+        (2, " ".join(f"y{i}" for i in range(60)), "de"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(corpus_p)
+    spark.createDataFrame(
+        [(100, base[10:90], "xx")], "doc_id long, text string, lang string"
+    ).write.parquet(bench_p)
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([
+        "decontam", "--corpus", corpus_p, "--benchmark", bench_p,
+        "--out", out, "--id-col", "doc_id", "--text-col", "text",
+    ])
+    assert rc == 0
+    assert "flagged 1 contaminated" in capsys.readouterr().out
+    clean = spark.read.parquet(f"{out}/clean")
+    assert set(clean.columns) == {"doc_id", "text", "lang"}
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    flagged = spark.read.parquet(f"{out}/flagged")
+    assert [(r["doc_id"], r["n_bench_hits"]) for r in flagged.collect()] == [("0", 1)]
