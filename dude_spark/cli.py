@@ -80,12 +80,17 @@ def _parser() -> argparse.ArgumentParser:
                     help="durable state dir (sigs/rows/pairs/checkpoint)")
     st.add_argument("--schema", default="image_id string, bytes binary",
                     help="input schema DDL (file streams need one)")
-    st.add_argument("--detector", choices=("exact", "minhash", "simhash"),
+    st.add_argument("--detector",
+                    choices=("exact", "minhash", "simhash", "suffix"),
                     default="exact",
                     help="exact sha2 buckets; MinHash-LSH near-dup "
-                         "candidates + exact-Jaccard verify; or SimHash "
-                         "caption-channel + exact Hamming verify")
+                         "candidates + exact-Jaccard verify; SimHash "
+                         "caption-channel + exact Hamming verify; or "
+                         "suffix winnowing + exact shared-L-gram verify")
     st.add_argument("--minhash-threshold", type=float, default=None)
+    st.add_argument("--min-match-len", type=int, default=None,
+                    help="suffix detector: substring-overlap threshold "
+                         "(chars, default SuffixConfig's)")
     st.add_argument("--bucket-cap", type=int, default=64)
     st.add_argument("--overcap-mode", choices=("star", "exhaustive"),
                     default="star",
@@ -167,7 +172,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             kw = {}
-            if a.detector in ("minhash", "simhash"):
+            if a.detector in ("minhash", "simhash", "suffix"):
                 if a.detector == "minhash":
                     from .streaming import minhash_ingest
 
@@ -177,6 +182,15 @@ def main(argv: list[str] | None = None) -> int:
                         else MinHashConfig()
                     )
                     bucket_fn, verify_fn, state_cols = minhash_ingest(mh)
+                elif a.detector == "suffix":
+                    from .streaming import suffix_ingest
+
+                    sx = (
+                        SuffixConfig(min_match_len=a.min_match_len)
+                        if a.min_match_len is not None
+                        else SuffixConfig()
+                    )
+                    bucket_fn, verify_fn, state_cols = suffix_ingest(sx)
                 else:
                     from .streaming import simhash_ingest
 

@@ -2,5 +2,6 @@ from .ingest import (  # noqa: F401
     minhash_ingest,
     simhash_ingest,
     start_incremental_dedup,
+    suffix_ingest,
 )
 from .windows import start_session_stats, start_windowed_stats  # noqa: F401

@@ -55,13 +55,18 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import MinHashConfig, SimHashConfig
+from ..config import MinHashConfig, SimHashConfig, SuffixConfig
 from ..detectors.exact import exact_buckets
 from ..detectors.minhash import minhash_buckets, minhash_signatures
 from ..detectors.simhash import (
     simhash_buckets,
     simhash_pairs_verified,
     simhash_signatures,
+)
+from ..detectors.suffix import (
+    suffix_buckets,
+    suffix_signatures,
+    verify_substring,
 )
 from ..operators.candidates import (
     _MAX_COLLECTED_OVERCAP,
@@ -254,6 +259,31 @@ def simhash_ingest(
         members = rows.join(keys, "image_id", "leftsemi")
         sigs = simhash_signatures(members, cfg)
         return simhash_pairs_verified(pairs, sigs, cfg).select("a", "b")
+
+    return bucket_fn, verify_fn, ("caption",)
+
+
+def suffix_ingest(
+    cfg: SuffixConfig | None = None,
+) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:
+    """D3 preset for start_incremental_dedup: substring-overlap at
+    ingest (the decontamination predicate applied stream-side).
+
+    Returns ``(bucket_fn, verify_fn, state_cols)`` — winnowed
+    fingerprints as bucket keys (the winnowing guarantee makes a
+    shared >= min_match_len substring imply a shared fingerprint, so
+    candidate recall is exact) and the exact shared-L-gram recheck
+    over captions persisted in the rows state.  Completes detector
+    symmetry at ingest: D0 exact, D1 minhash, D2 simhash, D3 suffix
+    all run through the same foreachBatch state machinery.
+    """
+    cfg = cfg or SuffixConfig()
+
+    def bucket_fn(batch: DataFrame) -> DataFrame:
+        return suffix_buckets(suffix_signatures(batch, cfg))
+
+    def verify_fn(pairs: DataFrame, rows: DataFrame) -> DataFrame:
+        return verify_substring(pairs, rows, cfg).select("a", "b")
 
     return bucket_fn, verify_fn, ("caption",)
 

@@ -223,3 +223,51 @@ def test_simhash_ingest_rejects_phash_config(spark):
 
     with pytest.raises(ValueError):
         simhash_ingest(SimHashConfig(use_phash=True))
+
+
+def test_incremental_dedup_stream_suffix(spark, tmp_path):
+    """The D3 preset through foreachBatch: captions sharing a >=32-char
+    substring (here a verbatim stolen clause inside otherwise-unrelated
+    text — minhash-blind at low Jaccard, exact-detector-blind because
+    byte-unequal) pair within a batch and cross-epoch against known
+    state; the shared-L-gram verify runs only on pair members."""
+    from dude_spark.streaming import suffix_ingest
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, caption string"
+    bucket_fn, verify_fn, state_cols = suffix_ingest()
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn, state_cols=state_cols,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    stolen = "while distant church bells echo across the misty valley"
+    host_a = f"an otherwise unrelated report {stolen} filed by the clerk"
+    host_b = f"meeting minutes note that {stolen} during the recess break"
+    uniq = (
+        "completely different text about spark shuffle partitions and "
+        "parquet footers that shares no long clause with the pastoral scene"
+    )
+    write([("a", host_a), ("b", host_b), ("c", uniq)])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b")}
+
+    # epoch 2: d quotes the KNOWN clause inside fresh text; e is fresh
+    write([
+        ("d", f"the appendix reproduces it verbatim: {stolen}, unquoted"),
+        ("e", "totally fresh unrelated caption words about something else"),
+    ])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b"), ("a", "d"), ("b", "d")}
+    assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
