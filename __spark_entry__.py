@@ -33,6 +33,7 @@ from dude_spark.detectors.suffix import suffix_buckets, suffix_signatures, verif
 from dude_spark.functions.embedding import ann_topk, brute_force_topk, cosine_dup_pairs
 from dude_spark.functions.events import sessionize, tumbling_window_stats
 from dude_spark.functions.ranking import ntile_exact
+from dude_spark.functions.splits import deterministic_sample, hash_split
 from dude_spark.functions.text import (
     bpe_token_count,
     lang_id,
@@ -224,6 +225,34 @@ def q_length_deciles(spark, sf_dir):
             F.max("chars").cast("long").alias("max_chars"),
         )
     )
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic identity-keyed train/val/test assignment
+    (functions/splits.hash_split): md5-prefix hex compare, pure
+    whole-stage-codegen map over the scan — no UDF, no shuffle, stable
+    across re-runs / repartitioning / corpus appends.  The oracle runs
+    the very same hex literals ('cccccccc', 'e6666666') in DuckDB."""
+    out = hash_split(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="split",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("split")
+    )
+
+
+def q_stable_sample(spark, sf_dir):
+    """Identity-keyed ~25% sample (functions/splits.deterministic_sample):
+    membership is a pure function of (seed, id), so incremental batches
+    and different cluster sizes keep the same rows — unlike
+    DataFrame.sample's per-partition RNG."""
+    out = deterministic_sample(
+        _docs(spark, sf_dir), 0.25, id_col="doc_id", seed="sample"
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_pairs_checkpointed,
         "corpus_summary": q_corpus_summary,
         "length_deciles": q_length_deciles,
+        "train_split": q_train_split,
+        "stable_sample": q_stable_sample,
         "event_window_stats": q_event_window_stats,
         "user_sessions": q_user_sessions,
         "dedup_assignments": q_dedup_assignments,
@@ -689,6 +720,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n_docs,
                    min(chars) AS min_chars, max(chars) AS max_chars
             FROM d GROUP BY decile
+        """,
+        "train_split": """
+            SELECT doc_id,
+              CASE
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test'
+              END AS split
+            FROM documents
+        """,
+        "stable_sample": """
+            SELECT doc_id FROM documents
+            WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '40000000'
         """,
         "event_window_stats": """
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,

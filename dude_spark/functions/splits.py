@@ -1,0 +1,105 @@
+"""Deterministic hash-based corpus splitting and sampling.
+
+The standard training-data-pipeline step DuDe has no analogue for
+(its split is "which directory a file came from"): assign every row a
+stable train/val/test split — or keep a stable p-fraction sample —
+from the row's IDENTITY alone, so the assignment survives re-runs,
+repartitioning, cluster-size changes, and incremental appends (a doc
+added tomorrow lands in the same split it would have landed in today).
+
+Mechanism: the first 8 hex chars of ``md5(seed ':' id)`` are a uniform
+32-bit value.  Fixed-width lowercase hex compares lexicographically
+exactly as it compares numerically, so split boundaries are plain
+STRING comparisons against precomputed hex literals — pure JVM
+whole-stage-codegen expressions (no UDF, no shuffle, no driver work),
+and byte-identical semantics in any engine with md5 (the DuckDB oracle
+runs the very same literals).  At 10^12 rows the op is a free map over
+the scan; the split column also makes a fine partition column for the
+training-shard writer.
+
+Determinism contract: md5 is fully specified, Spark's ``F.md5`` and
+DuckDB's ``md5`` both hash the UTF-8 bytes and emit lowercase hex, and
+integer→string casts agree on decimal form — gated by the driver
+oracle (`train_split`) and tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16**8  # value space of the 8-hex-char prefix
+
+
+def _hex_key(id_col: Column, seed: str) -> Column:
+    """First 8 md5 hex chars of 'seed:id' — a uniform u32 as hex text."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))), 1, 8
+    )
+
+
+def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-bound hex literal) per split, cumulative order.
+
+    The last split's bound is forced to 'ffffffff…'-exclusive (i.e.
+    everything), so rounding never orphans rows; weights must be
+    positive and sum to ~1.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("split weights must be positive")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        out.append((name, format(min(int(acc * _HEX_SPAN), _HEX_SPAN - 1), "08x")))
+    out.append((names[-1], "g"))  # 'g' > every hex char: catch-all
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "image_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a stable split-name column keyed on ``id_col``.
+
+    Default 80/10/10 train/val/test.  Rows with equal ids always land
+    in the same split regardless of run, partitioning, or corpus
+    growth; splits are disjoint and cover every row by construction.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    key = _hex_key(F.col(id_col), seed)
+    expr = None
+    for name, bound in split_boundaries(weights):
+        cond = key < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    frac: float,
+    id_col: str = "image_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a stable ~``frac`` fraction of rows, keyed on identity.
+
+    Unlike ``DataFrame.sample`` (per-partition RNG: resampling after a
+    repartition or an append changes membership), the kept set is a
+    pure function of (seed, id) — re-runs, incremental batches, and
+    different cluster sizes all agree on it, so downstream caches and
+    eval sets stay valid.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    if frac == 1.0:
+        return df
+    bound = format(int(frac * _HEX_SPAN), "08x")
+    return df.where(_hex_key(F.col(id_col), seed) < F.lit(bound))

@@ -1,0 +1,118 @@
+"""Deterministic hash splits/sampling (functions/splits.py).
+
+The contract the reference never needed (its "split" is source
+directory membership, main.go): assignments keyed on row IDENTITY so
+they survive re-runs, repartitioning, and corpus growth.  Gates:
+coverage + distribution, invariance under repartitioning and appends,
+sample monotonicity, pure-codegen plan (no UDF, no shuffle), and
+cross-engine md5 agreement vs DuckDB (the driver oracle's mechanism).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dude_spark.functions.splits import (
+    deterministic_sample,
+    hash_split,
+    split_boundaries,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_split_covers_and_distributes(images_df):
+    out = hash_split(images_df).select("image_id", "split").collect()
+    assert len(out) == images_df.count()
+    names = {r.split for r in out}
+    assert names <= {"train", "val", "test"}
+    n = len(out)
+    train_frac = sum(r.split == "train" for r in out) / n
+    assert 0.7 < train_frac < 0.9  # 600 rows, p=0.8: ±5σ ≈ ±0.082
+
+
+def test_split_stable_under_repartition_and_append(images_df):
+    base = {
+        r.image_id: r.split
+        for r in hash_split(images_df.repartition(1)).select("image_id", "split").collect()
+    }
+    shuffled = {
+        r.image_id: r.split
+        for r in hash_split(images_df.repartition(7)).select("image_id", "split").collect()
+    }
+    assert base == shuffled
+    # append-invariance: a subset corpus assigns the same splits
+    sub = images_df.limit(100)
+    sub_map = {
+        r.image_id: r.split
+        for r in hash_split(sub).select("image_id", "split").collect()
+    }
+    assert all(base[k] == v for k, v in sub_map.items())
+
+
+def test_sample_monotone_and_deterministic(images_df):
+    kept20 = {r.image_id for r in deterministic_sample(images_df, 0.2).select("image_id").collect()}
+    kept50 = {r.image_id for r in deterministic_sample(images_df, 0.5).select("image_id").collect()}
+    kept20_again = {
+        r.image_id
+        for r in deterministic_sample(images_df.repartition(5), 0.2).select("image_id").collect()
+    }
+    assert kept20 == kept20_again
+    assert kept20 <= kept50  # same seed: growing frac only adds rows
+    n = images_df.count()
+    assert 0.1 * n < len(kept20) < 0.3 * n
+    assert deterministic_sample(images_df, 0.0).count() == 0
+    assert deterministic_sample(images_df, 1.0).count() == n
+
+
+def test_split_plan_pure_codegen(images_df):
+    """The op must stay a free map over the scan: no shuffle, no
+    Python worker — at 10^12 rows anything else is a new job stage."""
+    plan = _plan(hash_split(images_df).select("image_id", "split"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+    plan_s = _plan(deterministic_sample(images_df, 0.25).select("image_id"))
+    assert "Exchange" not in plan_s
+    assert "EvalPython" not in plan_s
+
+
+def test_split_matches_duckdb(spark):
+    """Cross-engine determinism: the same hex literals yield the same
+    assignment in DuckDB — the mechanism the driver oracle relies on."""
+    ids = [(str(i),) for i in range(200)]
+    df = spark.createDataFrame(ids, "image_id string")
+    got = {r.image_id: r.split for r in hash_split(df).collect()}
+    bounds = split_boundaries({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds == [("train", "cccccccc"), ("val", "e6666666"), ("test", "g")]
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            """
+            SELECT CAST(i AS VARCHAR),
+              CASE
+                WHEN substring(md5('split:' || CAST(i AS VARCHAR)), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substring(md5('split:' || CAST(i AS VARCHAR)), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test'
+              END
+            FROM range(200) t(i)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_boundaries_validation():
+    with pytest.raises(ValueError, match="at least one"):
+        split_boundaries({})
+    with pytest.raises(ValueError, match="positive"):
+        split_boundaries({"a": 0.5, "b": -0.5, "c": 1.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_boundaries({"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="frac"):
+        deterministic_sample(None, 1.5)
