@@ -156,6 +156,9 @@ def q_ngram_pairs(spark, sf_dir):
 # not a result cache (each query still runs its OWN downstream plan).
 # Keyed by (session identity, sf_dir); the session ref in the value
 # guards against id() reuse after a session is garbage-collected.
+# Entries belonging to any OTHER session are evicted on insert — a
+# process that builds a session per SF (bench loops, oracle sweeps)
+# must not pin stopped sessions and their checkpointed blocks forever.
 _NGRAM_PAIRS_MEMO: dict = {}
 
 
@@ -164,6 +167,12 @@ def _ngram_pairs_checkpointed(spark, sf_dir):
     hit = _NGRAM_PAIRS_MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    for k in [k for k, v in _NGRAM_PAIRS_MEMO.items() if v[0] is not spark]:
+        _, old = _NGRAM_PAIRS_MEMO.pop(k)
+        try:  # stopped sessions already dropped their blocks
+            old.unpersist()
+        except Exception:
+            pass
     df = q_ngram_pairs(spark, sf_dir).localCheckpoint(eager=True)
     _NGRAM_PAIRS_MEMO[key] = (spark, df)
     return df

@@ -157,6 +157,16 @@ def _config_from_args(a: argparse.Namespace) -> JobConfig:
     ).validated()
 
 
+def _local_master(cpus: int) -> str:
+    """--cpus 0 means 'all cores' everywhere in this CLI: the run
+    subcommand gets that from JobConfig.validated()'s clamp, but the
+    stream/decontam paths build the master string directly — an
+    unclamped 0 would ask Spark for local[0], a startup crash."""
+    import os
+
+    return f"local[{cpus if cpus > 0 else os.cpu_count() or 2}]"
+
+
 def main(argv: list[str] | None = None) -> int:
     a = _parser().parse_args(argv)
 
@@ -168,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "stream":
         spark = get_spark(
             "dude_spark_stream",
-            master=f"local[{a.cpus}]" if a.local else None,
+            master=_local_master(a.cpus) if a.local else None,
         )
         try:
             kw = {}
@@ -218,7 +228,7 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "decontam":
         spark = get_spark(
             "dude_spark_decontam",
-            master=f"local[{a.cpus}]" if a.local else None,
+            master=_local_master(a.cpus) if a.local else None,
         )
         try:
             from pyspark.sql import functions as F
@@ -238,12 +248,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             # materialize the (small) flagged table FIRST, then derive
             # survivors from the written copy — the contamination chain
-            # runs once, and survivors keep the corpus's FULL schema
+            # runs once, and survivors keep the corpus's FULL schema.
+            # The audit ids go back to the corpus's ORIGINAL id type
+            # (decontaminate ran on a string view): both outputs must
+            # join back to the corpus without a cast.
+            id_type = spark.read.parquet(a.corpus).schema[a.id_col].dataType
+            flagged = flagged.withColumn(
+                "doc_id", F.col("doc_id").cast(id_type)
+            )
             flagged.write.mode("overwrite").parquet(f"{a.out}/flagged")
             flagged_t = spark.read.parquet(f"{a.out}/flagged")
             survivors = spark.read.parquet(a.corpus).join(
                 flagged_t.select(F.col("doc_id").alias("__flag_id")),
-                F.col(a.id_col).cast("string") == F.col("__flag_id"),
+                F.col(a.id_col) == F.col("__flag_id"),
                 "left_anti",
             )
             survivors.write.mode("overwrite").parquet(f"{a.out}/clean")

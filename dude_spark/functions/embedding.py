@@ -77,10 +77,14 @@ def norm_col(v):
 def cosine(a, b, na=None, nb=None):
     """Cosine similarity of two array<float> columns, double precision.
 
-    Zero-norm vectors have no direction: the similarity is DEFINED as
+    Degenerate vectors have no direction: the similarity is DEFINED as
     0.0, never NaN — Spark sorts NaN above every number and treats
     NaN >= t as true, so an unguarded 0/0 would rank a zero vector as
-    everyone's best neighbor and pass every dup threshold.
+    everyone's best neighbor and pass every dup threshold.  The same
+    guard covers NaN COMPONENTS (a failed encoder emitting NaNs): the
+    dot/norm arithmetic propagates them into sim, and numpy's exact
+    strategy excludes such rows (NaN >= t is False there) — defining
+    sim = 0.0 keeps both strategies agreeing for any threshold > 0.
 
     Pass precomputed ``na``/``nb`` norm columns on hot |a|·|b| scoring
     joins: per-row norms are functionally determined by each side, so
@@ -88,9 +92,10 @@ def cosine(a, b, na=None, nb=None):
     per-pair arithmetic to the dot product alone."""
     na = norm_col(a) if na is None else na
     nb = norm_col(b) if nb is None else nb
-    return F.when(
+    raw = F.when(
         (na * nb) == F.lit(0.0), F.lit(0.0)
     ).otherwise(_dot_col(a, b) / (na * nb))
+    return F.nanvl(raw, F.lit(0.0))
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

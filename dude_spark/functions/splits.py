@@ -99,7 +99,13 @@ def deterministic_sample(
     """
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
-    if frac == 1.0:
+    bound_i = int(frac * _HEX_SPAN)
+    if bound_i >= _HEX_SPAN:
+        # frac == 1.0, or close enough that the float product rounds to
+        # the full span (e.g. 1 - 2**-53): keep everything.  Without
+        # this, format() would emit a 9-char bound and the 8-char keys
+        # would compare against its first digit only (~1/16 kept).
         return df
-    bound = format(int(frac * _HEX_SPAN), "08x")
-    return df.where(_hex_key(F.col(id_col), seed) < F.lit(bound))
+    return df.where(
+        _hex_key(F.col(id_col), seed) < F.lit(format(bound_i, "08x"))
+    )

@@ -100,11 +100,19 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
             f"implausible dimensions {w}x{h} for a {len(data)}-byte payload"
         )
     try:
-        raw = zlib.decompressobj().decompress(bytes(data[8:]), expected + 1)
+        obj = zlib.decompressobj()
+        raw = obj.decompress(bytes(data[8:]), expected + 1)
     except zlib.error as e:
         raise CodecError(f"corrupt payload: {e}") from e
     if len(raw) != expected:
         raise CodecError("size mismatch")
+    if not obj.eof or obj.unused_data:
+        # exactly `expected` bytes came out but the stream either never
+        # reached its end marker/adler32 (truncated) or carries bytes
+        # past it — both rejected by plain zlib.decompress; keep
+        # rejecting them now that the bomb guard decompresses
+        # incrementally under a max_length cap
+        raise CodecError("corrupt payload: truncated or trailing-garbage stream")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3), fmt
 
 

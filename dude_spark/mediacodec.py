@@ -167,16 +167,19 @@ def _decode_video_av(blob: bytes):  # pragma: no cover
     import io
 
     try:
-        container = _av.open(io.BytesIO(blob))
-        stream = container.streams.video[0]
-        rate = stream.average_rate
-        fps = max(1, int(round(float(rate)))) if rate else 1
+        # probe pass: open/close just for fps — the decode pass reopens
+        # inside the generator's own with-block, so a caller that never
+        # iterates (or errors before iterating) leaks no AV container
+        with _av.open(io.BytesIO(blob)) as probe:
+            rate = probe.streams.video[0].average_rate
+            fps = max(1, int(round(float(rate)))) if rate else 1
     except Exception as e:
         raise CodecError(f"undecodable video payload: {e}") from e
 
     def frames():
         try:
-            with container:
+            with _av.open(io.BytesIO(blob)) as container:
+                stream = container.streams.video[0]
                 tb = float(stream.time_base) if stream.time_base else None
                 for i, frame in enumerate(container.decode(stream)):
                     if tb is not None and frame.pts is not None:
@@ -184,6 +187,8 @@ def _decode_video_av(blob: bytes):  # pragma: no cover
                     else:
                         ts = i * 1000 // fps
                     yield ts, frame.to_ndarray(format="rgb24")
+        except CodecError:
+            raise
         except Exception as e:
             raise CodecError(f"undecodable video payload: {e}") from e
 

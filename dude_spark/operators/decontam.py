@@ -71,7 +71,15 @@ def contamination_pairs(
     cfg = cfg or SuffixConfig()
     c_fp = _side_fps(suffix_signatures(corpus, cfg), "doc_id")
     b_fp = _side_fps(suffix_signatures(benchmark, cfg), "bench_id")
-    cand = c_fp.join(b_fp, "fp").select("doc_id", "bench_id").distinct()
+    # static broadcast hint: both fp sides come from pandas-UDF
+    # explodes with no stats, so the planner would otherwise pick
+    # sort-merge and shuffle-write every CORPUS fingerprint before AQE
+    # could re-plan — the benchmark side is the small one by contract
+    cand = (
+        c_fp.join(F.broadcast(b_fp), "fp")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
 
     # two-sided semi-reduced caption attach (the _attach idiom, one
     # projection per side): only captions of candidate members move

@@ -11,8 +11,17 @@ internal/handlers/validation/resolver.go:54-82) map to `parallelism` /
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# logical-plan node names that imply a shuffle boundary upstream; the
+# match is anchored to the node-name position of an analyzed-plan line
+# (tree-prefix chars then the operator), never free text in expressions
+_SHUFFLE_NODE = re.compile(
+    r"(?m)^[\s+:*!'-]*(?:Join|Aggregate|Window|Sort|Distinct|Deduplicate|"
+    r"Repartition|RepartitionByExpression|Intersect|Except|GlobalLimit)\b"
+)
 
 
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -38,7 +47,19 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     Call it on the NARROW projection (ids + the text/feature column),
     never on payload-bearing frames — `bytes` must not ride this
     shuffle either.
+
+    Scan-rooted plans ONLY: a frame that already crossed a shuffle
+    (join/aggregate/window/...) is returned untouched — AQE spreads
+    shuffle outputs itself, and probing such a frame's partition count
+    via ``df.rdd`` would finalize the adaptive plan, eagerly RUNNING
+    the upstream exchange stages once for the probe and again for the
+    real query (observed: streaming verify fns paying their semi-join
+    key derivation twice per micro-batch).  On a narrow scan-rooted
+    plan there is no exchange, so the probe runs no jobs.
     """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if _SHUFFLE_NODE.search(analyzed):
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

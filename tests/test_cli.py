@@ -61,6 +61,17 @@ def test_cli_stream_minhash_flag_builds_detector(spark, tmp_path, monkeypatch):
     assert pairs == {("a", "b")}
 
 
+def test_local_master_clamps_zero_cpus():
+    """--cpus defaults to 0 (= all cores) on every subcommand; the
+    stream/decontam paths build the master string directly and must
+    not ask Spark for local[0] (a startup crash)."""
+    import os
+
+    assert cli._local_master(0) == f"local[{os.cpu_count() or 2}]"
+    assert cli._local_master(-3) == f"local[{os.cpu_count() or 2}]"
+    assert cli._local_master(4) == "local[4]"
+
+
 def test_cli_decontam(spark, tmp_path, monkeypatch, capsys):
     """decontam subcommand: flags overlapping docs, writes an audit
     table, and survivors keep the corpus's full schema."""
@@ -91,4 +102,7 @@ def test_cli_decontam(spark, tmp_path, monkeypatch, capsys):
     assert set(clean.columns) == {"doc_id", "text", "lang"}
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
     flagged = spark.read.parquet(f"{out}/flagged")
-    assert [(r["doc_id"], r["n_bench_hits"]) for r in flagged.collect()] == [("0", 1)]
+    # audit ids come back in the corpus's ORIGINAL id type (long here),
+    # so both outputs join back to the corpus without a cast
+    assert flagged.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert [(r["doc_id"], r["n_bench_hits"]) for r in flagged.collect()] == [(0, 1)]

@@ -171,10 +171,15 @@ def test_zero_norm_and_null_embeddings_are_harmless(spark, planted):
     extra = spark.createDataFrame(
         pd.DataFrame(
             {
-                "vec_id": np.array([9000, 9001], dtype=np.int64),
+                "vec_id": np.array([9000, 9001, 9002], dtype=np.int64),
                 "embedding": [
                     np.zeros(DIM, dtype=np.float32),
                     None,
+                    # NaN COMPONENT, non-zero norm: the JVM cosine must
+                    # define sim=0.0 (nanvl), matching numpy's exclusion
+                    np.where(np.arange(DIM) == 0, np.nan, 1.0).astype(
+                        np.float32
+                    ),
                 ],
             }
         ),
@@ -184,15 +189,14 @@ def test_zero_norm_and_null_embeddings_are_harmless(spark, planted):
 
     queries = poisoned.where(F.col("vec_id") < 3)
     top = brute_force_topk(poisoned, queries, k=5)
-    assert not any(r["neighbor_id"] in (9000, 9001) for r in top.collect())
+    bad = (9000, 9001, 9002)
+    assert not any(r["neighbor_id"] in bad for r in top.collect())
 
-    # the zero/null rows must not appear in dup pairs at any threshold
+    # the zero/null/NaN rows must not appear in dup pairs at any threshold
     pairs = cosine_dup_pairs(poisoned, 0.5, strategy="exact").collect()
-    assert not any(9000 in (r["a"], r["b"]) or 9001 in (r["a"], r["b"])
-                   for r in pairs)
+    assert not any(set(bad) & {r["a"], r["b"]} for r in pairs)
     pairs_lsh = cosine_dup_pairs(poisoned, 0.95, strategy="lsh").collect()
-    assert not any(9000 in (r["a"], r["b"]) or 9001 in (r["a"], r["b"])
-                   for r in pairs_lsh)
+    assert not any(set(bad) & {r["a"], r["b"]} for r in pairs_lsh)
 
     # a zero-norm QUERY ranks real rows deterministically (all sims 0)
     zq = ann_topk(poisoned, poisoned.where(F.col("vec_id") == 9000), k=3)

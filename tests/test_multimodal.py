@@ -243,6 +243,16 @@ def test_image_decompression_bomb_rejected():
     )
     with pytest.raises(imagecodec.CodecError, match="size mismatch"):
         imagecodec.decode(lying)
+    # a TRUNCATED stream that still inflates to exactly the claimed
+    # size (adler32 trailer cut off) must not decode as a valid image:
+    # the incremental bomb-guard decompressor has to check stream end,
+    # not just output length
+    good = imagecodec.encode(np.zeros((4, 4, 3), dtype=np.uint8), "png")
+    with pytest.raises(imagecodec.CodecError, match="corrupt|truncated"):
+        imagecodec.decode(good[:-4])
+    # trailing garbage past the stream end is rejected too
+    with pytest.raises(imagecodec.CodecError, match="corrupt|trailing"):
+        imagecodec.decode(good + b"junk")
 
 
 def test_zero_area_and_oversize_images_are_codec_errors(spark):

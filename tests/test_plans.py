@@ -242,3 +242,27 @@ def test_ensure_min_partitions_spreads_underpartitioned_scan(spark, tmp_path):
     sigs = minhash_signatures(one, MinHashConfig())
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
+
+
+def test_ensure_min_partitions_skips_post_shuffle_frames(spark, tmp_path):
+    """A frame that already crossed a shuffle is returned UNTOUCHED —
+    AQE spreads shuffle outputs itself, and probing its partition count
+    via df.rdd would finalize the adaptive plan, eagerly running the
+    upstream exchange stages once for the probe and again for the real
+    query (observed: streaming verify fns paying their semi-join twice
+    per micro-batch)."""
+    from dude_spark.session import ensure_min_partitions
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(200).selectExpr(
+        "cast(id as string) image_id", "repeat('word ', 5) caption"
+    ).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    keys = scan.select("image_id").limit(50)
+    joined = scan.join(keys, "image_id", "leftsemi")
+    assert ensure_min_partitions(joined) is joined
+    agged = scan.groupBy("caption").count()
+    assert ensure_min_partitions(agged) is agged
+    # ...while a scan-rooted narrow projection still gets the spread
+    spread = ensure_min_partitions(scan.select("image_id", "caption"))
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

@@ -67,6 +67,9 @@ def test_sample_monotone_and_deterministic(images_df):
     assert 0.1 * n < len(kept20) < 0.3 * n
     assert deterministic_sample(images_df, 0.0).count() == 0
     assert deterministic_sample(images_df, 1.0).count() == n
+    # frac<1 whose float product rounds to the full 2^32 span: must
+    # keep everything, not emit a 9-char bound that keeps ~1/16
+    assert deterministic_sample(images_df, 1 - 2**-53).count() == n
 
 
 def test_split_plan_pure_codegen(images_df):
