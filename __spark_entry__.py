@@ -46,6 +46,7 @@ from dude_spark.functions.text import (
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.operators.decontam import contamination_pairs
+from dude_spark.operators.shards import shard_assignment
 from dude_spark.operators.textdedup import ngram_jaccard_pairs
 from dude_spark.operators.verify import (
     prefilter_minhash,
@@ -262,6 +263,25 @@ def q_stable_sample(spark, sf_dir):
         _docs(spark, sf_dir), 0.25, id_col="doc_id", seed="sample"
     )
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_shard_assignment(spark, sf_dir):
+    """Training-shard assignment (operators/shards.shard_assignment):
+    exact 64-row shards numbered within each hash split, derived from
+    the distributed global rank — bit-identical to `(row_number() OVER
+    (PARTITION BY split ORDER BY doc_id) - 1) DIV 64` with no
+    single-partition window at any size."""
+    docs = hash_split(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id"
+    )
+    out = shard_assignment(
+        docs, rows_per_shard=64, id_col="doc_id", split_col="split"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split"),
+        F.col("shard").cast("long").alias("shard"),
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_deciles": q_length_deciles,
         "train_split": q_train_split,
         "stable_sample": q_stable_sample,
+        "shard_assignment": q_shard_assignment,
         "event_window_stats": q_event_window_stats,
         "user_sessions": q_user_sessions,
         "dedup_assignments": q_dedup_assignments,
@@ -745,6 +766,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '40000000'
+        """,
+        "shard_assignment": """
+            WITH s AS (
+              SELECT doc_id,
+                CASE
+                  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test'
+                END AS split
+              FROM documents
+            )
+            SELECT doc_id, split,
+                   CAST((row_number() OVER (PARTITION BY split ORDER BY doc_id)
+                         - 1) // 64 AS BIGINT) AS shard
+            FROM s
         """,
         "event_window_stats": """
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
