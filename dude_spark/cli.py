@@ -119,6 +119,25 @@ def _parser() -> argparse.ArgumentParser:
     dc.add_argument("--cpus", type=int, default=0)
     dc.add_argument("--local", action="store_true")
 
+    sh = sub.add_parser(
+        "shards",
+        help="write a corpus as size-bounded, verifiable training "
+             "shards, optionally split train/val/test first "
+             "(operators/shards.py + functions/splits.py)",
+    )
+    sh.add_argument("--input", required=True, help="corpus parquet path")
+    sh.add_argument("--out", required=True, help="shard tree output dir")
+    sh.add_argument("--rows-per-shard", type=int, default=100_000)
+    sh.add_argument("--id-col", default="image_id")
+    sh.add_argument("--split", action="store_true",
+                    help="assign a deterministic 80/10/10 train/val/test "
+                         "split column first and shard within each split")
+    sh.add_argument("--verify", action="store_true",
+                    help="re-read the written tree and check it against "
+                         "the manifest before reporting success")
+    sh.add_argument("--cpus", type=int, default=0)
+    sh.add_argument("--local", action="store_true")
+
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
@@ -268,6 +287,40 @@ def main(argv: list[str] | None = None) -> int:
             n_clean = spark.read.parquet(f"{a.out}/clean").count()
             print(f"flagged {n_flagged} contaminated docs; "
                   f"{n_clean} survive -> {a.out}/clean")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "shards":
+        spark = get_spark(
+            "dude_spark_shards",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .functions.splits import hash_split
+            from .operators.shards import verify_shards, write_training_shards
+
+            df = spark.read.parquet(a.input)
+            split_col = None
+            if a.split:
+                df = hash_split(df, id_col=a.id_col)
+                split_col = "split"
+            manifest = write_training_shards(
+                df, a.out, a.rows_per_shard,
+                id_col=a.id_col, split_col=split_col,
+            )
+            n_shards = manifest.count()
+            if a.verify:
+                bad = verify_shards(
+                    spark, a.out, id_col=a.id_col, split_col=split_col
+                ).count()
+                if bad:
+                    print(f"error: {bad} shard(s) failed verification",
+                          file=sys.stderr)
+                    return 1
+                print(f"wrote {n_shards} shards -> {a.out} (verified)")
+            else:
+                print(f"wrote {n_shards} shards -> {a.out}")
             return 0
         finally:
             spark.stop()

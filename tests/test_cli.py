@@ -61,6 +61,25 @@ def test_cli_stream_minhash_flag_builds_detector(spark, tmp_path, monkeypatch):
     assert pairs == {("a", "b")}
 
 
+def test_cli_shards(spark, tmp_path, monkeypatch, capsys):
+    """shards subcommand: splits, writes the shard tree, verifies it."""
+    inp, out = str(tmp_path / "corpus"), str(tmp_path / "shards")
+    spark.range(300).selectExpr(
+        "cast(id as string) image_id", "repeat('w ', 5) caption"
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([
+        "shards", "--input", inp, "--out", out,
+        "--rows-per-shard", "64", "--split", "--verify",
+    ])
+    assert rc == 0
+    assert "(verified)" in capsys.readouterr().out
+    tree = spark.read.parquet(out)
+    assert tree.count() == 300
+    assert {"split", "shard"} <= set(tree.columns)
+
+
 def test_local_master_clamps_zero_cpus():
     """--cpus defaults to 0 (= all cores) on every subcommand; the
     stream/decontam paths build the master string directly and must
