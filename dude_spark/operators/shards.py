@@ -29,6 +29,14 @@ internal/processing/results.go); this generalizes it to the sink a
 Fingerprints use ``bit_xor``, not ``sum``: Spark 4 runs ANSI mode and a
 sum over 2^63-scale hashes overflows; xor is associative, commutative,
 and overflow-free, so the check is order- and partitioning-independent.
+
+Append contract (deliberate asymmetry with functions/splits): shard
+membership is a function of the WHOLE corpus's id order — an appended
+row re-ranks everything after its insertion point, so sharding is a
+final full-corpus materialization step, re-run per training snapshot.
+Identity-stable assignment under appends belongs to the SPLIT layer
+(hash_split / deterministic_sample), which is append-stable by
+construction and feeds this writer its ``split_col``.
 """
 
 from __future__ import annotations
