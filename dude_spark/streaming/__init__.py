@@ -4,4 +4,5 @@ from .ingest import (  # noqa: F401
     start_incremental_dedup,
     suffix_ingest,
 )
+from .monitor import hot_bucket_alerts  # noqa: F401
 from .windows import start_session_stats, start_windowed_stats  # noqa: F401
