@@ -40,6 +40,7 @@ from dude_spark.functions.text import (
     norm_fingerprint,
     punct_count,
     quality_signals,
+    repetition_signals,
     stopword_count,
     token_count,
 )
@@ -127,6 +128,34 @@ def q_doc_quality(spark, sf_dir):
     live at every SF: a mix of too_short / low_stopword / ok."""
     cols = quality_signals(F.col("text"))
     return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[c.alias(name) for name, c in cols],
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher repetition filters (functions/text.repetition_signals):
+    per-mille of chars under the top 2-gram and under duplicated
+    5-grams, plus the repetitive/ok class — zero-shuffle JVM fold, no
+    explode-groupBy.  Planted slice keeps the gate live: doc_id<20
+    re-keyed +200000 with text rebuilt as its first token repeated
+    60x, which scores 'repetitive' by construction."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.trim(
+            F.repeat(
+                F.concat(
+                    F.split(F.trim(F.col("text")), r"\s+").getItem(0),
+                    F.lit(" "),
+                ),
+                60,
+            )
+        ).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+    cols = repetition_signals(F.col("text"))
+    return base.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         *[c.alias(name) for name, c in cols],
     )
@@ -592,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "doc_quality": q_doc_quality,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": _ngram_pairs_checkpointed,
         "corpus_summary": q_corpus_summary,
@@ -712,6 +742,63 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN n_tokens < 20 THEN 'too_short'
                    WHEN stop_x1000 < 80 THEN 'low_stopword'
                    ELSE 'ok' END AS quality
+            FROM r
+        """,
+        # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
+        # Spark folds adjacency runs of the sorted gram array — same
+        # multiset, same (count, len) tie-break, structurally equal.
+        # CASTs guard DuckDB's HUGEINT sum() (the corpus_summary lesson).
+        "repetition": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     trim(repeat(regexp_split_to_array(trim(text), '\\s+')[1]
+                                 || ' ', 60)) AS text
+              FROM documents WHERE doc_id < 20
+            ),
+            toks AS (
+              SELECT doc_id, length(text) AS chars,
+                CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+              FROM base
+            ),
+            g2 AS (
+              SELECT doc_id,
+                unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+              FROM toks WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                   FROM g2 GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, cnt, glen FROM c2
+                   QUALIFY row_number() OVER (
+                     PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) = 1),
+            g5 AS (
+              SELECT doc_id,
+                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4]
+                        for i in range(1, len(t) - 3)]) AS gram
+              FROM toks WHERE len(t) >= 5
+            ),
+            c5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                   FROM g5 GROUP BY doc_id, gram),
+            d5 AS (SELECT doc_id, sum(cnt * glen) AS dupc
+                   FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
+            r AS (
+              SELECT k.doc_id,
+                CAST(CASE WHEN k.chars = 0 THEN 0
+                     ELSE coalesce(t2.cnt * t2.glen, 0) * 1000 // k.chars
+                     END AS BIGINT) AS top2_x1000,
+                CAST(CASE WHEN k.chars = 0 THEN 0
+                     ELSE coalesce(d5.dupc, 0) * 1000 // k.chars
+                     END AS BIGINT) AS dup5_x1000
+              FROM toks k
+              LEFT JOIN t2 USING (doc_id)
+              LEFT JOIN d5 USING (doc_id)
+            )
+            SELECT doc_id, top2_x1000, dup5_x1000,
+              CASE WHEN top2_x1000 > 200 OR dup5_x1000 > 150
+                   THEN 'repetitive' ELSE 'ok' END AS repetition
             FROM r
         """,
         "lang_id": """

@@ -137,6 +137,106 @@ def quality_signals(text: Column) -> list[tuple[str, Column]]:
     ]
 
 
+# repetition_signals thresholds (Gopher repetition filters, Rae et al.
+# 2021 §A.1.1 Table A1, integerized per-mille): a doc whose single most
+# frequent 2-gram covers > 20% of its characters, or whose duplicated
+# 5-grams cover > 15%, is boilerplate/loop junk.
+REP_TOP2_MAX_X1000 = 200
+REP_DUP5_MAX_X1000 = 150
+
+
+def _gram_run_stats(grams: Column) -> Column:
+    """Fold a per-doc gram array into struct(best_cnt, best_len, dup):
+    the (count, char-length) of the most frequent gram — ties broken by
+    longer gram, which leaves the count*len product unambiguous — and
+    the total characters inside grams occurring ≥ 2 times.
+
+    Runs entirely inside whole-stage codegen: ``array_sort`` groups
+    equal grams into adjacent runs, then one ``aggregate`` fold walks
+    the sorted array counting run lengths.  Zero shuffle, zero Python —
+    per-doc n-gram counting without the explode → groupBy(doc, gram)
+    shuffle, which at 100 TB would move ~n× the corpus text through an
+    exchange for a purely row-local statistic.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_len"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = F.coalesce(x == acc["prev"], F.lit(False))
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        xlen = F.length(x).cast("long")
+        dup = acc["dup"] + (
+            F.when(run == 2, 2 * xlen)
+            .when(run > 2, xlen)
+            .otherwise(F.lit(0).cast("long"))
+        )
+        better = (run > acc["best_cnt"]) | (
+            (run == acc["best_cnt"]) & (xlen > acc["best_len"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, xlen).otherwise(acc["best_len"]).alias("best_len"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["best_cnt"].alias("best_cnt"),
+            acc["best_len"].alias("best_len"),
+            acc["dup"].alias("dup"),
+        ),
+    )
+
+
+def repetition_signals(
+    text: Column, top_n: int = 2, dup_n: int = 5
+) -> list[tuple[str, Column]]:
+    """Gopher-style repetition signals, integerized:
+    ``top2_x1000`` — per-mille of characters covered by the most
+    frequent ``top_n``-gram (count × gram chars, incl. joining spaces;
+    overlapping occurrences counted fully — a deterministic
+    simplification of Gopher's char attribution, monotone in
+    repetition); ``dup5_x1000`` — per-mille covered by all
+    ``dup_n``-grams occurring ≥ 2 times; ``repetition`` ∈
+    {repetitive, ok} under REP_*_MAX_X1000.
+
+    Degenerate docs: blank text or fewer than n tokens → 0 (no grams).
+    Like the rest of this module: integer outputs only, pure JVM
+    expressions, and an exact ANSI-SQL twin (DuckDB groups by the true
+    gram; the fold groups by adjacency after a sort — same multiset,
+    same tie-break, no hashing involved, so equality is structural).
+    """
+    top = _gram_run_stats(word_ngrams(text, top_n))
+    dup = _gram_run_stats(word_ngrams(text, dup_n))
+    chars = F.length(text)
+    zero = F.lit(0).cast("long")
+    top_pm = F.when(F.coalesce(chars, F.lit(0)) == 0, zero).otherwise(
+        F.floor(top["best_cnt"] * top["best_len"] * 1000 / chars).cast("long")
+    )
+    dup_pm = F.when(F.coalesce(chars, F.lit(0)) == 0, zero).otherwise(
+        F.floor(dup["dup"] * 1000 / chars).cast("long")
+    )
+    flag = F.when(
+        (top_pm > REP_TOP2_MAX_X1000) | (dup_pm > REP_DUP5_MAX_X1000),
+        F.lit("repetitive"),
+    ).otherwise(F.lit("ok"))
+    return [
+        ("top2_x1000", top_pm),
+        ("dup5_x1000", dup_pm),
+        ("repetition", flag),
+    ]
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Array of space-joined word n-grams (< n tokens → empty array).
 

@@ -36,3 +36,64 @@ def test_quality_signals_edge_cases(spark):
     assert r["stop_x1000"] >= QUALITY_MIN_STOP_X1000
     assert r["quality"] == "ok"
     assert rows["alpha beta gamma delta " * 10]["quality"] == "low_stopword"
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed cases for the sorted-array fold.
+
+    "x y x y x": bigrams {x y:2, y x:2} (tie on count AND length, so
+    the count*len product is unambiguous) -> top covers 2*3 of 9 chars
+    = 666 pm; the single 5-gram is unique -> dup5 = 0; flagged.
+    A 40-distinct-token doc has top bigram count 1 -> tiny fraction.
+    """
+    from dude_spark.functions.text import repetition_signals
+
+    distinct = " ".join(f"word{i:02d}" for i in range(40))
+    spam = "lorem ipsum " * 30
+    df = spark.createDataFrame(
+        [("x y x y x",), (distinct,), (spam.strip(),), ("",), ("solo",)],
+        ["text"],
+    )
+    import pyspark.sql.functions as F
+
+    cols = repetition_signals(F.col("text"))
+    rows = {
+        r["text"]: r
+        for r in df.select("text", *[c.alias(n) for n, c in cols]).collect()
+    }
+    r = rows["x y x y x"]
+    assert (r["top2_x1000"], r["dup5_x1000"]) == (666, 0)
+    assert r["repetition"] == "repetitive"
+    r = rows[distinct]
+    # top bigram occurs once: 13 chars of 279 -> 46 pm, no dup 5-grams
+    assert r["top2_x1000"] < 100 and r["dup5_x1000"] == 0
+    assert r["repetition"] == "ok"
+    r = rows[spam.strip()]
+    # every 5-gram repeats -> dup5 far over threshold
+    assert r["dup5_x1000"] > 500 and r["repetition"] == "repetitive"
+    # degenerate: blank and sub-n docs produce zero grams, class ok
+    for t in ("", "solo"):
+        assert (rows[t]["top2_x1000"], rows[t]["dup5_x1000"]) == (0, 0)
+        assert rows[t]["repetition"] == "ok"
+
+
+def test_repetition_signals_plan_is_shuffle_and_python_free(spark, tmp_path):
+    """The whole point of the fold formulation: per-doc n-gram counting
+    without explode->groupBy.  The executed plan over a parquet scan
+    must contain no Exchange and no Python eval."""
+    import pyspark.sql.functions as F
+
+    from dude_spark.functions.text import repetition_signals
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i} tok{i+1} end") for i in range(64)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    cols = repetition_signals(F.col("text"))
+    out = df.select("doc_id", *[c.alias(n) for n, c in cols])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert out.where(F.col("top2_x1000") > 0).count() == 64
