@@ -161,6 +161,25 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_filter_reasons(spark, sf_dir):
+    """Corpus quality filtering (operators/filters.rejection_reason):
+    the first-match drop-reason per document — too_short /
+    low_stopword / repetitive / lang_blocked / clean — with an
+    en,de,fr,es allowlist so the language cut is live on this corpus
+    (zh/el/ru docs exist at every SF).  Pure codegen cascade over the
+    quality, repetition, and lang_id signals; the CLI `filter`
+    subcommand routes rows on exactly this column."""
+    from dude_spark.operators.filters import rejection_reason
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(
+            rejection_reason(F.col("text"), ("en", "de", "fr", "es")),
+            F.lit("clean"),
+        ).alias("reason"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -622,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_quality": q_doc_quality,
         "repetition": q_repetition,
+        "filter_reasons": q_filter_reasons,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": _ngram_pairs_checkpointed,
         "corpus_summary": q_corpus_summary,
@@ -800,6 +820,76 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN top2_x1000 > 200 OR dup5_x1000 > 150
                    THEN 'repetitive' ELSE 'ok' END AS repetition
             FROM r
+        """,
+        # filter_reasons: composes the doc_quality, repetition, and
+        # lang_id twins into the first-match drop-reason cascade —
+        # order (too_short, low_stopword, repetitive, lang_blocked) is
+        # the operator contract (operators/filters.rejection_reason).
+        "filter_reasons": f"""
+            WITH s AS (
+              SELECT doc_id, text, length(text) AS chars,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS n_tokens,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> lower(t) IN {STOPWORD_SQL})) END AS stop,
+                CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+              FROM documents
+            ),
+            g2 AS (
+              SELECT doc_id,
+                unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+              FROM s WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                   FROM g2 GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, cnt, glen FROM c2
+                   QUALIFY row_number() OVER (
+                     PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) = 1),
+            g5 AS (
+              SELECT doc_id,
+                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4]
+                        for i in range(1, len(t) - 3)]) AS gram
+              FROM s WHERE len(t) >= 5
+            ),
+            c5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                   FROM g5 GROUP BY doc_id, gram),
+            d5 AS (SELECT doc_id, sum(cnt * glen) AS dupc
+                   FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
+            sig AS (
+              SELECT s.doc_id,
+                s.n_tokens,
+                CASE WHEN s.n_tokens = 0 THEN 0
+                     ELSE s.stop * 1000 // s.n_tokens END AS stop_x1000,
+                CAST(CASE WHEN s.chars = 0 THEN 0
+                     ELSE coalesce(t2.cnt * t2.glen, 0) * 1000 // s.chars
+                     END AS BIGINT) AS top2_x1000,
+                CAST(CASE WHEN s.chars = 0 THEN 0
+                     ELSE coalesce(d5.dupc, 0) * 1000 // s.chars
+                     END AS BIGINT) AS dup5_x1000,
+                CASE
+                  WHEN regexp_matches(s.text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                  WHEN regexp_matches(s.text, '[\\x{{0370}}-\\x{{03ff}}]') THEN 'el'
+                  WHEN regexp_matches(s.text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+                  WHEN regexp_matches(' ' || lower(s.text) || ' ', ' (der|und|das|ist) ') THEN 'de'
+                  WHEN regexp_matches(' ' || lower(s.text) || ' ', ' (le|les|une|est) ') THEN 'fr'
+                  WHEN regexp_matches(' ' || lower(s.text) || ' ', ' (el|los|las|una) ') THEN 'es'
+                  ELSE 'en'
+                END AS lang
+              FROM s
+              LEFT JOIN t2 ON t2.doc_id = s.doc_id
+              LEFT JOIN d5 ON d5.doc_id = s.doc_id
+            )
+            SELECT doc_id,
+              CASE WHEN n_tokens < 20 THEN 'too_short'
+                   WHEN stop_x1000 < 80 THEN 'low_stopword'
+                   WHEN top2_x1000 > 200 OR dup5_x1000 > 150 THEN 'repetitive'
+                   WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang_blocked'
+                   ELSE 'clean' END AS reason
+            FROM sig
         """,
         "lang_id": """
             SELECT doc_id,

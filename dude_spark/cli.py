@@ -119,6 +119,23 @@ def _parser() -> argparse.ArgumentParser:
     dc.add_argument("--cpus", type=int, default=0)
     dc.add_argument("--local", action="store_true")
 
+    fl = sub.add_parser(
+        "filter",
+        help="quality-filter a corpus: drop fragments, keyword spam, "
+             "repetitive docs, and optionally non-allowlisted languages "
+             "(operators/filters.py; Gopher-style cuts)",
+    )
+    fl.add_argument("--input", required=True, help="corpus parquet path")
+    fl.add_argument("--out", required=True,
+                    help="output dir: clean/ (input schema) + rejected/ "
+                         "(rows + first-match reason audit column)")
+    fl.add_argument("--text-col", default="caption")
+    fl.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist, e.g. "
+                         "'en,de' (default: no language cut)")
+    fl.add_argument("--cpus", type=int, default=0)
+    fl.add_argument("--local", action="store_true")
+
     sh = sub.add_parser(
         "shards",
         help="write a corpus as size-bounded, verifiable training "
@@ -287,6 +304,44 @@ def main(argv: list[str] | None = None) -> int:
             n_clean = spark.read.parquet(f"{a.out}/clean").count()
             print(f"flagged {n_flagged} contaminated docs; "
                   f"{n_clean} survive -> {a.out}/clean")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "filter":
+        spark = get_spark(
+            "dude_spark_filter",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.filters import filter_corpus
+
+            docs = spark.read.parquet(a.input)
+            langs = (
+                tuple(s.strip() for s in a.langs.split(",") if s.strip())
+                if a.langs
+                else None
+            )
+            clean, rejected = filter_corpus(
+                docs, text_col=a.text_col, allowed_langs=langs
+            )
+            clean.write.mode("overwrite").parquet(f"{a.out}/clean")
+            rejected.write.mode("overwrite").parquet(f"{a.out}/rejected")
+            n_clean = spark.read.parquet(f"{a.out}/clean").count()
+            mix = {
+                r["reason"]: r["n"]
+                for r in spark.read.parquet(f"{a.out}/rejected")
+                .groupBy("reason")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_rej = sum(mix.values())
+            print(
+                f"kept {n_clean}; rejected {n_rej} "
+                f"({dict(sorted(mix.items()))}) -> {a.out}"
+            )
             return 0
         finally:
             spark.stop()
