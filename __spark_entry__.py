@@ -33,7 +33,11 @@ from dude_spark.detectors.suffix import suffix_buckets, suffix_signatures, verif
 from dude_spark.functions.embedding import ann_topk, brute_force_topk, cosine_dup_pairs
 from dude_spark.functions.events import sessionize, tumbling_window_stats
 from dude_spark.functions.ranking import ntile_exact
-from dude_spark.functions.splits import deterministic_sample, hash_split
+from dude_spark.functions.splits import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
 from dude_spark.functions.text import (
     bpe_token_count,
     lang_id,
@@ -311,6 +315,24 @@ def q_stable_sample(spark, sf_dir):
         _docs(spark, sf_dir), 0.25, id_col="doc_id", seed="sample"
     )
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling by language
+    (functions/splits.stratified_sample) — corpus rebalancing:
+    downsample 'en' to 50%, keep 'de' whole, 'el' to 25%, drop every
+    unlisted language (sampleBy semantics).  Same hex-literal compare
+    as the other split ops; oracle embeds the identical bounds."""
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 1.0, "el": 0.25},
+        strata_col="lang",
+        id_col="doc_id",
+        seed="sample",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang")
+    )
 
 
 def q_shard_assignment(spark, sf_dir):
@@ -648,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_deciles": q_length_deciles,
         "train_split": q_train_split,
         "stable_sample": q_stable_sample,
+        "stratified_sample": q_stratified_sample,
         "shard_assignment": q_shard_assignment,
         "event_window_stats": q_event_window_stats,
         "user_sessions": q_user_sessions,
@@ -943,6 +966,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '40000000'
+        """,
+        # stratified_sample: unlisted strata get a NULL bound -> NULL
+        # comparison -> dropped, in both engines ('g' sorts above every
+        # hex char: the keep-everything bound)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < CASE lang WHEN 'en' THEN '80000000'
+                              WHEN 'de' THEN 'g'
+                              WHEN 'el' THEN '40000000' END
         """,
         "shard_assignment": """
             WITH s AS (

@@ -109,3 +109,50 @@ def deterministic_sample(
     return df.where(
         _hex_key(F.col(id_col), seed) < F.lit(format(bound_i, "08x"))
     )
+
+
+def fraction_bound(frac: float) -> str:
+    """The hex literal a fraction compares against — 'g' (> every hex
+    char) for the keep-everything case, so callers embedding bounds in
+    SQL reproduce deterministic_sample/stratified_sample exactly."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    bound_i = int(frac * _HEX_SPAN)
+    return "g" if bound_i >= _HEX_SPAN else format(bound_i, "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "image_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a stable per-stratum fraction of rows, keyed on identity —
+    ``DataFrame.sampleBy`` with this module's determinism contract.
+
+    The canonical corpus-rebalancing step (e.g. downsample English to
+    50%, keep low-resource languages whole): each row's stratum picks
+    its hex bound, one codegen'd comparison keeps or drops.  Same
+    guarantees as deterministic_sample, per stratum: stable across
+    re-runs/repartitioning/appends, and monotone in the fraction
+    (raising a stratum's fraction only ADDS rows).  Per stratum the
+    kept set equals ``deterministic_sample(df.where(stratum), frac)``
+    with the same seed — gated in tests.
+
+    sampleBy semantics for unlisted strata: their bound is NULL, the
+    comparison is NULL, the row is dropped.  Pass an explicit 1.0 to
+    keep a stratum whole.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
+    bound = None
+    for name, frac in fractions.items():
+        lit = fraction_bound(frac)  # validates frac
+        cond = F.col(strata_col).cast("string") == name
+        bound = (
+            F.when(cond, F.lit(lit))
+            if bound is None
+            else bound.when(cond, F.lit(lit))
+        )
+    return df.where(_hex_key(F.col(id_col), seed) < bound)

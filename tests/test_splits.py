@@ -119,3 +119,54 @@ def test_split_boundaries_validation():
         split_boundaries({"a": 0.5, "b": 0.2})
     with pytest.raises(ValueError, match="frac"):
         deterministic_sample(None, 1.5)
+
+
+def test_stratified_sample_equals_per_stratum_deterministic(spark):
+    """Per stratum, the kept set IS deterministic_sample of that
+    stratum at the same (frac, seed); unlisted strata are dropped
+    (sampleBy semantics); frac=1.0 keeps the stratum whole."""
+    from dude_spark.functions.splits import stratified_sample
+
+    rows = [(i, ["en", "de", "el", "zh"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5, "de": 1.0, "el": 0.25}
+    got = stratified_sample(df, fr, strata_col="lang", id_col="doc_id")
+    by_lang = {
+        lang: {r["doc_id"] for r in got.where(F.col("lang") == lang).collect()}
+        for lang in ("en", "de", "el", "zh")
+    }
+    assert by_lang["zh"] == set()  # unlisted: dropped
+    assert by_lang["de"] == {i for i in range(400) if i % 4 == 1}  # whole
+    for lang in ("en", "el"):
+        want = {
+            r["doc_id"]
+            for r in deterministic_sample(
+                df.where(F.col("lang") == lang), fr[lang], id_col="doc_id"
+            ).collect()
+        }
+        assert by_lang[lang] == want
+    # monotone per stratum: raising en's fraction only adds rows
+    bigger = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, {"en": 0.9}, strata_col="lang", id_col="doc_id"
+        ).collect()
+    }
+    assert by_lang["en"] <= bigger
+
+
+def test_stratified_sample_plan_and_validation(spark):
+    from dude_spark.functions.splits import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "en")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="at least one stratum"):
+        stratified_sample(df, {}, strata_col="lang", id_col="doc_id")
+    with pytest.raises(ValueError, match="frac"):
+        stratified_sample(df, {"en": 1.5}, strata_col="lang", id_col="doc_id")
+    plan = _plan(
+        stratified_sample(df, {"en": 0.5}, strata_col="lang", id_col="doc_id")
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
