@@ -729,6 +729,59 @@ assigns AS (
 """
 
 
+def _lang_case_sql(col: str) -> str:
+    """The lang_id cascade as SQL over ``col`` — single source for the
+    lang_id oracle and the composites embedding it (filter_reasons)."""
+    pad = f"' ' || lower({col}) || ' '"
+    return f"""CASE
+                WHEN regexp_matches({col}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN regexp_matches({col}, '[\\x{{0370}}-\\x{{03ff}}]') THEN 'el'
+                WHEN regexp_matches({col}, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
+                WHEN regexp_matches({pad}, ' (der|und|das|ist) ') THEN 'de'
+                WHEN regexp_matches({pad}, ' (le|les|une|est) ') THEN 'fr'
+                WHEN regexp_matches({pad}, ' (el|los|las|una) ') THEN 'es'
+                ELSE 'en'
+              END"""
+
+
+def _gram_ctes_sql(src: str) -> str:
+    """The repetition gram-counting CTE chain (g2..d5) over a prior CTE
+    ``src`` exposing (doc_id, t) — shared by the repetition and
+    filter_reasons oracles so a fix lands in both."""
+    return f"""g2 AS (
+              SELECT doc_id,
+                unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+              FROM {src} WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                   FROM g2 GROUP BY doc_id, gram),
+            t2 AS (SELECT doc_id, cnt, glen FROM c2
+                   QUALIFY row_number() OVER (
+                     PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) = 1),
+            g5 AS (
+              SELECT doc_id,
+                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4]
+                        for i in range(1, len(t) - 3)]) AS gram
+              FROM {src} WHERE len(t) >= 5
+            ),
+            c5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+                   FROM g5 GROUP BY doc_id, gram),
+            d5 AS (SELECT doc_id, sum(cnt * glen) AS dupc
+                   FROM c5 WHERE cnt >= 2 GROUP BY doc_id)"""
+
+
+def _rep_cols_sql(chars: str) -> str:
+    """top2/dup5 per-mille projections over joined t2/d5 — the CASTs
+    guard DuckDB's HUGEINT sum() (the corpus_summary lesson)."""
+    return f"""CAST(CASE WHEN {chars} = 0 THEN 0
+                     ELSE coalesce(t2.cnt * t2.glen, 0) * 1000 // {chars}
+                     END AS BIGINT) AS top2_x1000,
+                CAST(CASE WHEN {chars} = 0 THEN 0
+                     ELSE coalesce(d5.dupc, 0) * 1000 // {chars}
+                     END AS BIGINT) AS dup5_x1000"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dup_groups": """
@@ -791,7 +844,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark folds adjacency runs of the sorted gram array — same
         # multiset, same (count, len) tie-break, structurally equal.
         # CASTs guard DuckDB's HUGEINT sum() (the corpus_summary lesson).
-        "repetition": """
+        "repetition": f"""
             WITH base AS (
               SELECT doc_id, text FROM documents
               UNION ALL
@@ -806,35 +859,10 @@ def oracle_sql() -> dict[str, str]:
                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
               FROM base
             ),
-            g2 AS (
-              SELECT doc_id,
-                unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
-              FROM toks WHERE len(t) >= 2
-            ),
-            c2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
-                   FROM g2 GROUP BY doc_id, gram),
-            t2 AS (SELECT doc_id, cnt, glen FROM c2
-                   QUALIFY row_number() OVER (
-                     PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) = 1),
-            g5 AS (
-              SELECT doc_id,
-                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                        t[i+3] || ' ' || t[i+4]
-                        for i in range(1, len(t) - 3)]) AS gram
-              FROM toks WHERE len(t) >= 5
-            ),
-            c5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
-                   FROM g5 GROUP BY doc_id, gram),
-            d5 AS (SELECT doc_id, sum(cnt * glen) AS dupc
-                   FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
+            {_gram_ctes_sql("toks")},
             r AS (
               SELECT k.doc_id,
-                CAST(CASE WHEN k.chars = 0 THEN 0
-                     ELSE coalesce(t2.cnt * t2.glen, 0) * 1000 // k.chars
-                     END AS BIGINT) AS top2_x1000,
-                CAST(CASE WHEN k.chars = 0 THEN 0
-                     ELSE coalesce(d5.dupc, 0) * 1000 // k.chars
-                     END AS BIGINT) AS dup5_x1000
+                {_rep_cols_sql("k.chars")}
               FROM toks k
               LEFT JOIN t2 USING (doc_id)
               LEFT JOIN d5 USING (doc_id)
@@ -861,47 +889,14 @@ def oracle_sql() -> dict[str, str]:
                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
               FROM documents
             ),
-            g2 AS (
-              SELECT doc_id,
-                unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
-              FROM s WHERE len(t) >= 2
-            ),
-            c2 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
-                   FROM g2 GROUP BY doc_id, gram),
-            t2 AS (SELECT doc_id, cnt, glen FROM c2
-                   QUALIFY row_number() OVER (
-                     PARTITION BY doc_id ORDER BY cnt DESC, glen DESC) = 1),
-            g5 AS (
-              SELECT doc_id,
-                unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-                        t[i+3] || ' ' || t[i+4]
-                        for i in range(1, len(t) - 3)]) AS gram
-              FROM s WHERE len(t) >= 5
-            ),
-            c5 AS (SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
-                   FROM g5 GROUP BY doc_id, gram),
-            d5 AS (SELECT doc_id, sum(cnt * glen) AS dupc
-                   FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
+            {_gram_ctes_sql("s")},
             sig AS (
               SELECT s.doc_id,
                 s.n_tokens,
                 CASE WHEN s.n_tokens = 0 THEN 0
                      ELSE s.stop * 1000 // s.n_tokens END AS stop_x1000,
-                CAST(CASE WHEN s.chars = 0 THEN 0
-                     ELSE coalesce(t2.cnt * t2.glen, 0) * 1000 // s.chars
-                     END AS BIGINT) AS top2_x1000,
-                CAST(CASE WHEN s.chars = 0 THEN 0
-                     ELSE coalesce(d5.dupc, 0) * 1000 // s.chars
-                     END AS BIGINT) AS dup5_x1000,
-                CASE
-                  WHEN regexp_matches(s.text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
-                  WHEN regexp_matches(s.text, '[\\x{{0370}}-\\x{{03ff}}]') THEN 'el'
-                  WHEN regexp_matches(s.text, '[\\x{{0400}}-\\x{{04ff}}]') THEN 'ru'
-                  WHEN regexp_matches(' ' || lower(s.text) || ' ', ' (der|und|das|ist) ') THEN 'de'
-                  WHEN regexp_matches(' ' || lower(s.text) || ' ', ' (le|les|une|est) ') THEN 'fr'
-                  WHEN regexp_matches(' ' || lower(s.text) || ' ', ' (el|los|las|una) ') THEN 'es'
-                  ELSE 'en'
-                END AS lang
+                {_rep_cols_sql("s.chars")},
+                {_lang_case_sql("s.text")} AS lang
               FROM s
               LEFT JOIN t2 ON t2.doc_id = s.doc_id
               LEFT JOIN d5 ON d5.doc_id = s.doc_id
@@ -914,17 +909,8 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'clean' END AS reason
             FROM sig
         """,
-        "lang_id": """
-            SELECT doc_id,
-              CASE
-                WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                WHEN regexp_matches(text, '[\\x{0370}-\\x{03ff}]') THEN 'el'
-                WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-                WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|und|das|ist) ') THEN 'de'
-                WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|les|une|est) ') THEN 'fr'
-                WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|una) ') THEN 'es'
-                ELSE 'en'
-              END AS pred_lang
+        "lang_id": f"""
+            SELECT doc_id, {_lang_case_sql("text")} AS pred_lang
             FROM documents
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL + "SELECT a, b, inter, uni FROM pairs",

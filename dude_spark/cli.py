@@ -329,7 +329,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             clean.write.mode("overwrite").parquet(f"{a.out}/clean")
             rejected.write.mode("overwrite").parquet(f"{a.out}/rejected")
-            n_clean = spark.read.parquet(f"{a.out}/clean").count()
+            # summary without a third corpus-scale scan: input count is
+            # parquet-metadata-cheap, rejected/ is the small side, and
+            # kept = total - rejected by the partition contract
+            n_total = docs.count()
             mix = {
                 r["reason"]: r["n"]
                 for r in spark.read.parquet(f"{a.out}/rejected")
@@ -338,6 +341,7 @@ def main(argv: list[str] | None = None) -> int:
                 .collect()
             }
             n_rej = sum(mix.values())
+            n_clean = n_total - n_rej
             print(
                 f"kept {n_clean}; rejected {n_rej} "
                 f"({dict(sorted(mix.items()))}) -> {a.out}"

@@ -97,24 +97,22 @@ def deterministic_sample(
     different cluster sizes all agree on it, so downstream caches and
     eval sets stay valid.
     """
-    if not 0.0 <= frac <= 1.0:
-        raise ValueError(f"frac must be in [0, 1], got {frac}")
-    bound_i = int(frac * _HEX_SPAN)
-    if bound_i >= _HEX_SPAN:
+    bound = fraction_bound(frac)  # validates frac
+    if bound == "g":
         # frac == 1.0, or close enough that the float product rounds to
-        # the full span (e.g. 1 - 2**-53): keep everything.  Without
-        # this, format() would emit a 9-char bound and the 8-char keys
-        # would compare against its first digit only (~1/16 kept).
+        # the full span (e.g. 1 - 2**-53): keep everything — including
+        # NULL-id rows, which any hashed compare would drop.
         return df
-    return df.where(
-        _hex_key(F.col(id_col), seed) < F.lit(format(bound_i, "08x"))
-    )
+    return df.where(_hex_key(F.col(id_col), seed) < F.lit(bound))
 
 
 def fraction_bound(frac: float) -> str:
     """The hex literal a fraction compares against — 'g' (> every hex
-    char) for the keep-everything case, so callers embedding bounds in
-    SQL reproduce deterministic_sample/stratified_sample exactly."""
+    char) for the keep-everything case: format() on the full span
+    would emit a 9-char bound, and the 8-char keys would compare
+    against its first digit only (~1/16 kept).  Single source of the
+    bound math, so SQL callers embedding these literals reproduce
+    deterministic_sample/stratified_sample exactly."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     bound_i = int(frac * _HEX_SPAN)
@@ -143,6 +141,12 @@ def stratified_sample(
     sampleBy semantics for unlisted strata: their bound is NULL, the
     comparison is NULL, the row is dropped.  Pass an explicit 1.0 to
     keep a stratum whole.
+
+    NULL handling: rows with a NULL id or NULL stratum are always
+    dropped (no identity → no stable assignment).  This is the one
+    place the per-stratum equality above is asymmetric:
+    deterministic_sample's frac=1.0 early return keeps NULL-id rows
+    because it never evaluates the hash.
     """
     if not fractions:
         raise ValueError("fractions must name at least one stratum")

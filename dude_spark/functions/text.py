@@ -198,17 +198,17 @@ def _gram_run_stats(grams: Column) -> Column:
     )
 
 
-def repetition_signals(
-    text: Column, top_n: int = 2, dup_n: int = 5
-) -> list[tuple[str, Column]]:
+def repetition_signals(text: Column) -> list[tuple[str, Column]]:
     """Gopher-style repetition signals, integerized:
     ``top2_x1000`` — per-mille of characters covered by the most
-    frequent ``top_n``-gram (count × gram chars, incl. joining spaces;
+    frequent 2-gram (count × gram chars, incl. joining spaces;
     overlapping occurrences counted fully — a deterministic
     simplification of Gopher's char attribution, monotone in
     repetition); ``dup5_x1000`` — per-mille covered by all
-    ``dup_n``-grams occurring ≥ 2 times; ``repetition`` ∈
-    {repetitive, ok} under REP_*_MAX_X1000.
+    5-grams occurring ≥ 2 times; ``repetition`` ∈
+    {repetitive, ok} under REP_*_MAX_X1000.  The n values are fixed
+    because the output names and thresholds are calibrated to them
+    (Gopher's 2-gram/5-gram cuts); other n's would need their own.
 
     Degenerate docs: blank text or fewer than n tokens → 0 (no grams).
     Like the rest of this module: integer outputs only, pure JVM
@@ -216,8 +216,8 @@ def repetition_signals(
     gram; the fold groups by adjacency after a sort — same multiset,
     same tie-break, no hashing involved, so equality is structural).
     """
-    top = _gram_run_stats(word_ngrams(text, top_n))
-    dup = _gram_run_stats(word_ngrams(text, dup_n))
+    top = _gram_run_stats(word_ngrams(text, 2))
+    dup = _gram_run_stats(word_ngrams(text, 5))
     chars = F.length(text)
     zero = F.lit(0).cast("long")
     top_pm = F.when(F.coalesce(chars, F.lit(0)) == 0, zero).otherwise(

@@ -43,11 +43,19 @@ from ..functions.text import lang_id, quality_signals, repetition_signals
 def rejection_reason(
     text: Column, allowed_langs: Sequence[str] | None = None
 ) -> Column:
-    """First-match rejection reason, or NULL for a clean document."""
+    """First-match rejection reason, or NULL for a clean document.
+
+    NULL text is rejected as too_short explicitly: without the guard
+    every signal evaluates to NULL and the cascade would fall through
+    to clean — the one document that must never reach the training
+    corpus silently would.
+    """
     quality = dict(quality_signals(text))["quality"]
     repetition = dict(repetition_signals(text))["repetition"]
-    reason = F.when(quality != "ok", quality).when(
-        repetition == "repetitive", F.lit("repetitive")
+    reason = (
+        F.when(text.isNull(), F.lit("too_short"))
+        .when(quality != "ok", quality)
+        .when(repetition == "repetitive", F.lit("repetitive"))
     )
     if allowed_langs is not None:
         if not allowed_langs:
@@ -69,6 +77,12 @@ def filter_corpus(
     """(clean, rejected): clean keeps the input schema unchanged;
     rejected is the dropped rows plus a ``reason`` column.  Together
     they partition the input (every row lands in exactly one)."""
+    clash = {"__reason", "reason"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the rejected "
+            "table's reason column; rename them first"
+        )
     reason = rejection_reason(F.col(text_col), allowed_langs)
     tagged = docs.withColumn("__reason", reason)
     clean = tagged.where(F.col("__reason").isNull()).drop("__reason")

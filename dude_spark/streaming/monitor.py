@@ -36,6 +36,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -66,14 +67,23 @@ def hot_bucket_alerts(
     threshold: int,
     report_every: int = 0,
     bucket_col: str = "bucket",
+    id_col: str = "image_id",
 ) -> DataFrame:
     """Streaming (bucket, members, kind) alerts from an (id, bucket)
     stream: ``kind='alert'`` exactly once when a bucket's cumulative
-    count first reaches ``threshold``; ``kind='growth'`` every further
-    ``report_every`` members (0 = no growth reports).
+    count first reaches ``threshold``; ``kind='growth'`` at most once
+    per micro-batch when the count has grown ≥ ``report_every`` since
+    the last report (0 = no growth reports) — growth is deliberately
+    coalesced per batch: a key gaining 100 members in one batch emits
+    ONE report at the new count, not ten interval rows.
 
-    Works on a streaming DataFrame in update mode; also runs on a
-    batch DataFrame for tests of the kernel via ``_update_groups``.
+    Members are distinct ``id_col`` values WITHIN each batch (a
+    detector emitting (id, bucket) twice in one batch counts once);
+    cross-batch redeliveries DO re-count — remembering every seen id
+    per bucket would grow state with the corpus, which is exactly what
+    this operator's three-longs-per-key contract exists to avoid.
+    Exactly-once delivery therefore comes from the ingest layer's
+    idempotent epochs (streaming/ingest.py), not from the monitor.
     """
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
@@ -86,7 +96,10 @@ def hot_bucket_alerts(
         )
 
     return (
-        buckets.selectExpr(f"CAST({bucket_col} AS STRING) AS bucket")
+        buckets.select(
+            F.col(bucket_col).cast("string").alias("bucket"),
+            F.col(id_col).cast("string").alias("member_id"),
+        )
         .groupBy("bucket")
         .applyInPandasWithState(
             update,
@@ -101,9 +114,18 @@ def hot_bucket_alerts(
 def _update_groups(key, pdfs, state, threshold, report_every):
     """The state-transition kernel, separated so tests can drive it
     with a fake GroupState: old (count, alerted, last_reported) + this
-    batch's rows -> new state + emitted alert rows."""
+    batch's rows -> new state + emitted alert rows.  Counts distinct
+    member_id per batch when the column is present (plain row count
+    otherwise, for kernel-level tests)."""
     bucket = key[0]
-    batch_n = sum(len(pdf) for pdf in pdfs)
+    seen: set = set()
+    batch_n = 0
+    for pdf in pdfs:
+        if "member_id" in pdf.columns:
+            seen.update(pdf["member_id"])
+        else:
+            batch_n += len(pdf)
+    batch_n += len(seen)
     if state.exists:
         count, alerted, last_reported = state.get
     else:

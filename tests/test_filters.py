@@ -107,3 +107,25 @@ def test_cli_filter(spark, tmp_path, monkeypatch, capsys):
         for r in spark.read.parquet(f"{out}/rejected").collect()
     }
     assert rej == {1: "too_short", 2: "lang_blocked"}
+
+
+def test_null_text_rejected_not_clean(spark):
+    """A NULL caption must not slip through as clean (every signal is
+    NULL; the explicit guard routes it too_short)."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, _CLEAN)], "doc_id long, caption string"
+    )
+    clean, rejected = filter_corpus(docs, text_col="caption")
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+    assert [(r["doc_id"], r["reason"]) for r in rejected.collect()] == [
+        (0, "too_short")
+    ]
+
+
+def test_reason_column_collision_refused(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(0, _CLEAN, "x")],
+                                 "doc_id long, caption string, reason string")
+    with pytest.raises(ValueError, match="collide"):
+        filter_corpus(docs, text_col="caption")

@@ -118,3 +118,18 @@ def test_streaming_alerts_across_restarts(spark, tmp_path):
         [("h", "hot"), ("i", "hot")], "image_id string, bucket string"
     ).coalesce(1).write.mode("append").parquet(in_dir)
     assert drain("mon_e3") == [("hot", 5, "alert")]
+
+
+def test_kernel_dedups_members_within_batch():
+    """Duplicate (id, bucket) rows in ONE batch count once; the same id
+    re-delivered in a LATER batch re-counts (documented: per-key state
+    stays three longs, cross-batch dedup belongs to the ingest layer)."""
+    st = _FakeState()
+    pdfs = [pd.DataFrame({"member_id": ["a", "a", "b"]}),
+            pd.DataFrame({"member_id": ["b", "c"]})]
+    out = list(_update_groups(("k",), pdfs, st, 5, 0))
+    assert out == [] and st.get[0] == 3  # {a, b, c}
+    pdfs = [pd.DataFrame({"member_id": ["a", "d"]})]  # 'a' again: +2
+    hits = [t for pdf in _update_groups(("k",), pdfs, st, 5, 0)
+            for t in pdf.itertuples(index=False)]
+    assert [(h.members, h.kind) for h in hits] == [(5, "alert")]
