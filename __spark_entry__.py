@@ -52,6 +52,7 @@ from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.operators.decontam import contamination_pairs
 from dude_spark.operators.shards import shard_assignment
+from dude_spark.operators.boilerplate import boilerplate_ngrams
 from dude_spark.operators.textdedup import ngram_jaccard_pairs
 from dude_spark.operators.verify import (
     prefilter_minhash,
@@ -163,6 +164,23 @@ def q_repetition(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         *[c.alias(name) for name, c in cols],
     )
+
+
+def q_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate detection
+    (operators/boilerplate.boilerplate_ngrams): 5-grams shared by >= 3
+    distinct docs, with document frequency — the C4-style repeated-span
+    diagnostic.  Naturally live on this corpus (74-550 hot grams per
+    SF) plus a planted slice: 15 extra docs consisting solely of one
+    marker sentence, whose gram must appear with df=15."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+        F.lit("corpus boilerplate marker sentence end").alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+    out = boilerplate_ngrams(base, n=5, min_df=3)
+    return out.select("gram", F.col("df").cast("long").alias("df"))
 
 
 def q_filter_reasons(spark, sf_dir):
@@ -664,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
+        "boilerplate_ngrams": q_boilerplate,
         "lang_id": q_lang_id,
         "ngram_jaccard_pairs": _ngram_pairs_checkpointed,
         "corpus_summary": q_corpus_summary,
@@ -912,6 +931,34 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             SELECT doc_id, {_lang_case_sql("text")} AS pred_lang
             FROM documents
+        """,
+        # boilerplate_ngrams: DuckDB brute-forces the same per-doc
+        # distinct 5-grams and true-string GROUP BY; the Spark operator
+        # shuffles xxhash64 longs and recovers strings via broadcast —
+        # equal results under the documented collision contract.
+        "boilerplate_ngrams": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     'corpus boilerplate marker sentence end' AS text
+              FROM documents WHERE doc_id < 15
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM base WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                          t[i+3] || ' ' || t[i+4]
+                          for i in range(1, len(t) - 3)]) AS gram
+                FROM toks WHERE len(t) >= 5
+              )
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS df
+            FROM g GROUP BY gram HAVING count(*) >= 3
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL + "SELECT a, b, inter, uni FROM pairs",
         "corpus_summary": """

@@ -1,0 +1,169 @@
+"""Cross-document boilerplate detection and span removal.
+
+The C4 preprocessing step (Raffel et al. 2020: discard any
+three-sentence span occurring more than once in the corpus),
+re-expressed for a single-line caption/document corpus where the unit
+is the n-TOKEN window: a span is boilerplate when the same n-gram
+occurs in >= ``min_df`` distinct documents — headers, license lines,
+templated prefixes; text that repeats verbatim ACROSS documents is
+navigation/chrome, not content.
+
+Two operators sharing one detection pass:
+
+  boilerplate_ngrams   (gram, df) — every n-gram with document
+                       frequency >= min_df; the diagnostic table an
+                       operator inspects before committing to removal.
+  strip_boilerplate    rewrite: drop every token covered by at least
+                       one hot-gram occurrence, plus a per-doc audit
+                       of how many tokens were removed (removal is
+                       never silent — the filters/decontam rule).
+
+Scale shape (all JVM, no Python workers, no driver collects):
+  - detection shuffles xxhash64 LONGS of per-doc-distinct grams with
+    map-side combine — one 8-byte-key exchange, the textdedup.py
+    convention.  Hot-gram STRINGS are recovered by broadcast-joining
+    the (small) hot hash set back against a map-side re-explode, so
+    gram text never rides the wide shuffle.
+  - removal broadcast-joins the hot hashes against an all-positions
+    explode (map-side), so only MATCHING (doc, position) rows — i.e.
+    actual boilerplate occurrences — move in the per-doc coverage
+    aggregation; the rewrite itself is higher-order array functions
+    (filter-with-index + exists) inside codegen.
+  - hash-collision contract (shared with ngram_jaccard_pairs /
+    verify_jaccard): a 64-bit collision can only ADD a false hot gram
+    (over-removal of one window), probability ~|grams|^2 / 2^64.
+
+Semantics notes: coverage counts EVERY occurrence of a hot gram (df
+counts distinct docs, removal removes all instances, including
+repeats within one doc); removal is single-pass — tokens adjacent
+across a removed span may form NEW n-grams in the rewritten text,
+exactly as C4's line removal can create new sentence adjacencies.
+Docs shorter than n tokens are never touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_ngrams
+from ..session import ensure_min_partitions
+
+
+def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, gram) — per-doc DISTINCT n-gram strings, scan spread."""
+    return ensure_min_partitions(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select(
+        "doc",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+
+
+def _hot_hashes(doc_grams: DataFrame, min_df: int) -> DataFrame:
+    """(gh, df) for grams in >= min_df docs; the only wide shuffle,
+    8-byte keys, map-side partial counts (input is per-doc distinct,
+    so count(*) IS document frequency)."""
+    return (
+        doc_grams.select(F.xxhash64("gram").alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """(gram, df): every n-token gram appearing in >= ``min_df``
+    distinct documents, with its document frequency."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(
+            f"min_df must be >= 2 (1 would flag every gram), got {min_df}"
+        )
+    doc_grams = _doc_grams(docs, id_col, text_col, n)
+    hot = _hot_hashes(doc_grams, min_df)
+    # recover the strings map-side: re-explode, broadcast the hot hash
+    # set, keep one row per (gram, df) — only hot gram strings shuffle
+    # (through the distinct), and boilerplate is small by definition
+    return (
+        doc_grams.select("gram", F.xxhash64("gram").alias("gh"))
+        .join(F.broadcast(hot), "gh")
+        .select("gram", "df")
+        .distinct()
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(stripped, audit): ``stripped`` is ``docs`` with ``text_col``
+    rewritten — every token covered by any occurrence of a hot gram
+    removed, survivors rejoined with single spaces (schema otherwise
+    unchanged); ``audit`` is (id_col, removed_tokens) for every doc
+    that lost tokens."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(
+            f"min_df must be >= 2 (1 would strip every doc), got {min_df}"
+        )
+    hot = _hot_hashes(_doc_grams(docs, id_col, text_col, n), min_df)
+
+    # all window positions this time (coverage removes every
+    # occurrence); the broadcast join filters map-side, so the
+    # per-doc collect_set aggregation only ever sees hot matches
+    toks = tokens(F.col(text_col))
+    positions = (
+        ensure_min_partitions(
+            docs.select(F.col(id_col).alias("__doc"), F.col(text_col))
+        )
+        .select(
+            "__doc",
+            F.posexplode(word_ngrams(F.col(text_col), n)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select("__doc", "pos", F.xxhash64("gram").alias("gh"))
+        .join(F.broadcast(hot.select("gh")), "gh")
+        .groupBy("__doc")
+        .agg(F.collect_set("pos").alias("__starts"))
+    )
+
+    joined = docs.join(
+        positions, F.col(id_col) == F.col("__doc"), "left"
+    ).drop("__doc")
+    starts = F.coalesce(
+        F.col("__starts"), F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            starts, lambda s: (s <= i) & (i < s + F.lit(n))
+        ),
+    )
+    removed = (F.size(toks) - F.size(kept)).cast("long")
+    rewritten = joined.withColumn("__removed", removed).withColumn(
+        text_col,
+        F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+            F.concat_ws(" ", kept)
+        ),
+    )
+    stripped = rewritten.select(*docs.columns)
+    audit = (
+        rewritten.where(F.col("__removed") > 0)
+        .select(F.col(id_col), F.col("__removed").alias("removed_tokens"))
+    )
+    return stripped, audit

@@ -1,0 +1,89 @@
+"""operators/boilerplate.py — C4-style repeated-span detection/removal.
+
+Detection df math is oracle-gated end-to-end (driver query
+boilerplate_ngrams vs a DuckDB true-string GROUP BY); these gates pin
+the removal semantics, audit invariants, and the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dude_spark.functions.text import token_count
+from dude_spark.operators.boilerplate import (
+    boilerplate_ngrams,
+    strip_boilerplate,
+)
+
+_BP = "this message was generated automatically please do not reply"
+
+
+def _docs(spark):
+    rows = [
+        (0, f"unique words alpha beta {_BP} gamma delta", b"a"),
+        (1, f"{_BP} other content here entirely different", b"b"),
+        (2, "completely unrelated text with many  various tokens inside", b"c"),
+        (3, f"tail case {_BP}", b"d"),
+        (4, "short doc", b"e"),
+        # a 5-gram occurring TWICE in one doc but in only one doc:
+        # df=1, must not be flagged at min_df>=2
+        (5, "solo repeat one two three four solo repeat one two three four", b"f"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, bytes binary")
+
+
+def test_detection_df_and_min_df(spark):
+    det = {r["gram"]: r["df"] for r in boilerplate_ngrams(_docs(spark), n=5, min_df=3).collect()}
+    # the 9-token boilerplate sentence has 5 five-grams, each in docs 0,1,3
+    assert len(det) == 5 and set(det.values()) == {3}
+    assert all(gram in _BP for gram in det)
+    # at min_df=2 the within-doc repeat (df=1) still must NOT appear
+    det2 = {r["gram"] for r in boilerplate_ngrams(_docs(spark), n=5, min_df=2).collect()}
+    assert not any("solo repeat" in g for g in det2)
+
+
+def test_strip_removes_all_occurrences_and_audits(spark):
+    docs = _docs(spark)
+    stripped, audit = strip_boilerplate(docs, n=5, min_df=3)
+    assert stripped.columns == docs.columns  # schema preserved
+    texts = {r["doc_id"]: r["text"] for r in stripped.collect()}
+    assert texts[0] == "unique words alpha beta gamma delta"
+    assert texts[1] == "other content here entirely different"
+    assert texts[3] == "tail case"
+    # untouched docs keep their text BYTE-identical (incl. double space)
+    assert texts[2] == "completely unrelated text with many  various tokens inside"
+    assert texts[4] == "short doc" and "solo repeat" in texts[5]
+    got = {r["doc_id"]: r["removed_tokens"] for r in audit.collect()}
+    assert got == {0: 9, 1: 9, 3: 9}
+    # invariant: removed == tokens(before) - tokens(after)
+    before = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    after = {r["doc_id"]: r["n"] for r in stripped.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    for d, rm in got.items():
+        assert before[d] - after[d] == rm
+
+
+def test_strip_removes_within_doc_repeats_of_hot_grams(spark):
+    """df counts distinct docs, but removal covers EVERY occurrence."""
+    rows = [(0, f"{_BP} middle words {_BP}"), (1, _BP), (2, _BP)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stripped, audit = strip_boilerplate(docs, n=5, min_df=3)
+    texts = {r["doc_id"]: r["text"] for r in stripped.collect()}
+    assert texts[0] == "middle words"
+    assert texts[1] == "" and texts[2] == ""
+    assert {r["doc_id"]: r["removed_tokens"] for r in audit.collect()} == {
+        0: 18, 1: 9, 2: 9,
+    }
+
+
+def test_validation_and_plan(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="min_df"):
+        boilerplate_ngrams(docs, min_df=1)
+    with pytest.raises(ValueError, match="n must"):
+        strip_boilerplate(docs, n=0)
+    stripped, _ = strip_boilerplate(docs, n=5, min_df=3)
+    # the hot set joins by BROADCAST (corpus-side explode never
+    # shuffle-writes for the coverage probe)
+    plan = stripped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
