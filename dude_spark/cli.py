@@ -136,6 +136,26 @@ def _parser() -> argparse.ArgumentParser:
     fl.add_argument("--cpus", type=int, default=0)
     fl.add_argument("--local", action="store_true")
 
+    bp = sub.add_parser(
+        "boilerplate",
+        help="detect cross-document repeated spans and strip them "
+             "(C4-style; operators/boilerplate.py)",
+    )
+    bp.add_argument("--input", required=True, help="corpus parquet path")
+    bp.add_argument("--out", required=True,
+                    help="output dir: stripped/ (rewritten corpus) + "
+                         "grams/ (gram, df diagnostic) + audit/ "
+                         "(doc, removed_tokens)")
+    bp.add_argument("--id-col", default="image_id")
+    bp.add_argument("--text-col", default="caption")
+    bp.add_argument("--ngram", type=int, default=5,
+                    help="span width in tokens (default 5)")
+    bp.add_argument("--min-df", type=int, default=2,
+                    help="distinct-doc threshold for a span to count "
+                         "as boilerplate (default 2)")
+    bp.add_argument("--cpus", type=int, default=0)
+    bp.add_argument("--local", action="store_true")
+
     sh = sub.add_parser(
         "shards",
         help="write a corpus as size-bounded, verifiable training "
@@ -345,6 +365,39 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"kept {n_clean}; rejected {n_rej} "
                 f"({dict(sorted(mix.items()))}) -> {a.out}"
+            )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "boilerplate":
+        spark = get_spark(
+            "dude_spark_boilerplate",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .operators.boilerplate import (
+                boilerplate_ngrams,
+                strip_boilerplate,
+            )
+
+            docs = spark.read.parquet(a.input)
+            grams = boilerplate_ngrams(
+                docs, id_col=a.id_col, text_col=a.text_col,
+                n=a.ngram, min_df=a.min_df,
+            )
+            grams.write.mode("overwrite").parquet(f"{a.out}/grams")
+            stripped, audit = strip_boilerplate(
+                docs, id_col=a.id_col, text_col=a.text_col,
+                n=a.ngram, min_df=a.min_df,
+            )
+            stripped.write.mode("overwrite").parquet(f"{a.out}/stripped")
+            audit.write.mode("overwrite").parquet(f"{a.out}/audit")
+            n_grams = spark.read.parquet(f"{a.out}/grams").count()
+            n_docs = spark.read.parquet(f"{a.out}/audit").count()
+            print(
+                f"{n_grams} boilerplate {a.ngram}-gram(s); stripped "
+                f"tokens from {n_docs} doc(s) -> {a.out}"
             )
             return 0
         finally:

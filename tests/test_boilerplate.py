@@ -87,3 +87,24 @@ def test_validation_and_plan(spark):
     # shuffle-writes for the coverage probe)
     plan = stripped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cli_boilerplate(spark, tmp_path, monkeypatch, capsys):
+    from dude_spark import cli
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _docs(spark).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([
+        "boilerplate", "--input", inp, "--out", out,
+        "--id-col", "doc_id", "--text-col", "text", "--min-df", "3",
+    ])
+    assert rc == 0
+    assert "5 boilerplate 5-gram(s)" in capsys.readouterr().out
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/stripped").collect()
+    }
+    assert texts[3] == "tail case"
+    assert spark.read.parquet(f"{out}/audit").count() == 3
