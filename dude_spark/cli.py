@@ -381,19 +381,49 @@ def main(argv: list[str] | None = None) -> int:
                 strip_boilerplate,
             )
 
+            from pyspark.sql import functions as F
+
+            from .functions.text import token_count
+
             docs = spark.read.parquet(a.input)
+            # materialize-first (the decontam pattern): detection runs
+            # ONCE — the written grams table feeds the strip pass, and
+            # the audit derives from the WRITTEN stripped output, so
+            # the corpus-wide coverage chain also runs exactly once
             grams = boilerplate_ngrams(
                 docs, id_col=a.id_col, text_col=a.text_col,
                 n=a.ngram, min_df=a.min_df,
             )
             grams.write.mode("overwrite").parquet(f"{a.out}/grams")
-            stripped, audit = strip_boilerplate(
+            hot = spark.read.parquet(f"{a.out}/grams")
+            stripped, _ = strip_boilerplate(
                 docs, id_col=a.id_col, text_col=a.text_col,
-                n=a.ngram, min_df=a.min_df,
+                n=a.ngram, min_df=a.min_df, hot_grams=hot,
             )
             stripped.write.mode("overwrite").parquet(f"{a.out}/stripped")
+
+            def toks(df, name):
+                return df.select(
+                    F.col(a.id_col).alias("__id"),
+                    token_count(F.col(a.text_col)).alias(name),
+                )
+
+            audit = (
+                toks(docs, "__before")
+                .join(
+                    toks(spark.read.parquet(f"{a.out}/stripped"), "__after"),
+                    "__id",
+                )
+                .where(F.col("__before") > F.col("__after"))
+                .select(
+                    F.col("__id").alias(a.id_col),
+                    (F.col("__before") - F.col("__after"))
+                    .cast("long")
+                    .alias("removed_tokens"),
+                )
+            )
             audit.write.mode("overwrite").parquet(f"{a.out}/audit")
-            n_grams = spark.read.parquet(f"{a.out}/grams").count()
+            n_grams = hot.count()
             n_docs = spark.read.parquet(f"{a.out}/audit").count()
             print(
                 f"{n_grams} boilerplate {a.ngram}-gram(s); stripped "

@@ -63,13 +63,16 @@ def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
 
 
 def _hot_hashes(doc_grams: DataFrame, min_df: int) -> DataFrame:
-    """(gh, df) for grams in >= min_df docs; the only wide shuffle,
-    8-byte keys, map-side partial counts (input is per-doc distinct,
-    so count(*) IS document frequency)."""
+    """(gh, df) for grams in >= min_df DISTINCT docs; the only wide
+    shuffle, 8-byte keys.  countDistinct (not count(*)): _doc_grams'
+    array_distinct dedupes within a row, but a corpus with the same
+    doc id ingested twice — exactly the pre-dedup input this engine
+    targets — would otherwise inflate df and let min_df=2 classify a
+    duplicated doc's UNIQUE content as boilerplate."""
     return (
-        doc_grams.select(F.xxhash64("gram").alias("gh"))
+        doc_grams.select("doc", F.xxhash64("gram").alias("gh"))
         .groupBy("gh")
-        .agg(F.count("*").cast("long").alias("df"))
+        .agg(F.countDistinct("doc").cast("long").alias("df"))
         .where(F.col("df") >= min_df)
     )
 
@@ -108,19 +111,29 @@ def strip_boilerplate(
     text_col: str = "text",
     n: int = 5,
     min_df: int = 2,
+    hot_grams: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(stripped, audit): ``stripped`` is ``docs`` with ``text_col``
     rewritten — every token covered by any occurrence of a hot gram
     removed, survivors rejoined with single spaces (schema otherwise
     unchanged); ``audit`` is (id_col, removed_tokens) for every doc
-    that lost tokens."""
+    that lost tokens.
+
+    ``hot_grams`` lets the inspect-then-remove workflow share ONE
+    detection pass: pass ``boilerplate_ngrams``'s output (ideally
+    re-read from storage so it is materialized — the CLI pattern) and
+    detection is not recomputed; ``min_df`` is then ignored for
+    detection (it was applied when the table was built)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_df < 2:
         raise ValueError(
             f"min_df must be >= 2 (1 would strip every doc), got {min_df}"
         )
-    hot = _hot_hashes(_doc_grams(docs, id_col, text_col, n), min_df)
+    if hot_grams is not None:
+        hot = hot_grams.select(F.xxhash64("gram").alias("gh"))
+    else:
+        hot = _hot_hashes(_doc_grams(docs, id_col, text_col, n), min_df)
 
     # all window positions this time (coverage removes every
     # occurrence); the broadcast join filters map-side, so the

@@ -83,10 +83,16 @@ def test_validation_and_plan(spark):
     with pytest.raises(ValueError, match="n must"):
         strip_boilerplate(docs, n=0)
     stripped, _ = strip_boilerplate(docs, n=5, min_df=3)
-    # the hot set joins by BROADCAST (corpus-side explode never
-    # shuffle-writes for the coverage probe)
+    # the intended plan has exactly TWO joins: the hot-hash probe as a
+    # static BROADCAST (corpus explode never shuffle-writes) and the
+    # docs ⟕ positions attach, which MAY plan sort-merge initially
+    # (AQE broadcasts the small aggregated side at runtime).  Counting
+    # pins it: losing the F.broadcast hint would turn the probe into a
+    # second shuffle join, which a bare 'BroadcastHashJoin in plan'
+    # check would miss
     plan = stripped._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
 
 
 def test_cli_boilerplate(spark, tmp_path, monkeypatch, capsys):
@@ -108,3 +114,31 @@ def test_cli_boilerplate(spark, tmp_path, monkeypatch, capsys):
     }
     assert texts[3] == "tail case"
     assert spark.read.parquet(f"{out}/audit").count() == 3
+
+
+def test_duplicate_doc_ids_do_not_inflate_df(spark):
+    """df counts DISTINCT docs: the same doc id ingested twice (the
+    pre-dedup input this engine targets) must not promote its unique
+    content to boilerplate at min_df=2."""
+    rows = [
+        (0, "entirely unique content of the duplicated ingest row here"),
+        (0, "entirely unique content of the duplicated ingest row here"),
+        (1, "other words that appear nowhere else in this tiny corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert boilerplate_ngrams(docs, n=5, min_df=2).count() == 0
+    stripped, audit = strip_boilerplate(docs, n=5, min_df=2)
+    assert audit.count() == 0
+    assert {r["text"] for r in stripped.collect()} == {r[1] for r in rows}
+
+
+def test_strip_reuses_precomputed_hot_grams(spark):
+    """hot_grams path: strip with a materialized detection table equals
+    strip with internal detection."""
+    docs = _docs(spark)
+    hot = boilerplate_ngrams(docs, n=5, min_df=3)
+    via_reuse, _ = strip_boilerplate(docs, n=5, min_df=3, hot_grams=hot)
+    internal, _ = strip_boilerplate(docs, n=5, min_df=3)
+    assert sorted(map(tuple, via_reuse.collect())) == sorted(
+        map(tuple, internal.collect())
+    )
