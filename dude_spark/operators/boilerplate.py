@@ -49,6 +49,28 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens, word_ngrams
 from ..session import ensure_min_partitions
 
+# hot-set size above which the broadcast hint is dropped and the probe
+# joins as a shuffle join instead: boilerplate is small by definition,
+# but a low min_df on a near-dup-heavy 10^12-doc corpus can flag tens
+# of millions of grams — a broadcast that large belongs on the shuffle
+# path (both sides big means the data movement is genuinely required).
+# Probed with a bounded limit(cap+1).count(), the candidates/CC idiom.
+BROADCAST_HOT_CAP = 2_000_000
+
+
+def _hot_join_side(hot: DataFrame, cap: int | None = None) -> DataFrame:
+    """``hot`` wrapped in a broadcast hint iff it is small enough.
+    The bounded probe is one extra action over the detection chain —
+    at corpus scale pass a MATERIALIZED ``hot_grams`` table into
+    strip_boilerplate (the CLI pattern) so the probe reads parquet,
+    not a recomputed shuffle.  ``cap`` resolves at call time so tests
+    can monkeypatch BROADCAST_HOT_CAP."""
+    if cap is None:
+        cap = BROADCAST_HOT_CAP
+    if hot.limit(cap + 1).count() <= cap:
+        return F.broadcast(hot)
+    return hot
+
 
 def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, gram) — per-doc DISTINCT n-gram strings, scan spread."""
@@ -99,7 +121,7 @@ def boilerplate_ngrams(
     # (through the distinct), and boilerplate is small by definition
     return (
         doc_grams.select("gram", F.xxhash64("gram").alias("gh"))
-        .join(F.broadcast(hot), "gh")
+        .join(_hot_join_side(hot), "gh")
         .select("gram", "df")
         .distinct()
     )
@@ -150,7 +172,7 @@ def strip_boilerplate(
             ),
         )
         .select("__doc", "pos", F.xxhash64("gram").alias("gh"))
-        .join(F.broadcast(hot.select("gh")), "gh")
+        .join(_hot_join_side(hot.select("gh")), "gh")
         .groupBy("__doc")
         .agg(F.collect_set("pos").alias("__starts"))
     )

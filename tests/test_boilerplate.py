@@ -142,3 +142,18 @@ def test_strip_reuses_precomputed_hot_grams(spark):
     assert sorted(map(tuple, via_reuse.collect())) == sorted(
         map(tuple, internal.collect())
     )
+
+
+def test_over_cap_hot_set_degrades_to_shuffle_join(spark, monkeypatch):
+    """Above BROADCAST_HOT_CAP the hint is dropped (a hot set too big
+    to broadcast joins on the shuffle path), and results are equal."""
+    from dude_spark.operators import boilerplate as bp
+
+    docs = _docs(spark)
+    baseline = sorted(map(tuple, strip_boilerplate(docs, n=5, min_df=3)[0].collect()))
+    monkeypatch.setattr(bp, "BROADCAST_HOT_CAP", 1)
+    stripped, _ = strip_boilerplate(docs, n=5, min_df=3)
+    # the static hint is gone: the probe join plans as a shuffle join
+    plan = stripped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+    assert sorted(map(tuple, stripped.collect())) == baseline
