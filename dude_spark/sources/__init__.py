@@ -1,1 +1,5 @@
-"""Input connectors: parquet/Iceberg tables and directory-of-files scans."""
+"""Input connectors: parquet/Iceberg tables, directory-of-files scans
+(binaryfile.py), and JSONL/CSV/parquet text corpora with skip-and-count
+error tolerance (corpus.py)."""
+
+from .corpus import read_corpus  # noqa: F401

@@ -1,0 +1,96 @@
+"""Text-corpus sources: JSONL / CSV / parquet with skip-and-count.
+
+LLM corpora interchange as JSON-lines and CSV at least as often as
+parquet; this module reads any of the three into the engine's
+documents shape with the reference's error-tolerance contract
+(files.go:59-70 — a bad entry skips, the run never fails, and the
+skip is COUNTED): malformed lines come back as a separate bad-rows
+table with the raw line preserved, never silently dropped.
+
+Mechanism: Spark's native json/csv readers in PERMISSIVE mode with
+``columnNameOfCorruptRecord`` — a row that fails to parse lands with
+the raw text in the corrupt column and nulls elsewhere.  Splitting on
+that column gives (docs, bad) as two plain filters over one scan: no
+UDF, no second pass, executor-parallel line splitting for free (both
+sources are splittable when uncompressed).  Spark caveat handled
+inside: a corrupt-record filter requires the parsed frame to be
+materializable — the reader needs the corrupt column SELECTED, and
+referencing it alone in a filter is unsupported until it is cached or
+projected; we project it into the output schema, which satisfies the
+requirement without a cache.
+
+Scale: the readers are ordinary FileScan sources — partition-parallel,
+column-pruned (for parquet), and the corrupt split is codegen'd.  A
+10^12-line JSONL corpus reads exactly as wide as this function's
+projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORRUPT = "__corrupt"
+
+FORMATS = ("jsonl", "csv", "parquet")
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, bad): ``docs`` is (doc_id string, text string) parsed
+    from ``path``; ``bad`` is (raw string) — every line that failed to
+    parse or lacked the id/text fields, preserved verbatim for audit.
+
+    parquet inputs have no line-level corruption concept (footer-level
+    corruption fails the scan, correctly); ``bad`` is rows with a null
+    id or text.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
+    if fmt == "parquet":
+        raw = spark.read.parquet(path).select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
+        docs = raw.where(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        )
+        bad = raw.where(
+            F.col("doc_id").isNull() | F.col("text").isNull()
+        ).select(F.to_json(F.struct("doc_id", "text")).alias("raw"))
+        return docs, bad
+
+    schema = f"{id_col} string, {text_col} string, {_CORRUPT} string"
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    if fmt == "jsonl":
+        raw = reader.json(path)
+    else:
+        raw = reader.option("header", True).csv(path)
+    parsed = raw.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+        F.col(_CORRUPT).alias("raw"),
+    )
+    # a record is bad when the parser flagged it OR when it parsed but
+    # is missing the contract fields (e.g. a JSON object without 'text')
+    is_bad = (
+        F.col("raw").isNotNull()
+        | F.col("doc_id").isNull()
+        | F.col("text").isNull()
+    )
+    docs = parsed.where(~is_bad).select("doc_id", "text")
+    bad = parsed.where(is_bad).select(
+        F.coalesce(
+            F.col("raw"), F.to_json(F.struct("doc_id", "text"))
+        ).alias("raw")
+    )
+    return docs, bad
