@@ -97,3 +97,57 @@ def test_repetition_signals_plan_is_shuffle_and_python_free(spark, tmp_path):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert out.where(F.col("top2_x1000") > 0).count() == 64
+
+
+def test_repetition_fold_matches_bruteforce_reference(spark):
+    """Differential armor for the sorted-array fold: several hundred
+    seeded-random docs (skewed vocab, repeats, multi-space, unicode,
+    degenerate) must score identically to a brute-force Counter
+    reference of the same definition."""
+    import random
+    from collections import Counter
+
+    from dude_spark.functions.text import repetition_signals
+
+    rng = random.Random(1234)
+    vocab = ["a", "bb", "ccc", "tok", "αβ", "x" * 7, "the", "zz"]
+
+    def make_doc():
+        n = rng.randint(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if n and rng.random() < 0.4:  # inject a repeated run
+            seg = toks[: rng.randint(1, min(6, n))]
+            toks = toks + seg * rng.randint(1, 3)
+        sep = "  " if rng.random() < 0.2 else " "
+        return sep.join(toks)
+
+    docs = [make_doc() for _ in range(300)] + ["", "   ", "solo"]
+
+    def ref(text):
+        toks = text.split()
+        chars = len(text)
+
+        def stats(n):
+            if len(toks) < n:
+                return 0, 0
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            best_cnt = max(c.values())
+            best_len = max(len(g) for g, k in c.items() if k == best_cnt)
+            dup = sum(k * len(g) for g, k in c.items() if k >= 2)
+            return best_cnt * best_len, dup
+
+        top, _ = stats(2)
+        _, dup = stats(5)
+        if chars == 0:
+            return 0, 0
+        return top * 1000 // chars, dup * 1000 // chars
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["i", "text"])
+    cols = repetition_signals(F.col("text"))
+    got = {
+        r["i"]: (r["top2_x1000"], r["dup5_x1000"])
+        for r in df.select("i", *[c.alias(n) for n, c in cols]).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == ref(t), (i, repr(t), got[i], ref(t))
