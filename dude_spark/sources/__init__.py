@@ -2,4 +2,4 @@
 (binaryfile.py), and JSONL/CSV/parquet text corpora with skip-and-count
 error tolerance (corpus.py)."""
 
-from .corpus import read_corpus  # noqa: F401
+from .corpus import read_corpus, write_corpus  # noqa: F401

@@ -74,7 +74,16 @@ def read_corpus(
     if fmt == "jsonl":
         raw = reader.json(path)
     else:
-        raw = reader.option("header", True).csv(path)
+        # multiLine: quoted embedded newlines are valid CSV and must
+        # round-trip — the cost is that multiLine CSV files are not
+        # SPLITTABLE (one file = one read task).  JSONL is the scale
+        # path (JSON escapes newlines in-string, so the file splits by
+        # physical line); CSV is supported for interchange correctness.
+        raw = (
+            reader.option("header", True)
+            .option("multiLine", True)
+            .csv(path)
+        )
     parsed = raw.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(text_col).cast("string").alias("text"),
@@ -94,3 +103,23 @@ def read_corpus(
         ).alias("raw")
     )
     return docs, bad
+
+
+def write_corpus(
+    docs: DataFrame, path: str, fmt: str = "jsonl", mode: str = "overwrite"
+) -> None:
+    """Export a corpus in the same interchange formats read_corpus
+    accepts — the curation chain's hand-off to external consumers.
+    Partition-parallel (one file per partition, like every Spark
+    sink); read_corpus(write_corpus(df)) round-trips losslessly for
+    the (doc_id, text) contract columns, gated in tests.  CSV is
+    header+quoted so embedded commas/newlines survive."""
+    if fmt not in FORMATS:
+        raise ValueError(f"fmt must be one of {FORMATS}, got {fmt!r}")
+    writer = docs.write.mode(mode)
+    if fmt == "jsonl":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", True).option("quoteAll", True).csv(path)
+    else:
+        writer.parquet(path)

@@ -69,3 +69,27 @@ def test_jsonl_feeds_the_engine(spark, tmp_path):
     docs, _ = read_corpus(spark, str(p), fmt="jsonl")
     pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text")
     assert [(r["a"], r["b"]) for r in pairs.collect()] == [("1", "2")]
+
+
+def test_write_read_roundtrip_all_formats(spark, tmp_path):
+    """write_corpus -> read_corpus is lossless for the contract
+    columns, including embedded commas, quotes, and newlines."""
+    from dude_spark.sources.corpus import write_corpus
+
+    rows = [
+        ("1", "plain text"),
+        ("2", 'with "quotes" and, commas'),
+        ("3", "with\nan embedded newline"),
+        ("4", "unicode: αβγ 中文"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id string, text string")
+    for fmt in ("jsonl", "csv", "parquet"):
+        out = str(tmp_path / fmt)
+        write_corpus(src, out, fmt=fmt)
+        back, bad = read_corpus(spark, out, fmt=fmt)
+        assert bad.count() == 0, fmt
+        assert sorted(map(tuple, back.collect())) == sorted(rows), fmt
+    import pytest
+
+    with pytest.raises(ValueError, match="fmt"):
+        write_corpus(src, str(tmp_path / "x"), fmt="xml")
