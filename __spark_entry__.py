@@ -31,7 +31,11 @@ from dude_spark.detectors.simhash import (
 )
 from dude_spark.detectors.suffix import suffix_buckets, suffix_signatures, verify_substring
 from dude_spark.functions.embedding import ann_topk, brute_force_topk, cosine_dup_pairs
-from dude_spark.functions.events import sessionize, tumbling_window_stats
+from dude_spark.functions.events import (
+    sessionize,
+    sliding_window_stats,
+    tumbling_window_stats,
+)
 from dude_spark.functions.ranking import ntile_exact
 from dude_spark.functions.splits import (
     deterministic_sample,
@@ -384,6 +388,17 @@ def q_event_window_stats(spark, sf_dir):
     return tumbling_window_stats(_events(spark, sf_dir))
 
 
+def q_sliding_window_stats(spark, sf_dir):
+    """Sliding-window aggregation (1-day windows every 6 hours) over
+    the events table: each event replicates map-side into its 4
+    overlapping windows, then one hash aggregate — the explicit
+    overlap-factor cost model (functions/events.sliding_window_stats).
+    Oracle enumerates the covering epoch-aligned starts per event with
+    integer floor arithmetic (second-level membership is exact against
+    Spark's microsecond window math — strict upper bound, see twin)."""
+    return sliding_window_stats(_events(spark, sf_dir))
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) per user — lag +
     running-sum windows PARTITIONED BY USER, no global-order window;
@@ -692,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shard_assignment": q_shard_assignment,
         "event_window_stats": q_event_window_stats,
+        "sliding_window_stats": q_sliding_window_stats,
         "user_sessions": q_user_sessions,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
@@ -1036,6 +1052,32 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value_x100
             FROM events
             GROUP BY 1, 2
+        """,
+        # sliding windows: the covering epoch-aligned starts per event
+        # are the multiples of S=21600 in (t-L, t] with L=86400; floor
+        # epoch first (DuckDB epoch() is a fractional DOUBLE and a
+        # bare BIGINT cast ROUNDS) — second-level floor membership is
+        # exact against Spark's microsecond window arithmetic because
+        # starts are whole seconds and the upper bound is strict
+        "sliding_window_stats": """
+            WITH e AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                     event_type, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            x AS (
+              SELECT unnest(range(((t - 86400) // 21600 + 1) * 21600,
+                                  (t // 21600) * 21600 + 1,
+                                  21600)) AS win_start,
+                     event_type, user_id, v
+              FROM e
+            )
+            SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(v) AS BIGINT) AS sum_value_x100
+            FROM x GROUP BY 1, 2
         """,
         "user_sessions": """
             WITH flagged AS (

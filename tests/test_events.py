@@ -81,3 +81,33 @@ def test_tumbling_window_day_boundaries(spark):
     assert by_key[(epoch0, "a")]["sum_value_x100"] == 300
     assert by_key[(epoch0 + 86400, "a")]["n_events"] == 1
     assert by_key[(epoch0 + 2 * 86400, "b")]["sum_value_x100"] == 800
+
+
+def test_sliding_window_membership_and_boundaries(spark):
+    """An event lands in exactly window/slide overlapping windows; an
+    event at an exact window END is excluded from that window (strict
+    upper bound) but starts the next one."""
+    from dude_spark.functions.events import sliding_window_stats
+
+    rows = [
+        # 1970-01-02 00:00:00 exactly: multiple of both slide and window
+        (1, "1970-01-02 00:00:00", 7, "a", 1.0),
+        # mid-window event
+        (2, "1970-01-02 03:00:00", 8, "a", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["win_start"], r["n_events"])
+        for r in sliding_window_stats(df, "1 day", "6 hours").collect()
+    }
+    day = 86400
+    h6 = 21600
+    starts_e1 = {day - 3 * h6 + i * h6 for i in range(4)}  # (t-L, t] multiples
+    # event 1 at t=86400: windows starting 21600..86400 (NOT 0: 0+L = t is excluded)
+    assert {s for s, _ in out} == starts_e1 | {day + 0}  # e2's extra window? no:
+    # e2 at t=97200 (1d+3h): starts in (10800, 97200] -> 21600..86400 too
+    # so both events share windows 21600..86400; window 86400 holds both
+    assert (day, 2) in out
+    assert (0, 1) not in out  # strict end-boundary exclusion
