@@ -65,22 +65,45 @@ def read_corpus(
         ).select(F.to_json(F.struct("doc_id", "text")).alias("raw"))
         return docs, bad
 
-    schema = f"{id_col} string, {text_col} string, {_CORRUPT} string"
-    reader = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT)
-    )
     if fmt == "jsonl":
-        raw = reader.json(path)
+        # JSON matches fields BY NAME, so a fixed contract schema is
+        # safe: extra fields are ignored, order is irrelevant
+        schema = f"{id_col} string, {text_col} string, {_CORRUPT} string"
+        raw = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+            .json(path)
+        )
     else:
+        # CSV matches a user schema BY POSITION (enforceSchema), so a
+        # contract-only schema silently swaps reordered columns and
+        # flags every row of a wider file corrupt.  Sniff the actual
+        # header first (schema-only read — touches header lines, not
+        # data), parse with the FILE's layout, then project the
+        # contract columns by name.
+        file_cols = [
+            f.name for f in spark.read.option("header", True).csv(path).schema
+        ]
+        missing = {id_col, text_col} - set(file_cols)
+        if missing:
+            raise ValueError(
+                f"CSV header at {path!r} lacks contract column(s) "
+                f"{sorted(missing)}; found {file_cols}"
+            )
+        schema = ", ".join(
+            [f"`{c}` string" for c in file_cols] + [f"{_CORRUPT} string"]
+        )
         # multiLine: quoted embedded newlines are valid CSV and must
         # round-trip — the cost is that multiLine CSV files are not
         # SPLITTABLE (one file = one read task).  JSONL is the scale
         # path (JSON escapes newlines in-string, so the file splits by
         # physical line); CSV is supported for interchange correctness.
         raw = (
-            reader.option("header", True)
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT)
+            .option("header", True)
             .option("multiLine", True)
             .csv(path)
         )

@@ -41,6 +41,30 @@ def test_csv_skip_and_count(spark, tmp_path):
     assert bad.count() == 1
 
 
+def test_csv_extra_and_reordered_columns(spark, tmp_path):
+    """Real-world CSVs carry extra columns in arbitrary order; the
+    reader must match the contract columns BY NAME (a positional
+    contract-only schema silently swapped reordered columns and
+    flagged every row of a wider file corrupt)."""
+    p = tmp_path / "wide.csv"
+    p.write_text(
+        "lang,text,doc_id\n"
+        "en,hello world,a\n"
+        "de,second doc,b\n"
+    )
+    docs, bad = read_corpus(spark, str(p), fmt="csv")
+    assert {(r["doc_id"], r["text"]) for r in docs.collect()} == {
+        ("a", "hello world"), ("b", "second doc"),
+    }
+    assert bad.count() == 0
+    # a header lacking a contract column is a configuration error,
+    # not a per-row skip: fail loudly
+    p2 = tmp_path / "noid.csv"
+    p2.write_text("lang,text\nen,hello\n")
+    with pytest.raises(ValueError, match="doc_id"):
+        read_corpus(spark, str(p2), fmt="csv")
+
+
 def test_parquet_and_validation(spark, tmp_path):
     p = str(tmp_path / "c.parquet")
     spark.createDataFrame(
