@@ -55,6 +55,13 @@ from dude_spark.functions.text import (
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.operators.decontam import contamination_pairs
+from dude_spark.operators.pii import (
+    EMAIL_RE as _PII_EMAIL,
+    IP_RE as _PII_IP,
+    PHONE_RE as _PII_PHONE,
+    pii_signals,
+    redact_text,
+)
 from dude_spark.operators.shards import shard_assignment
 from dude_spark.operators.boilerplate import boilerplate_ngrams
 from dude_spark.operators.textdedup import ngram_jaccard_pairs
@@ -204,6 +211,33 @@ def q_filter_reasons(spark, sf_dir):
             F.lit("clean"),
         ).alias("reason"),
     )
+
+
+def q_pii_counts(spark, sf_dir):
+    """PII scrub surface (operators/pii.py): per-doc email/phone/IP
+    match counts plus an md5 of the REDACTED text — the fingerprint
+    pins the full replacement semantics cross-engine, not just the
+    counts.  The corpus carries no organic PII, so a planted slice
+    (doc_id < 25 re-keyed +400000 with one of each marker appended)
+    keeps every column of the gate live; the patterns are the regex
+    subset with identical Java/RE2 semantics (module contract)."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_PII_TAIL)).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+    t = F.col("text")
+    return base.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[c.cast("long").alias(name) for name, c in pii_signals(t)],
+        F.md5(F.encode(redact_text(t), "UTF-8")).alias("redacted_fp"),
+    )
+
+
+_PII_TAIL = (
+    " Contact alice@example.com or call +1 555-123-4567, server 10.0.0.1."
+)
 
 
 def q_lang_id(spark, sf_dir):
@@ -699,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
         "lang_id": q_lang_id,
+        "pii_counts": q_pii_counts,
         "ngram_jaccard_pairs": _ngram_pairs_checkpointed,
         "corpus_summary": q_corpus_summary,
         "length_deciles": q_length_deciles,
@@ -947,6 +982,28 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             SELECT doc_id, {_lang_case_sql("text")} AS pred_lang
             FROM documents
+        """,
+        # pii_counts: identical pattern strings by construction (the
+        # SQL interpolates operators/pii.py's constants); the regex
+        # subset used has equal Java/RE2 semantics, pinned by hashing
+        # the redacted text itself
+        "pii_counts": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 400000 AS doc_id,
+                     text || '{_PII_TAIL}' AS text
+              FROM documents WHERE doc_id < 25
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+              len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+              len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                  '{_PII_PHONE}', '<PHONE>', 'g'),
+                  '{_PII_IP}', '<IP>', 'g')) AS redacted_fp
+            FROM base
         """,
         # boilerplate_ngrams: DuckDB brute-forces the same per-doc
         # distinct 5-grams and true-string GROUP BY; the Spark operator

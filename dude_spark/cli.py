@@ -136,6 +136,21 @@ def _parser() -> argparse.ArgumentParser:
     fl.add_argument("--cpus", type=int, default=0)
     fl.add_argument("--local", action="store_true")
 
+    pi = sub.add_parser(
+        "pii",
+        help="redact emails/phone numbers/IPs from a corpus "
+             "(operators/pii.py; placeholders + per-doc audit counts)",
+    )
+    pi.add_argument("--input", required=True, help="corpus parquet path")
+    pi.add_argument("--out", required=True,
+                    help="output dir: scrubbed/ (input schema, text "
+                         "redacted in place) + audit/ (id + per-type "
+                         "counts for every touched doc)")
+    pi.add_argument("--id-col", default="image_id")
+    pi.add_argument("--text-col", default="caption")
+    pi.add_argument("--cpus", type=int, default=0)
+    pi.add_argument("--local", action="store_true")
+
     bp = sub.add_parser(
         "boilerplate",
         help="detect cross-document repeated spans and strip them "
@@ -365,6 +380,41 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"kept {n_clean}; rejected {n_rej} "
                 f"({dict(sorted(mix.items()))}) -> {a.out}"
+            )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "pii":
+        spark = get_spark(
+            "dude_spark_pii",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.pii import scrub_pii
+
+            docs = spark.read.parquet(a.input)
+            scrubbed, audit = scrub_pii(
+                docs, text_col=a.text_col, id_col=a.id_col
+            )
+            scrubbed.write.mode("overwrite").parquet(f"{a.out}/scrubbed")
+            audit.write.mode("overwrite").parquet(f"{a.out}/audit")
+            totals = (
+                spark.read.parquet(f"{a.out}/audit")
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum("n_emails").alias("emails"),
+                    F.sum("n_phones").alias("phones"),
+                    F.sum("n_ips").alias("ips"),
+                )
+                .collect()[0]
+            )
+            print(
+                f"redacted {totals['emails'] or 0} emails, "
+                f"{totals['phones'] or 0} phones, {totals['ips'] or 0} IPs "
+                f"across {totals['docs']} docs -> {a.out}"
             )
             return 0
         finally:
