@@ -410,6 +410,26 @@ def q_shard_assignment(spark, sf_dir):
     )
 
 
+def q_seq_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.py):
+    which 1024-token training sequence does each doc start in, and at
+    what offset — the exclusive token prefix sum in doc_id order,
+    computed with NO global-order window (functions/ranking.
+    with_running_total two-pass shape); DuckDB runs the literal
+    window expression, so the integers must agree exactly."""
+    from dude_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(d, budget=1024)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -741,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_sample": q_stable_sample,
         "stratified_sample": q_stratified_sample,
         "shard_assignment": q_shard_assignment,
+        "seq_packing": q_seq_packing,
         "event_window_stats": q_event_window_stats,
         "sliding_window_stats": q_sliding_window_stats,
         "user_sessions": q_user_sessions,
@@ -1099,6 +1120,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((row_number() OVER (PARTITION BY split ORDER BY doc_id)
                          - 1) // 64 AS BIGINT) AS shard
             FROM s
+        """,
+        # seq_packing: DuckDB runs the literal global-order window the
+        # Spark side deliberately avoids (with_running_total two-pass);
+        # CASTs guard the HUGEINT sum (the corpus_summary lesson)
+        "seq_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - toks AS prefix
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(prefix // 1024 AS BIGINT) AS seq_id,
+                   CAST(prefix % 1024 AS BIGINT) AS seq_offset
+            FROM c
         """,
         "event_window_stats": """
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,

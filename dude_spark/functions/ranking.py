@@ -53,23 +53,64 @@ def _with_global_rank(
     per-partition count pass already knows it, so callers that need the
     scalar (ntile arithmetic) must not pay a second full pass through
     the Python rank kernel to re-derive it."""
+    return _with_running(df, order_cols, out_col, partitions, weight_col=None)
+
+
+def with_running_total(
+    df: DataFrame, order_cols: Sequence[str], weight_col: str,
+    out_col: str = "running", partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = the EXCLUSIVE prefix sum of ``weight_col``
+    under ``ORDER BY *order_cols`` — exactly ``sum(w) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING) - w`` — with no single-partition window at
+    any input size (same two-pass shape as :func:`with_global_rank`;
+    the per-partition pass sums weights instead of counting rows).
+
+    ``weight_col`` must be non-negative integers with no NULLs (checked
+    inside the same per-partition aggregate, no extra pass) — the
+    operator exists for token budgets, where a NULL weight is an
+    upstream bug, not a zero."""
+    return _with_running(df, order_cols, out_col, partitions, weight_col)[0]
+
+
+def _with_running(
+    df: DataFrame, order_cols: Sequence[str], out_col: str,
+    partitions: int | None, weight_col: str | None,
+) -> tuple[DataFrame, int]:
+    """Shared two-pass kernel: 0-based row number (weight_col None) or
+    exclusive weighted prefix sum; returns (df + out_col, grand total)."""
     cols = list(order_cols)
     if partitions:
         part = df.repartitionByRange(partitions, *[F.col(c) for c in cols])
     else:
         part = df.repartitionByRange(*[F.col(c) for c in cols])
     part = part.sortWithinPartitions(*cols).localCheckpoint(eager=True)
-    counts = {
-        r["pid"]: r["n"]
-        for r in part.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("n"))
-        .collect()
+    aggs = [F.count("*").alias("n")]
+    if weight_col is not None:
+        w = F.col(weight_col).cast("long")
+        aggs += [F.sum(w).alias("s"), F.min(w).alias("mn"),
+                 F.count(w).alias("nw")]
+    stats = (
+        part.groupBy(F.spark_partition_id().alias("pid")).agg(*aggs).collect()
+    )
+    if weight_col is not None:
+        bad_null = sum(r["n"] - r["nw"] for r in stats)
+        mins = [r["mn"] for r in stats if r["mn"] is not None]
+        if bad_null or (mins and min(mins) < 0):
+            raise ValueError(
+                f"weight column {weight_col!r} must be non-negative with "
+                f"no NULLs ({bad_null} NULLs, min "
+                f"{min(mins) if mins else 'n/a'})"
+            )
+    per_pid = {
+        r["pid"]: ((r["s"] or 0) if weight_col is not None else r["n"])
+        for r in stats
     }
     offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
+    for pid in sorted(per_pid):
         offsets[pid] = acc
-        acc += counts[pid]
+        acc += per_pid[pid]
 
     # fresh StructType — StructType.add MUTATES the df's cached schema
     # object, making Python think the input already has out_col
@@ -82,10 +123,15 @@ def _with_global_rank(
 
         nxt = offsets.get(TaskContext.get().partitionId(), 0)
         for pdf in batches:
-            n = len(pdf)
             pdf = pdf.copy()
-            pdf[out_col] = np.arange(nxt, nxt + n, dtype=np.int64)
-            nxt += n
+            if weight_col is None:
+                n = len(pdf)
+                pdf[out_col] = np.arange(nxt, nxt + n, dtype=np.int64)
+                nxt += n
+            else:
+                wv = pdf[weight_col].to_numpy(dtype=np.int64)
+                pdf[out_col] = nxt + np.cumsum(wv) - wv  # exclusive
+                nxt += int(wv.sum())
             yield pdf
 
     return part.mapInPandas(assign, schema), acc
