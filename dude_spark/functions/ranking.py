@@ -19,8 +19,10 @@ two narrow jobs (the same shape as operators/ids.py dense rank):
 
 Reference analogue: none — DuDe has no ranking surface; this exists for
 the analytics queries (__spark_entry__.q_length_deciles), any future
-percentile/quantile operator, and as THE dense-rank primitive behind
-operators/ids.encode_ids (one implementation, two consumers).
+percentile/quantile operator, and as THE order-based primitive behind
+operators/ids.encode_ids and operators/packing.pack_sequences (one
+kernel: 0-based rank when unweighted, exclusive prefix sum when a
+weight column is given — the per-partition pass swaps COUNT for SUM).
 """
 
 from __future__ import annotations
