@@ -115,7 +115,12 @@ def boilerplate_ngrams(
             f"min_df must be >= 2 (1 would flag every gram), got {min_df}"
         )
     doc_grams = _doc_grams(docs, id_col, text_col, n)
-    hot = _hot_hashes(doc_grams, min_df)
+    # lazy checkpoint: _hot_join_side's bounded probe is the first
+    # action through this plan, and it materializes the checkpoint —
+    # without it the probe AND the join's hot side each re-run the
+    # whole explode→hash→aggregate detection shuffle (measured 2.5×
+    # the single-pass wall at sf0.1)
+    hot = _hot_hashes(doc_grams, min_df).localCheckpoint(eager=False)
     # recover the strings map-side: re-explode, broadcast the hot hash
     # set, keep one row per (gram, df) — only hot gram strings shuffle
     # (through the distinct), and boilerplate is small by definition
@@ -153,9 +158,14 @@ def strip_boilerplate(
             f"min_df must be >= 2 (1 would strip every doc), got {min_df}"
         )
     if hot_grams is not None:
+        # caller-materialized table (the CLI pattern) — already cheap
+        # to re-read, no checkpoint copy needed
         hot = hot_grams.select(F.xxhash64("gram").alias("gh"))
     else:
-        hot = _hot_hashes(_doc_grams(docs, id_col, text_col, n), min_df)
+        # same single-detection-pass checkpoint as boilerplate_ngrams
+        hot = _hot_hashes(
+            _doc_grams(docs, id_col, text_col, n), min_df
+        ).localCheckpoint(eager=False)
 
     # all window positions this time (coverage removes every
     # occurrence); the broadcast join filters map-side, so the
