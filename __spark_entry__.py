@@ -715,6 +715,25 @@ def q_embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup decision (Abbas et al. 2023
+    generalized to exact pairs at oracle scale): embedding-cosine
+    near-dup pairs → connected components → keep only the lowest-id
+    member of each semantic cluster.  One row per CLUSTERED vector
+    (vectors in no pair are implicitly kept, the dedup_assignments
+    convention); ``keep`` = 1 for the canonical representative.
+    Composes q_embedding_dup_pairs with the CC operator; the oracle
+    runs the same recursive-SQL transitive closure as
+    dedup_assignments over the exact cosine pairs."""
+    pairs = q_embedding_dup_pairs(spark, sf_dir)
+    assigns = connected_components(pairs)
+    return assigns.select(
+        F.col("image_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("image_id") == F.col("cluster_id")).cast("long").alias("keep"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     """IVF ANN (rows-only: approximate by design; exact sibling
     q_embedding_topk is oracle-gated, and tests/test_embedding.py gates
@@ -774,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "decontam_pairs": q_decontam_pairs,
         "hamming_pairs": q_hamming_pairs,
+        "semantic_dedup": q_semantic_dedup,
         "ann_topk": q_ann_topk,
     }
 
@@ -803,6 +823,30 @@ pairs AS (
   JOIN sizes sa ON sa.doc_id = i.a
   JOIN sizes sb ON sb.doc_id = i.b
   WHERE i.inter * 10 >= 3 * (sa.gsize + sb.gsize - i.inter)
+)
+"""
+
+# exact cosine near-dup pairs over the embeddings table — shared CTE
+# prefix for the embedding_dup_pairs and semantic_dedup oracles (ends
+# after the epairs CTE so consumers append their own SELECT)
+_EMB_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.val * eb.val) AS dot
+  FROM e ea JOIN e eb ON ea.idx = eb.idx AND ea.vec_id < eb.vec_id
+  GROUP BY 1, 2
+),
+epairs AS (
+  SELECT d.a, d.b
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a
+  JOIN norms nb ON nb.vec_id = d.b
+  WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.4
 )
 """
 
@@ -1263,23 +1307,21 @@ def oracle_sql() -> dict[str, str]:
             FROM aug x JOIN aug y ON x.id < y.id
             WHERE bit_count(xor(x.sig, y.sig)) <= {_HAMMING_RADIUS}
         """,
-        "embedding_dup_pairs": """
-            WITH e AS (
-              SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
-                     unnest(range(len(embedding))) AS idx
-              FROM embeddings
-            ),
-            norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM e GROUP BY vec_id),
-            dots AS (
-              SELECT ea.vec_id AS a, eb.vec_id AS b, sum(ea.val * eb.val) AS dot
-              FROM e ea JOIN e eb ON ea.idx = eb.idx AND ea.vec_id < eb.vec_id
-              GROUP BY 1, 2
+        "embedding_dup_pairs": _EMB_PAIRS_SQL + "SELECT a, b FROM epairs",
+        "semantic_dedup": "WITH RECURSIVE "
+        + _EMB_PAIRS_SQL.lstrip().removeprefix("WITH")
+        + """,
+            und AS (SELECT a, b FROM epairs
+                    UNION SELECT b AS a, a AS b FROM epairs),
+            reach(src, dst) AS (
+              SELECT a AS src, b AS dst FROM und
+              UNION
+              SELECT r.src, u.b AS dst FROM reach r JOIN und u ON r.dst = u.a
             )
-            SELECT d.a, d.b
-            FROM dots d
-            JOIN norms na ON na.vec_id = d.a
-            JOIN norms nb ON nb.vec_id = d.b
-            WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.4
+            SELECT src AS vec_id,
+                   least(src, min(dst)) AS cluster_id,
+                   CAST(src = least(src, min(dst)) AS BIGINT) AS keep
+            FROM reach GROUP BY src
         """,
         "embedding_topk": """
             WITH e AS (
