@@ -391,6 +391,32 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_domain_mix(spark, sf_dir):
+    """Token-weighted domain mixing (functions/splits.mix_corpus):
+    downsample-only rebalancing of the en/de/fr slice to a 50/30/20
+    TOKEN mixture — per-lang token mass → achievable scale → derived
+    per-lang keep fractions → one stratified hex-compare pass.  The
+    oracle recomputes the mass, the IEEE-double fraction math, and the
+    hex bounds in SQL (printf('%08x', floor(f * 2^32))), so the kept
+    set matches bit-for-bit."""
+    from dude_spark.functions.splits import mix_corpus
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__toks", token_count(F.col("text"))
+    )
+    mixed, _ = mix_corpus(
+        docs,
+        {"en": 0.5, "de": 0.3, "fr": 0.2},
+        strata_col="lang",
+        id_col="doc_id",
+        weight_col="__toks",
+        seed="mix",
+    )
+    return mixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang")
+    )
+
+
 def q_shard_assignment(spark, sf_dir):
     """Training-shard assignment (operators/shards.shard_assignment):
     exact 64-row shards numbered within each hash split, derived from
@@ -779,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "stable_sample": q_stable_sample,
         "stratified_sample": q_stratified_sample,
+        "domain_mix": q_domain_mix,
         "shard_assignment": q_shard_assignment,
         "seq_packing": q_seq_packing,
         "event_window_stats": q_event_window_stats,
@@ -1147,6 +1174,42 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN '80000000'
                               WHEN 'de' THEN 'g'
                               WHEN 'el' THEN '40000000' END
+        """,
+        # domain_mix: mass → fractions → hex bounds, every float step
+        # in the same IEEE-double expression shape as
+        # splits.mix_fractions (see its docstring contract)
+        "domain_mix": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS toks
+              FROM documents WHERE lang IN ('en', 'de', 'fr')
+            ),
+            tot AS (
+              SELECT lang, CAST(sum(toks) AS DOUBLE) AS t,
+                     CAST(CASE lang WHEN 'en' THEN 0.5
+                                    WHEN 'de' THEN 0.3
+                                    ELSE 0.2 END AS DOUBLE) AS w
+              FROM tok GROUP BY lang
+            ),
+            n AS (SELECT min(t / w) AS nn FROM tot),
+            b AS (
+              SELECT lang,
+                CASE WHEN CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                            w * (SELECT nn FROM n) / t) * 4294967296.0)
+                          AS BIGINT) >= 4294967296 THEN 'g'
+                     ELSE printf('%08x',
+                            CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                              w * (SELECT nn FROM n) / t) * 4294967296.0)
+                            AS BIGINT))
+                END AS bound
+              FROM tot
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN b ON d.lang = b.lang
+            WHERE substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < b.bound
         """,
         "shard_assignment": """
             WITH s AS (

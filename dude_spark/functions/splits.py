@@ -160,3 +160,81 @@ def stratified_sample(
             else bound.when(cond, F.lit(lit))
         )
     return df.where(_hex_key(F.col(id_col), seed) < bound)
+
+
+def mix_fractions(
+    totals: dict[str, float], weights: dict[str, float]
+) -> dict[str, float]:
+    """Downsample-only per-stratum keep fractions realizing the target
+    mixture ``weights`` from the observed per-stratum mass ``totals``:
+    the achievable output mass is ``n = min_d(totals[d] / weights[d])``
+    (the binding stratum is kept whole, nothing is ever upsampled), and
+    ``f_d = min(1.0, weights[d] * n / totals[d])`` (the min guards the
+    1-ulp overshoot on the binding stratum itself).
+
+    Float contract: every step is IEEE-double with this exact
+    expression shape, so a SQL twin computing
+    ``LEAST(1.0, w * min(t/w) / t)`` over DOUBLE-cast totals gets
+    bit-identical fractions, hence identical hex bounds and identical
+    kept sets (the ``domain_mix`` driver oracle does exactly this).
+    """
+    if not weights:
+        raise ValueError("weights must name at least one stratum")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"mixture weights must sum to 1, got {total}")
+    missing = [d for d in weights if not totals.get(d)]
+    if missing:
+        raise ValueError(
+            f"strata {missing} have no mass in the corpus — a mixture "
+            "targeting them is unachievable by downsampling"
+        )
+    n = min(float(totals[d]) / weights[d] for d in weights)
+    return {
+        d: min(1.0, weights[d] * n / float(totals[d])) for d in weights
+    }
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    id_col: str = "image_id",
+    weight_col: str | None = None,
+    seed: str = "mix",
+) -> tuple[DataFrame, dict[str, float]]:
+    """(mixed, fractions): deterministic downsample-only rebalancing of
+    the corpus to the target mixture ``weights`` — per-stratum mass
+    measured in rows (``weight_col`` None) or in ``sum(weight_col)``
+    (the realistic case: a token count, so the mixture is of TRAINING
+    TOKENS, not documents).
+
+    The data-mixing stage every pretraining recipe runs after
+    dedup/filter (fixed-weight domain reweighting): one map-side-
+    combinable aggregate collects #strata rows to the driver, then one
+    :func:`stratified_sample` pass keeps each stratum at its derived
+    fraction — same determinism contract (stable across re-runs,
+    repartitioning, and appends; monotone per stratum).  Strata not in
+    ``weights`` are dropped (sampleBy semantics).  Expectation, not
+    quota: like every hash-sampling op here, realized mass matches the
+    target in expectation (~1/sqrt(kept) relative noise), which is the
+    trade that keeps the op a zero-shuffle map over the scan.
+    """
+    mass = (
+        F.count("*") if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    ).alias("__mass")
+    rows = (
+        df.where(F.col(strata_col).cast("string").isin(list(weights)))
+        .groupBy(F.col(strata_col).cast("string").alias("__stratum"))
+        .agg(mass)
+        .collect()
+    )
+    totals = {r["__stratum"]: r["__mass"] for r in rows}
+    fractions = mix_fractions(totals, weights)
+    return (
+        stratified_sample(df, fractions, strata_col, id_col, seed),
+        fractions,
+    )

@@ -170,3 +170,86 @@ def test_stratified_sample_plan_and_validation(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_mix_fractions_math_and_validation():
+    """Binding stratum kept whole; output mixture is exact; bad
+    weights/missing strata raise."""
+    from dude_spark.functions.splits import mix_fractions
+
+    totals = {"en": 8000, "de": 900, "fr": 1100}
+    fr = mix_fractions(totals, {"en": 0.5, "de": 0.3, "fr": 0.2})
+    # de binds: 900/0.3 = 3000 is the smallest achievable output mass
+    assert fr["de"] == 1.0
+    kept = {d: totals[d] * fr[d] for d in fr}
+    n = sum(kept.values())
+    assert abs(kept["en"] / n - 0.5) < 1e-12
+    assert abs(kept["fr"] / n - 0.2) < 1e-12
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_fractions(totals, {"en": 0.5, "de": 0.4})
+    with pytest.raises(ValueError, match="positive"):
+        mix_fractions(totals, {"en": 1.5, "de": -0.5})
+    with pytest.raises(ValueError, match="no mass"):
+        mix_fractions({"en": 10}, {"en": 0.5, "xx": 0.5})
+    with pytest.raises(ValueError, match="no mass"):
+        mix_fractions({"en": 10, "xx": 0}, {"en": 0.5, "xx": 0.5})
+
+
+def test_mix_corpus_token_weighted(spark):
+    """mix_corpus == stratified_sample at the derived fractions; the
+    binding stratum survives whole; unlisted strata are dropped;
+    realized token mixture lands near the target."""
+    from dude_spark.functions.splits import mix_corpus, stratified_sample
+
+    # en-heavy corpus: 600 en docs of 10 tokens, 60 de of 20, 80 fr of 5
+    rows = (
+        [(i, "en", 10) for i in range(600)]
+        + [(1000 + i, "de", 20) for i in range(60)]
+        + [(2000 + i, "fr", 5) for i in range(80)]
+        + [(3000 + i, "zh", 7) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    mixed, fractions = mix_corpus(
+        df, {"en": 0.6, "de": 0.3, "fr": 0.1},
+        strata_col="lang", id_col="doc_id", weight_col="toks",
+    )
+    got = mixed.collect()
+    langs = {r["lang"] for r in got}
+    assert "zh" not in langs  # unlisted: dropped
+    # fr binds: 400 tokens / 0.1 = 4000 target mass (en 6000, de 4000 tie
+    # broken by de==fr at 4000 — both achievable whole)
+    assert fractions["fr"] == 1.0
+    # equality with stratified_sample at the same fractions + seed
+    want = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, fractions, strata_col="lang", id_col="doc_id", seed="mix"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in got} == want
+    # realized token mixture ~ target (hash sampling: expectation only)
+    mass = {
+        lang: sum(r["toks"] for r in got if r["lang"] == lang)
+        for lang in ("en", "de", "fr")
+    }
+    n = sum(mass.values())
+    for lang, target in (("en", 0.6), ("de", 0.3), ("fr", 0.1)):
+        assert abs(mass[lang] / n - target) < 0.08, (lang, mass, n)
+
+
+def test_mix_corpus_doc_weighted_plan(spark):
+    """weight_col=None measures mass in rows; the sampling pass itself
+    stays pure codegen (no Python, no exchange below the filter)."""
+    from dude_spark.functions.splits import mix_corpus
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    mixed, fractions = mix_corpus(
+        df, {"en": 0.5, "de": 0.5}, strata_col="lang", id_col="doc_id"
+    )
+    assert set(fractions) == {"en", "de"}
+    assert max(fractions.values()) == 1.0
+    plan = _plan(mixed)
+    assert "EvalPython" not in plan
+    # the mixed frame is filter-over-scan: no exchange at all
+    assert "Exchange" not in plan
