@@ -151,6 +151,28 @@ def _parser() -> argparse.ArgumentParser:
     pi.add_argument("--cpus", type=int, default=0)
     pi.add_argument("--local", action="store_true")
 
+    mx = sub.add_parser(
+        "mix",
+        help="rebalance a corpus to a target domain mixture by "
+             "deterministic downsampling (functions/splits.mix_corpus; "
+             "token-weighted when --weight-col names a mass column)",
+    )
+    mx.add_argument("--input", required=True, help="corpus parquet path")
+    mx.add_argument("--out", required=True, help="mixed-corpus output dir")
+    mx.add_argument("--weights", required=True,
+                    help="comma-separated stratum=share list summing to "
+                         "1, e.g. 'en=0.5,de=0.3,fr=0.2'; strata not "
+                         "listed are dropped")
+    mx.add_argument("--strata-col", required=True,
+                    help="column naming each row's stratum (e.g. lang)")
+    mx.add_argument("--id-col", default="image_id")
+    mx.add_argument("--weight-col", default=None,
+                    help="per-row mass column (e.g. a token count); "
+                         "default: mixture of row counts")
+    mx.add_argument("--seed", default="mix")
+    mx.add_argument("--cpus", type=int, default=0)
+    mx.add_argument("--local", action="store_true")
+
     bp = sub.add_parser(
         "boilerplate",
         help="detect cross-document repeated spans and strip them "
@@ -416,6 +438,42 @@ def main(argv: list[str] | None = None) -> int:
                 f"{totals['phones'] or 0} phones, {totals['ips'] or 0} IPs "
                 f"across {totals['docs']} docs -> {a.out}"
             )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "mix":
+        weights: dict[str, float] = {}
+        for part in a.weights.split(","):
+            name, eq, share = part.partition("=")
+            if not eq or not name.strip():
+                raise ConfigError(
+                    f"--weights entries must look like name=share, got "
+                    f"{part!r}"
+                )
+            try:
+                weights[name.strip()] = float(share)
+            except ValueError as exc:
+                raise ConfigError(
+                    f"--weights share for {name.strip()!r} is not a "
+                    f"number: {share!r}"
+                ) from exc
+        spark = get_spark(
+            "dude_spark_mix",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .functions.splits import mix_corpus
+
+            docs = spark.read.parquet(a.input)
+            mixed, fractions = mix_corpus(
+                docs, weights, strata_col=a.strata_col,
+                id_col=a.id_col, weight_col=a.weight_col, seed=a.seed,
+            )
+            mixed.write.mode("overwrite").parquet(a.out)
+            n = spark.read.parquet(a.out).count()
+            fr = {k: round(v, 4) for k, v in sorted(fractions.items())}
+            print(f"kept {n} rows; keep fractions {fr} -> {a.out}")
             return 0
         finally:
             spark.stop()

@@ -125,3 +125,41 @@ def test_cli_decontam(spark, tmp_path, monkeypatch, capsys):
     # so both outputs join back to the corpus without a cast
     assert flagged.schema["doc_id"].dataType.simpleString() == "bigint"
     assert [(r["doc_id"], r["n_bench_hits"]) for r in flagged.collect()] == [(0, 1)]
+
+
+def test_cli_mix(spark, tmp_path, monkeypatch, capsys):
+    """mix subcommand: rebalances to the target mixture, prints the
+    derived keep fractions, rejects malformed --weights."""
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    inp, out = str(tmp_path / "corpus"), str(tmp_path / "mixed")
+    spark.range(400).selectExpr(
+        "cast(id as string) image_id",
+        "CASE WHEN id % 4 = 0 THEN 'de' ELSE 'en' END AS lang",
+        "cast(5 + id % 3 as long) toks",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([
+        "mix", "--input", inp, "--out", out,
+        "--weights", "en=0.5,de=0.5", "--strata-col", "lang",
+        "--weight-col", "toks",
+    ])
+    assert rc == 0
+    assert "keep fractions" in capsys.readouterr().out
+    mixed = spark.read.parquet(out)
+    # de binds (100 docs vs a 0.5 target share): kept whole
+    assert mixed.where("lang = 'de'").count() == 100
+    assert mixed.count() < 400  # en downsampled
+    with pytest.raises(ConfigError, match="name=share"):
+        cli.main([
+            "mix", "--input", inp, "--out", out,
+            "--weights", "en:0.5", "--strata-col", "lang",
+        ])
+    with pytest.raises(ConfigError, match="not a"):
+        cli.main([
+            "mix", "--input", inp, "--out", out,
+            "--weights", "en=half,de=0.5", "--strata-col", "lang",
+        ])
