@@ -751,7 +751,10 @@ def q_semantic_dedup(spark, sf_dir):
     Composes q_embedding_dup_pairs with the CC operator; the oracle
     runs the same recursive-SQL transitive closure as
     dedup_assignments over the exact cosine pairs."""
-    pairs = q_embedding_dup_pairs(spark, sf_dir)
+    # CC runs several actions (distinct-count probe + the union-find
+    # collect or star rounds); checkpoint the pair table so the cosine
+    # scoring chain computes once, the _ngram_pairs_checkpointed pattern
+    pairs = q_embedding_dup_pairs(spark, sf_dir).localCheckpoint(eager=True)
     assigns = connected_components(pairs)
     return assigns.select(
         F.col("image_id").cast("long").alias("vec_id"),
