@@ -55,6 +55,7 @@ from dude_spark.functions.text import (
 from dude_spark.operators.candidates import pairs_from_buckets
 from dude_spark.operators.components import connected_components
 from dude_spark.operators.decontam import contamination_pairs
+from dude_spark.operators.report import select_representatives
 from dude_spark.operators.pii import (
     EMAIL_RE as _PII_EMAIL,
     IP_RE as _PII_IP,
@@ -302,6 +303,27 @@ def q_dup_group_sizes(spark, sf_dir):
         q_dedup_assignments(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count("*").cast("long").alias("group_size"))
+    )
+
+
+def q_rep_selection(spark, sf_dir):
+    """Quality-weighted representative selection
+    (operators/report.select_representatives): per dup cluster keep
+    the member with the most tokens, smallest doc_id on ties — the
+    keep-the-best-duplicate curation policy, vs the reference's
+    keep-first-seen (hashing.go:370).  Composes the oracled CC
+    assignments with the token_stats scorer; the oracle replays the
+    max-then-min-id argmax in SQL over the same recursive closure."""
+    scores = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    reps = select_representatives(
+        q_dedup_assignments(spark, sf_dir), scores, "score", id_col="doc_id"
+    )
+    return reps.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("rep_score").cast("long").alias("rep_score"),
     )
 
 
@@ -816,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
+        "rep_selection": q_rep_selection,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_lsh_pairs": q_minhash_pairs,
@@ -1348,6 +1371,25 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, cluster_id FROM assigns",
         "dup_group_sizes": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
         + "SELECT cluster_id, count(*) AS group_size FROM assigns GROUP BY cluster_id",
+        # rep_selection: argmax replayed as max-score-then-min-id over
+        # the same recursive closure; score twin = token_stats' n_tokens
+        "rep_selection": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
+        + """,
+        scored AS (
+          SELECT a.cluster_id, a.doc_id,
+            CASE WHEN length(trim(d.text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+            END AS s
+          FROM assigns a JOIN documents d ON a.doc_id = d.doc_id
+        ),
+        best AS (SELECT cluster_id, max(s) AS bs FROM scored GROUP BY cluster_id)
+        SELECT CAST(sc.cluster_id AS BIGINT) AS cluster_id,
+               CAST(min(sc.doc_id) AS BIGINT) AS rep_id,
+               CAST(min(sc.s) AS BIGINT) AS rep_score
+        FROM scored sc
+        JOIN best b ON sc.cluster_id = b.cluster_id AND sc.s = b.bs
+        GROUP BY sc.cluster_id
+        """,
         "hamming_pairs": f"""
             WITH base AS (
               SELECT doc_id AS id,

@@ -106,6 +106,61 @@ def group_results(
     ).withColumn("rep_image_id", F.col("cluster_id"))
 
 
+def select_representatives(
+    assignments: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Per-cluster best-member selection: (cluster_id, rep_id,
+    rep_score) where rep_id is the member with the LARGEST
+    ``score_col``, ties broken by smallest id — the curation policy of
+    keeping the highest-quality duplicate instead of the arbitrary
+    min-id one (the reference always keeps the first-seen file,
+    hashing.go:370; a training pipeline wants the best one).
+
+    ``scores`` is any (id_col, score_col) frame — e.g. the integerized
+    ``quality_signals`` n_tokens, a fidelity metric, or a recency
+    stamp.  Members missing from ``scores`` never win (inner join).
+
+    Scale shape: one join keyed on ``id_col`` plus two map-side-
+    combinable aggregates keyed on cluster_id, with a 1-row-per-key
+    join between them.  Deliberately NOT a per-cluster window sort
+    (rank-over-partitionBy buffers a whole hot component in one task)
+    and NOT max_by over a struct (no generic descending tiebreak for
+    string ids): a hot 10^8-member cluster costs only combiner space
+    here."""
+    j = assignments.join(
+        scores.select(id_col, score_col), id_col
+    ).select(id_col, "cluster_id", score_col)
+    best = j.groupBy("cluster_id").agg(F.max(score_col).alias("__best"))
+    return (
+        j.join(best, "cluster_id")
+        .where(F.col(score_col) == F.col("__best"))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.min(score_col).alias("rep_score"),
+        )
+    )
+
+
+def reroot_assignments(
+    assignments: DataFrame, reps: DataFrame
+) -> DataFrame:
+    """Re-key each member's cluster_id to the chosen representative id
+    (``select_representatives`` output), so every downstream consumer —
+    ``assignments_to_report``'s rep-caption join, ``group_results``,
+    keep/drop flags — sees the quality-chosen representative instead of
+    the component-min.  One hash join on cluster_id; reps is 1 row per
+    cluster, the skew-safe side."""
+    return assignments.join(
+        reps.select("cluster_id", "rep_id"), "cluster_id"
+    ).select(
+        F.col("image_id"), F.col("rep_id").alias("cluster_id")
+    )
+
+
 def flatten_pairs(assignments: DataFrame) -> DataFrame:
     """assignments → (a=rep, b=dup) pair rows (O9 flatten)."""
     return assignments.where(F.col("image_id") != F.col("cluster_id")).select(

@@ -63,3 +63,82 @@ def test_empty_report_writes_nothing(spark, tmp_path):
     empty = spark.createDataFrame([], ", ".join(f"{c} string" for c in CSV_HEADER))
     assert write_csv_report(empty, str(tmp_path)) is None
     assert not glob.glob(os.path.join(str(tmp_path), "*"))
+
+
+# --- representative selection (keep-the-best-duplicate policy) ---
+
+
+def _reps(spark, assign_rows, score_rows):
+    from dude_spark.operators.report import select_representatives
+
+    assigns = spark.createDataFrame(assign_rows, "image_id string, cluster_id string")
+    scores = spark.createDataFrame(score_rows, "image_id string, q long")
+    return {
+        r["cluster_id"]: (r["rep_id"], r["rep_score"])
+        for r in select_representatives(assigns, scores, "q").collect()
+    }
+
+
+def test_select_representatives_max_score_min_id_ties(spark):
+    got = _reps(
+        spark,
+        # c1: distinct scores — b wins; c2: tie at 9 between d and e —
+        # min id d wins; singleton cluster c3 keeps its only member
+        [
+            ("a", "c1"), ("b", "c1"), ("c", "c1"),
+            ("d", "c2"), ("e", "c2"), ("f", "c2"),
+            ("g", "c3"),
+        ],
+        [
+            ("a", 5), ("b", 8), ("c", 2),
+            ("d", 9), ("e", 9), ("f", 1),
+            ("g", 3),
+        ],
+    )
+    assert got == {"c1": ("b", 8), "c2": ("d", 9), "c3": ("g", 3)}
+
+
+def test_select_representatives_unscored_members_never_win(spark):
+    # b has the top score but no scores row: inner join drops it, a wins
+    got = _reps(spark, [("a", "c1"), ("b", "c1")], [("a", 1)])
+    assert got == {"c1": ("a", 1)}
+
+
+def test_select_representatives_plan_has_no_window(spark):
+    """Scale gate: the argmax must be combinable aggregates, never a
+    per-cluster window sort (one hot component = one buffering task)."""
+    from dude_spark.operators.report import select_representatives
+
+    assigns = spark.range(100).select(
+        F.concat(F.lit("i"), F.col("id")).alias("image_id"),
+        F.concat(F.lit("c"), (F.col("id") % 10)).alias("cluster_id"),
+    )
+    scores = spark.range(100).select(
+        F.concat(F.lit("i"), F.col("id")).alias("image_id"),
+        (F.col("id") % 7).alias("q"),
+    )
+    plan = (
+        select_representatives(assigns, scores, "q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_reroot_assignments_rewrites_cluster_ids(spark):
+    from dude_spark.operators.report import (
+        reroot_assignments,
+        select_representatives,
+    )
+
+    assigns = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "image_id string, cluster_id string"
+    )
+    scores = spark.createDataFrame(
+        [("a", 1), ("b", 7), ("c", 3)], "image_id string, q long"
+    )
+    reps = select_representatives(assigns, scores, "q")
+    out = {
+        r["image_id"]: r["cluster_id"]
+        for r in reroot_assignments(assigns, reps).collect()
+    }
+    assert out == {"a": "b", "b": "b", "c": "b"}
