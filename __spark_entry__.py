@@ -150,6 +150,36 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Corpus-adaptive quality (operators/vocab.vocab_coverage): the
+    fraction of each doc's tokens inside the corpus's own top-K
+    vocabulary — the integer-exact core of a CCNet-style perplexity
+    filter (rank statistic, no log floats).  K=16 on this corpus: the
+    driver documents table has only 31 distinct tokens, so any larger
+    K covers everything and the gate goes vacuous (measured cov
+    230–1000 at K=16 across all SFs — live everywhere, boundary ties
+    included).  A planted gibberish slice (doc_id < 15 re-keyed
+    +500000, text = one per-doc unique token ×4) pins the low end at
+    exactly 0 — the junk-detection semantics the operator exists for.
+    The oracle recomputes the deterministic (cnt DESC, token ASC)
+    top-K and the coverage in SQL over the identical tokenization."""
+    from dude_spark.operators.vocab import vocab_coverage
+
+    docs = _docs(spark, sf_dir)
+    gib = F.concat(F.lit("zzqx"), F.col("doc_id").cast("string"))
+    planted = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
+        F.concat_ws(" ", gib, gib, gib, gib).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+    return vocab_coverage(base, k=16).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "in_vocab",
+        "cov_x1000",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -819,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
         "doc_quality": q_doc_quality,
+        "vocab_coverage": q_vocab_coverage,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -1027,6 +1058,44 @@ def oracle_sql() -> dict[str, str]:
                    WHEN stop_x1000 < 80 THEN 'low_stopword'
                    ELSE 'ok' END AS quality
             FROM r
+        """,
+        # vocab_coverage: deterministic top-K vocabulary (cnt DESC,
+        # token ASC) + per-doc coverage over the identical tokenization
+        "vocab_coverage": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000 AS doc_id,
+                     'zzqx' || CAST(doc_id AS VARCHAR) || ' zzqx'
+                       || CAST(doc_id AS VARCHAR) || ' zzqx'
+                       || CAST(doc_id AS VARCHAR) || ' zzqx'
+                       || CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id < 15
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+              FROM base WHERE length(trim(text)) > 0
+            ),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS cnt FROM toks GROUP BY token
+              ) ORDER BY cnt DESC, token ASC LIMIT 16
+            ),
+            per AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                       AS in_vocab
+              FROM toks t LEFT JOIN vocab v ON t.token = v.token
+              GROUP BY t.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(in_vocab AS BIGINT) AS in_vocab,
+                   CAST(in_vocab * 1000 // n_tokens AS BIGINT) AS cov_x1000
+            FROM per
         """,
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same
