@@ -36,6 +36,17 @@ FEATURES_SCHEMA = (
     "image_id string, ok boolean, phash long, mean_r double, mean_g double, "
     "mean_b double, brightness double"
 )
+IMAGE_QUALITY_SCHEMA = (
+    "image_id string, ok boolean, w int, h int, std_x100 long, quality string"
+)
+
+# image_quality thresholds (image analogue of functions/text's Gopher
+# cuts): sides under MIN_SIDE are icons/thumbnails, aspect beyond
+# MAX_ASPECT_X10/10 is banner/border strip, per-pixel std under
+# MIN_STD_X100/100 is a solid-color or near-blank frame.
+IMG_QUALITY_MIN_SIDE = 32
+IMG_QUALITY_MAX_ASPECT_X10 = 40
+IMG_QUALITY_MIN_STD_X100 = 200
 
 
 def decode_images(images: DataFrame) -> DataFrame:
@@ -94,6 +105,56 @@ def extract_features(images: DataFrame) -> DataFrame:
             )
 
     return images.select("image_id", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def image_quality(
+    images: DataFrame,
+    min_side: int = IMG_QUALITY_MIN_SIDE,
+    max_aspect_x10: int = IMG_QUALITY_MAX_ASPECT_X10,
+    min_std_x100: int = IMG_QUALITY_MIN_STD_X100,
+) -> DataFrame:
+    """Per-image training-quality class — the image analogue of
+    ``functions/text.quality_signals``, same first-match-cascade
+    contract: undecodable → too_small → extreme_aspect → blank → ok.
+
+    Dimensions come from the DECODED header, not the table's w/h
+    metadata columns (caller metadata can lie; the decode is already
+    paid for the blank check).  ``std_x100`` is the per-pixel channel
+    standard deviation ×100 (integerized like every signal in this
+    engine); solid-color padding tiles, tracking pixels, and blank
+    thumbnails land under ``min_std_x100``.  Aspect is integer math:
+    extreme iff ``w*10 > h*max_aspect_x10`` either way around.
+
+    Same mapInPandas shape and ok=false skip-and-count contract as
+    the other per-image operators; per-image work is inherently
+    per-row, the inner std is one vectorized numpy pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    pix, _ = decode(bytes(r.bytes) if r.bytes is not None else b"")
+                except CodecError:
+                    rows.append((r.image_id, False, None, None, None, "undecodable"))
+                    continue
+                h, w = int(pix.shape[0]), int(pix.shape[1])
+                std_x100 = int(float(pix.astype(np.float64).std()) * 100)
+                if min(w, h) < min_side:
+                    q = "too_small"
+                elif w * 10 > h * max_aspect_x10 or h * 10 > w * max_aspect_x10:
+                    q = "extreme_aspect"
+                elif std_x100 < min_std_x100:
+                    q = "blank"
+                else:
+                    q = "ok"
+                rows.append((r.image_id, True, w, h, std_x100, q))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "ok", "w", "h", "std_x100", "quality"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(run, IMAGE_QUALITY_SCHEMA)
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:

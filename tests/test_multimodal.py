@@ -318,3 +318,48 @@ def test_video_boundary_sampling_and_partial_discard(spark):
     ]
     cut = [r for r in rows if r["video_id"] == "cut"]
     assert len(cut) == 1 and not cut[0]["ok"]
+
+
+def test_image_quality_cascade(spark):
+    from dude_spark.imagecodec import encode
+    from dude_spark.operators.multimodal import image_quality
+
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    rows = [
+        ("ok", encode(noisy, "png")),
+        ("blank", encode(np.full((64, 64, 3), 128, np.uint8), "png")),
+        ("tiny", encode(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), "png")),
+        ("banner", encode(rng.integers(0, 256, (40, 400, 3), dtype=np.uint8), "png")),
+        ("corrupt", b"\x00\x01junk"),
+        ("empty", None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r["image_id"]: r for r in image_quality(df).collect()}
+
+    assert out["ok"]["quality"] == "ok" and out["ok"]["ok"]
+    assert out["ok"]["std_x100"] >= 200
+    # solid color: std exactly 0, flagged blank, not a job failure
+    assert out["blank"]["quality"] == "blank" and out["blank"]["std_x100"] == 0
+    assert out["tiny"]["quality"] == "too_small" and out["tiny"]["w"] == 8
+    # 400x40 = aspect 10 > 4.0 (min side 40 clears too_small, so the
+    # cascade reaches the aspect cut); decoded dims, not metadata
+    assert out["banner"]["quality"] == "extreme_aspect"
+    assert (out["banner"]["w"], out["banner"]["h"]) == (400, 40)
+    for bad in ("corrupt", "empty"):
+        assert not out[bad]["ok"] and out[bad]["quality"] == "undecodable"
+        assert out[bad]["std_x100"] is None
+
+
+def test_image_quality_cascade_precedence(spark):
+    """too_small outranks blank: an 8x8 solid tile reports too_small
+    (first-match cascade contract, same as text quality_signals)."""
+    from dude_spark.imagecodec import encode
+    from dude_spark.operators.multimodal import image_quality
+
+    df = spark.createDataFrame(
+        [("t", encode(np.full((8, 8, 3), 55, np.uint8), "png"))],
+        "image_id string, bytes binary",
+    )
+    (row,) = image_quality(df).collect()
+    assert row["quality"] == "too_small"
