@@ -469,6 +469,37 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_domain_mix_epochs(spark, sf_dir):
+    """Epoch-aware domain mixing (functions/splits.mix_corpus_epochs):
+    rebalance the en/fr slice to a 30/70 TOKEN mixture where fr is the
+    low-resource stratum — at max_repeat=3 the plan upsamples fr by
+    integer epoch repeats (binding at 3×) and downsamples en, each
+    epoch an independent deterministic sample.  The oracle replays the
+    whole plan in SQL — mass, the IEEE-double N/m/repeat/fraction
+    chain, the printf hex bound, generate_series epochs, and the
+    epoch-salted md5 compare — so the kept (doc, epoch) set matches
+    bit-for-bit."""
+    from dude_spark.functions.splits import mix_corpus_epochs
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__toks", token_count(F.col("text"))
+    )
+    mixed, _ = mix_corpus_epochs(
+        docs,
+        {"en": 0.3, "fr": 0.7},
+        strata_col="lang",
+        id_col="doc_id",
+        weight_col="__toks",
+        seed="mixep",
+        max_repeat=3,
+    )
+    return mixed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.col("epoch").cast("long").alias("epoch"),
+    )
+
+
 def q_shard_assignment(spark, sf_dir):
     """Training-shard assignment (operators/shards.shard_assignment):
     exact 64-row shards numbered within each hash split, derived from
@@ -862,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stable_sample": q_stable_sample,
         "stratified_sample": q_stratified_sample,
         "domain_mix": q_domain_mix,
+        "domain_mix_epochs": q_domain_mix_epochs,
         "shard_assignment": q_shard_assignment,
         "seq_packing": q_seq_packing,
         "event_window_stats": q_event_window_stats,
@@ -1305,6 +1337,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN b ON d.lang = b.lang
             WHERE substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
                   < b.bound
+        """,
+        # domain_mix_epochs: the upsampling plan replayed step-for-step
+        # in the same IEEE-double expression shapes as splits.mix_plan
+        # (see its docstring contract), epochs via generate_series and
+        # the epoch-salted md5 compare of _hex_key_epoch
+        "domain_mix_epochs": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS toks
+              FROM documents WHERE lang IN ('en', 'fr')
+            ),
+            tot AS (
+              SELECT lang, CAST(sum(toks) AS DOUBLE) AS t,
+                     CAST(CASE lang WHEN 'en' THEN 0.3
+                                    ELSE 0.7 END AS DOUBLE) AS w
+              FROM tok GROUP BY lang
+            ),
+            n AS (SELECT min(t * 3 / w) AS nn FROM tot),
+            p AS (
+              SELECT lang, t,
+                     w * (SELECT nn FROM n) AS m
+              FROM tot
+            ),
+            r AS (
+              SELECT lang, t, m,
+                     LEAST(3, CAST(ceil(m / t) AS BIGINT)) AS rep
+              FROM p
+            ),
+            b AS (
+              SELECT lang, rep,
+                CASE WHEN CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                            m / (t * rep)) * 4294967296.0)
+                          AS BIGINT) >= 4294967296 THEN 'g'
+                     ELSE printf('%08x',
+                            CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                              m / (t * rep)) * 4294967296.0)
+                            AS BIGINT))
+                END AS bound
+              FROM r
+            ),
+            ser AS (SELECT unnest(generate_series(1, 3)) AS epoch),
+            e AS (
+              SELECT d.doc_id, d.lang, s.epoch, b.bound
+              FROM documents d
+              JOIN b ON d.lang = b.lang
+              JOIN ser s ON s.epoch <= b.rep
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(epoch AS BIGINT) AS epoch
+            FROM e
+            WHERE substring(md5('mixep@' || CAST(epoch AS VARCHAR)
+                    || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < bound
         """,
         "shard_assignment": """
             WITH s AS (

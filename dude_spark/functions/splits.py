@@ -25,6 +25,8 @@ oracle (`train_split`) and tests.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -195,6 +197,110 @@ def mix_fractions(
     return {
         d: min(1.0, weights[d] * n / float(totals[d])) for d in weights
     }
+
+
+def mix_plan(
+    totals: dict[str, float],
+    weights: dict[str, float],
+    max_repeat: int = 4,
+) -> dict[str, tuple[int, float]]:
+    """Per-stratum ``(repeat, fraction)`` realizing the target mixture
+    when UPSAMPLING by integer repeats is allowed — the standard
+    low-resource-domain trick ``mix_fractions`` deliberately refuses
+    (downsample-only).  The output corpus mass is the largest
+    mixture-consistent one where no stratum repeats more than
+    ``max_repeat`` times:
+
+      N        = min_d(totals[d] * max_repeat / weights[d])
+      m_d      = weights[d] * N            (stratum d's target mass)
+      repeat_d = min(max_repeat, ceil(m_d / totals[d]))
+      frac_d   = min(1.0, m_d / (totals[d] * repeat_d))
+
+    ``max_repeat=1`` degenerates to exactly ``mix_fractions``.
+
+    Float contract (same as mix_fractions): every step is IEEE-double
+    in this exact expression shape — totals cast to double first, then
+    ``t * max_repeat / w``, ``ceil``, ``m / (t * repeat)`` — so a SQL
+    twin with the same shapes gets bit-identical repeats, fractions,
+    and hex bounds (driver oracle ``domain_mix_epochs``)."""
+    if max_repeat < 1:
+        raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+    fr = mix_fractions(totals, weights)  # reuse all validation
+    if max_repeat == 1:
+        return {d: (1, f) for d, f in fr.items()}
+    n = min(float(totals[d]) * max_repeat / weights[d] for d in weights)
+    plan: dict[str, tuple[int, float]] = {}
+    for d, w in weights.items():
+        t = float(totals[d])
+        m = w * n
+        rep = min(max_repeat, int(math.ceil(m / t)))
+        plan[d] = (rep, min(1.0, m / (t * rep)))
+    return plan
+
+
+def _hex_key_epoch(id_col: Column, epoch_col: Column, seed: str) -> Column:
+    """First 8 md5 hex chars of 'seed@epoch:id' — epoch-salted variant
+    of _hex_key, so each repeat copy samples independently."""
+    return F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{seed}@"),
+                epoch_col.cast("string"),
+                F.lit(":"),
+                id_col.cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+
+
+def mix_corpus_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    id_col: str = "image_id",
+    weight_col: str | None = None,
+    seed: str = "mix",
+    max_repeat: int = 4,
+) -> tuple[DataFrame, dict[str, tuple[int, float]]]:
+    """(mixed, plan): materialize :func:`mix_plan` — each row explodes
+    into its stratum's ``repeat`` epoch copies (``epoch`` column,
+    1-based) and copy e survives iff ``md5(seed@e:id)`` clears the
+    stratum's hex bound, so every epoch is an independent
+    deterministic sample and the expected kept mass per stratum is
+    exactly ``weights[d] * N``.  The ``epoch`` column keeps repeated
+    rows distinguishable downstream (shard writer, packing).
+
+    Scale shape: same zero-shuffle contract as the rest of this module
+    — one combine aggregate for the per-stratum mass (#strata rows to
+    the driver), then a pure codegen explode+compare map over the
+    scan; the explode factor is the stratum's repeat (≤ max_repeat),
+    never data-sized.  Strata not in ``weights`` drop (their repeat
+    expression is NULL, so the sequence explodes to nothing)."""
+    mass = (
+        F.count("*") if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    ).alias("__mass")
+    rows = (
+        df.where(F.col(strata_col).cast("string").isin(list(weights)))
+        .groupBy(F.col(strata_col).cast("string").alias("__stratum"))
+        .agg(mass)
+        .collect()
+    )
+    totals = {r["__stratum"]: r["__mass"] for r in rows}
+    plan = mix_plan(totals, weights, max_repeat)
+    rep_expr, bound_expr = None, None
+    for name, (rep, frac) in plan.items():
+        cond = F.col(strata_col).cast("string") == name
+        rep_lit, b_lit = F.lit(rep), F.lit(fraction_bound(frac))
+        rep_expr = F.when(cond, rep_lit) if rep_expr is None else rep_expr.when(cond, rep_lit)
+        bound_expr = F.when(cond, b_lit) if bound_expr is None else bound_expr.when(cond, b_lit)
+    out = (
+        df.withColumn("epoch", F.explode(F.sequence(F.lit(1), rep_expr)))
+        .where(_hex_key_epoch(F.col(id_col), F.col("epoch"), seed) < bound_expr)
+    )
+    return out, plan
 
 
 def mix_corpus(

@@ -253,3 +253,70 @@ def test_mix_corpus_doc_weighted_plan(spark):
     assert "EvalPython" not in plan
     # the mixed frame is filter-over-scan: no exchange at all
     assert "Exchange" not in plan
+
+
+def test_mix_plan_math_and_degenerate():
+    from dude_spark.functions.splits import mix_fractions, mix_plan
+
+    totals = {"a": 1000, "b": 100}
+    plan = mix_plan(totals, {"a": 0.5, "b": 0.5}, max_repeat=4)
+    # b binds at 4x: N = min(1000*4/.5, 100*4/.5) = 800; m = 400 each
+    assert plan["b"] == (4, 1.0)
+    rep_a, f_a = plan["a"]
+    assert rep_a == 1 and abs(f_a - 0.4) < 1e-12
+    # realized mixture is exact in expectation: totals * rep * frac
+    mass = {d: totals[d] * r * f for d, (r, f) in plan.items()}
+    n = sum(mass.values())
+    assert abs(mass["a"] / n - 0.5) < 1e-12
+    # max_repeat=1 degenerates to exactly mix_fractions
+    fr = mix_fractions(totals, {"a": 0.5, "b": 0.5})
+    assert mix_plan(totals, {"a": 0.5, "b": 0.5}, max_repeat=1) == {
+        d: (1, f) for d, f in fr.items()
+    }
+    with pytest.raises(ValueError, match="max_repeat"):
+        mix_plan(totals, {"a": 1.0}, max_repeat=0)
+
+
+def test_mix_corpus_epochs_exact_kept_set(spark):
+    """Epoch upsampling: the kept (doc, epoch) set equals a hashlib
+    replication of the rule; binding stratum repeats at max and keeps
+    every copy; epochs of a fractional stratum sample independently;
+    unlisted strata drop."""
+    import hashlib
+
+    from dude_spark.functions.splits import fraction_bound, mix_corpus_epochs
+
+    rows = (
+        [(i, "en", 10) for i in range(600)]
+        + [(1000 + i, "de", 7) for i in range(50)]
+        + [(2000 + i, "fr", 5) for i in range(40)]
+        + [(3000 + i, "zh", 9) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+    mixed, plan = mix_corpus_epochs(
+        df, {"en": 0.4, "de": 0.4, "fr": 0.2},
+        strata_col="lang", id_col="doc_id", weight_col="toks",
+        seed="s", max_repeat=3,
+    )
+    # de binds at 3x: N = min(6000*3/.4, 350*3/.4, 200*3/.2) = 2625
+    assert plan["de"] == (3, 1.0)
+    assert plan["en"][0] == 1 and abs(plan["en"][1] - 1050 / 6000) < 1e-12
+    assert plan["fr"][0] == 3 and 0 < plan["fr"][1] < 1
+    got = {(r["doc_id"], r["epoch"]) for r in mixed.collect()}
+    want = set()
+    for d, lang, _ in rows:
+        if lang not in plan:
+            continue
+        rep, frac = plan[lang]
+        bound = fraction_bound(frac)
+        for e in range(1, rep + 1):
+            h = hashlib.md5(f"s@{e}:{d}".encode()).hexdigest()[:8]
+            if bound == "g" or h < bound:
+                want.add((d, e))
+    assert got == want
+    assert not any(3000 <= d < 3020 for d, _ in got)  # zh: dropped
+    # fr's three epochs are INDEPENDENT samples, not three copies of one
+    fr_epochs = [
+        {d for d, e in got if 2000 <= d < 2040 and e == k} for k in (1, 2, 3)
+    ]
+    assert fr_epochs[0] != fr_epochs[1] or fr_epochs[1] != fr_epochs[2]
