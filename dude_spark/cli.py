@@ -170,6 +170,10 @@ def _parser() -> argparse.ArgumentParser:
                     help="per-row mass column (e.g. a token count); "
                          "default: mixture of row counts")
     mx.add_argument("--seed", default="mix")
+    mx.add_argument("--max-repeat", type=int, default=1,
+                    help="allow upsampling low-resource strata by up "
+                         "to this many integer epoch repeats (adds an "
+                         "'epoch' column); 1 = downsample-only")
     mx.add_argument("--cpus", type=int, default=0)
     mx.add_argument("--local", action="store_true")
 
@@ -463,17 +467,29 @@ def main(argv: list[str] | None = None) -> int:
             master=_local_master(a.cpus) if a.local else None,
         )
         try:
-            from .functions.splits import mix_corpus
+            from .functions.splits import mix_corpus, mix_corpus_epochs
 
             docs = spark.read.parquet(a.input)
-            mixed, fractions = mix_corpus(
-                docs, weights, strata_col=a.strata_col,
-                id_col=a.id_col, weight_col=a.weight_col, seed=a.seed,
-            )
+            if a.max_repeat > 1:
+                mixed, plan = mix_corpus_epochs(
+                    docs, weights, strata_col=a.strata_col,
+                    id_col=a.id_col, weight_col=a.weight_col,
+                    seed=a.seed, max_repeat=a.max_repeat,
+                )
+                summary = {
+                    k: (r, round(f, 4)) for k, (r, f) in sorted(plan.items())
+                }
+                label = "(repeat, fraction) plan"
+            else:
+                mixed, fractions = mix_corpus(
+                    docs, weights, strata_col=a.strata_col,
+                    id_col=a.id_col, weight_col=a.weight_col, seed=a.seed,
+                )
+                summary = {k: round(v, 4) for k, v in sorted(fractions.items())}
+                label = "keep fractions"
             mixed.write.mode("overwrite").parquet(a.out)
             n = spark.read.parquet(a.out).count()
-            fr = {k: round(v, 4) for k, v in sorted(fractions.items())}
-            print(f"kept {n} rows; keep fractions {fr} -> {a.out}")
+            print(f"kept {n} rows; {label} {summary} -> {a.out}")
             return 0
         finally:
             spark.stop()

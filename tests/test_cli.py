@@ -163,3 +163,32 @@ def test_cli_mix(spark, tmp_path, monkeypatch, capsys):
             "mix", "--input", inp, "--out", out,
             "--weights", "en=half,de=0.5", "--strata-col", "lang",
         ])
+
+
+def test_cli_mix_max_repeat(spark, tmp_path, monkeypatch, capsys):
+    """mix --max-repeat > 1 routes to mix_corpus_epochs: low-resource
+    stratum upsampled with an epoch column, plan printed."""
+    inp, out = str(tmp_path / "corpus"), str(tmp_path / "mixed_ep")
+    spark.range(440).selectExpr(
+        "cast(id as string) image_id",
+        "CASE WHEN id % 11 = 0 THEN 'de' ELSE 'en' END AS lang",
+        "cast(10 as long) toks",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([
+        "mix", "--input", inp, "--out", out,
+        "--weights", "en=0.5,de=0.5", "--strata-col", "lang",
+        "--weight-col", "toks", "--max-repeat", "3",
+    ])
+    assert rc == 0
+    assert "(repeat, fraction) plan" in capsys.readouterr().out
+    mixed = spark.read.parquet(out)
+    assert "epoch" in mixed.columns
+    # de (40 docs) binds at 3x and keeps every copy: 120 de rows
+    assert mixed.where("lang = 'de'").count() == 120
+    assert mixed.where("lang = 'de' and epoch = 3").count() == 40
+    # en: 400 docs at fraction 0.3 (1200 target tokens / 4000), one epoch
+    assert mixed.where("lang = 'en'").select("epoch").distinct().collect() == [
+        (1,)
+    ] or mixed.where("lang = 'en' and epoch > 1").count() == 0
