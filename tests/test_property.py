@@ -101,3 +101,52 @@ def test_codec_roundtrip_property(h, w, seed, fmt):
         assert (out == pix).all()
     else:
         assert psnr(pix, out) >= 40.0  # BASELINE.json per-row invariant
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    totals=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**12),
+        min_size=2,
+        max_size=4,
+    ),
+    raw_w=st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=4,
+    ),
+    max_repeat=st.integers(min_value=1, max_value=8),
+)
+def test_mix_plan_invariants(totals, raw_w, max_repeat):
+    """mix_plan for ANY mass/weights/max_repeat: repeats in
+    [1, max_repeat], fractions in (0, 1], realized mixture exactly
+    proportional to the weights, binding stratum at full retention,
+    and never below the downsample-only (max_repeat=1) output mass."""
+    from dude_spark.functions.splits import mix_fractions, mix_plan
+
+    strata = sorted(totals)
+    w = {d: raw_w[i % len(raw_w)] for i, d in enumerate(strata)}
+    s = sum(w[d] for d in strata)
+    weights = {d: w[d] / s for d in strata}
+    # renormalized floats can miss the 1e-6 sum gate by accumulation
+    if abs(sum(weights.values()) - 1.0) > 1e-7:
+        return
+    plan = mix_plan(totals, weights, max_repeat=max_repeat)
+    assert set(plan) == set(strata)
+    mass = {}
+    for d, (rep, frac) in plan.items():
+        assert 1 <= rep <= max_repeat
+        assert 0.0 < frac <= 1.0
+        mass[d] = totals[d] * rep * frac
+    n = sum(mass.values())
+    for d in strata:
+        assert abs(mass[d] / n - weights[d]) < 1e-9, (d, plan)
+    # the binding stratum runs at max_repeat with (near-)full retention
+    assert any(
+        rep == max_repeat and f > 1.0 - 1e-9 for _, (rep, f) in plan.items()
+    ), plan
+    # allowing upsampling never shrinks the corpus
+    down = mix_fractions(totals, weights)
+    n_down = sum(totals[d] * down[d] for d in strata)
+    assert n >= n_down - 1e-6 * n
