@@ -462,6 +462,10 @@ def main(argv: list[str] | None = None) -> int:
                     f"--weights share for {name.strip()!r} is not a "
                     f"number: {share!r}"
                 ) from exc
+        if a.max_repeat < 1:
+            raise ConfigError(
+                f"--max-repeat must be >= 1, got {a.max_repeat}"
+            )
         spark = get_spark(
             "dude_spark_mix",
             master=_local_master(a.cpus) if a.local else None,

@@ -119,11 +119,14 @@ def image_quality(
 
     Dimensions come from the DECODED header, not the table's w/h
     metadata columns (caller metadata can lie; the decode is already
-    paid for the blank check).  ``std_x100`` is the per-pixel channel
+    paid for the blank check).  ``std_x100`` is the LARGEST per-channel
     standard deviation ×100 (integerized like every signal in this
-    engine); solid-color padding tiles, tracking pixels, and blank
-    thumbnails land under ``min_std_x100``.  Aspect is integer math:
-    extreme iff ``w*10 > h*max_aspect_x10`` either way around.
+    engine) — per-channel, not joint: a solid pure-red tile has zero
+    variance within every channel but a joint std of ~120 from the
+    cross-channel spread, and chromatic solid tiles are exactly the
+    padding/tracking-pixel case the blank cut exists for.  Aspect is
+    integer math: extreme iff ``w*10 > h*max_aspect_x10`` either way
+    around.
 
     Same mapInPandas shape and ok=false skip-and-count contract as
     the other per-image operators; per-image work is inherently
@@ -139,7 +142,10 @@ def image_quality(
                     rows.append((r.image_id, False, None, None, None, "undecodable"))
                     continue
                 h, w = int(pix.shape[0]), int(pix.shape[1])
-                std_x100 = int(float(pix.astype(np.float64).std()) * 100)
+                std_x100 = int(
+                    float(pix.reshape(-1, 3).astype(np.float64).std(axis=0).max())
+                    * 100
+                )
                 if min(w, h) < min_side:
                     q = "too_small"
                 elif w * 10 > h * max_aspect_x10 or h * 10 > w * max_aspect_x10:

@@ -146,18 +146,26 @@ def select_representatives(
 
 
 def reroot_assignments(
-    assignments: DataFrame, reps: DataFrame
+    assignments: DataFrame, reps: DataFrame, id_col: str = "image_id"
 ) -> DataFrame:
     """Re-key each member's cluster_id to the chosen representative id
     (``select_representatives`` output), so every downstream consumer —
     ``assignments_to_report``'s rep-caption join, ``group_results``,
     keep/drop flags — sees the quality-chosen representative instead of
     the component-min.  One hash join on cluster_id; reps is 1 row per
-    cluster, the skew-safe side."""
+    cluster, the skew-safe side.
+
+    LEFT join + coalesce, never inner: a cluster with no rep row (all
+    members unscored — select_representatives inner-joins scores)
+    keeps its original component-min cluster_id instead of silently
+    vanishing from the report (the engine's no-silent-drop rule).
+    ``id_col`` mirrors select_representatives' parameter so the pair
+    composes for doc-keyed assignments too."""
     return assignments.join(
-        reps.select("cluster_id", "rep_id"), "cluster_id"
+        reps.select("cluster_id", "rep_id"), "cluster_id", "left"
     ).select(
-        F.col("image_id"), F.col("rep_id").alias("cluster_id")
+        F.col(id_col),
+        F.coalesce(F.col("rep_id"), F.col("cluster_id")).alias("cluster_id"),
     )
 
 

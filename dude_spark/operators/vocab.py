@@ -76,7 +76,12 @@ def vocab_coverage(
     flags rare-token-heavy docs: OCR junk, mojibake, gibberish."""
     if vocab is None:
         vocab = top_vocab(docs, text_col=text_col, k=k)
-    hits = F.broadcast(vocab.select("token").withColumn("__hit", F.lit(1)))
+    # distinct: a caller-supplied reference vocabulary with repeated
+    # tokens (unioned shards, a file with dups) would otherwise
+    # multiply rows through the join and corrupt every count
+    hits = F.broadcast(
+        vocab.select("token").distinct().withColumn("__hit", F.lit(1))
+    )
     return (
         _tokens(docs, text_col, id_col)
         .join(hits, "token", "left")

@@ -329,6 +329,9 @@ def test_image_quality_cascade(spark):
     rows = [
         ("ok", encode(noisy, "png")),
         ("blank", encode(np.full((64, 64, 3), 128, np.uint8), "png")),
+        # chromatic solid tile: zero variance WITHIN each channel but a
+        # joint std of ~120 across channels — must still read blank
+        ("red", encode(np.tile(np.array([255, 0, 0], np.uint8), (64, 64, 1)), "png")),
         ("tiny", encode(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), "png")),
         ("banner", encode(rng.integers(0, 256, (40, 400, 3), dtype=np.uint8), "png")),
         ("corrupt", b"\x00\x01junk"),
@@ -341,6 +344,7 @@ def test_image_quality_cascade(spark):
     assert out["ok"]["std_x100"] >= 200
     # solid color: std exactly 0, flagged blank, not a job failure
     assert out["blank"]["quality"] == "blank" and out["blank"]["std_x100"] == 0
+    assert out["red"]["quality"] == "blank" and out["red"]["std_x100"] == 0
     assert out["tiny"]["quality"] == "too_small" and out["tiny"]["w"] == 8
     # 400x40 = aspect 10 > 4.0 (min side 40 clears too_small, so the
     # cascade reaches the aspect cut); decoded dims, not metadata

@@ -24,8 +24,7 @@ def test_top_vocab_counts_and_boundary_tie(spark, docs):
     got = {r["token"]: r["cnt"] for r in top_vocab(docs, k=100).collect()}
     assert got["the"] == 4 and got["cat"] == 2 and got["zz"] == 3
     assert "" not in got  # no empty token from whitespace-only docs
-    # k=3 boundary: after the(4), zz(3) the 1-vs-1 ties resolve token
-    # ASC — 'and' beats cat/dog/mat/on/qq/sat... wait cat has 2
+    # counts: the=4, zz=3, cat=2, then six 1-count tokens
     top3 = {r["token"] for r in top_vocab(docs, k=3).collect()}
     assert top3 == {"the", "zz", "cat"}
     # k=4: the 1-count tie ('and','dog','mat','on','qq','sat') breaks
