@@ -67,3 +67,21 @@ def test_vocab_coverage_plan_broadcasts_and_takeordered(spark):
     # global Sort over the token counts
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_repartition_stable(spark):
+    """Coverage is a pure function of the corpus: repartitioning must
+    not move the top-K boundary or any per-doc count (deterministic
+    tie-breaks, no partition-order dependence)."""
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), (F.col("id") % 23)),
+            F.concat(F.lit("w"), (F.col("id") % 7)),
+            F.concat(F.lit("w"), (F.col("id") % 3)),
+        ).alias("text"),
+    )
+    a = {tuple(r) for r in vocab_coverage(docs, k=5).collect()}
+    b = {tuple(r) for r in vocab_coverage(docs.repartition(7), k=5).collect()}
+    assert a == b and len(a) == 300
