@@ -299,6 +299,7 @@ def start_incremental_dedup(
     state_cols: Sequence[str] = ("caption",),
     bucket_cap: int = 64,
     overcap_mode: str = "star",
+    prefilter_fn: Callable[[DataFrame], tuple[DataFrame, DataFrame]] | None = None,
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
@@ -316,6 +317,17 @@ def start_incremental_dedup(
     batch-friendly test and catch-up mode; pass False for a continuous
     micro-batch stream.
 
+    ``prefilter_fn``: optional quality gate applied to each batch
+    BEFORE fingerprinting — ``batch → (clean, rejected)`` in
+    ``operators.filters.filter_corpus``'s contract (rejected carries a
+    ``reason`` column).  The realistic ingest order is
+    filter-then-dedup: junk documents never enter the signature state,
+    so they can neither match future rows nor bloat the per-bucket
+    caps.  Rejected rows are written durably under
+    ``rejected/epoch=N`` (same no-silent-drop audit as the batch
+    filter stage), with the same per-epoch overwrite idempotency as
+    every other state write.
+
     ``overcap_mode``: with the default ``"star"``, hot buckets keep
     per-epoch work LINEAR in the batch, and the pairs table is then a
     connectivity-preserving edge set — every duplicate row is linked
@@ -332,6 +344,7 @@ def start_incremental_dedup(
     pairs_path = os.path.join(state_dir, "pairs")
     epochs_path = os.path.join(state_dir, "epochs")
     overcap_path = os.path.join(state_dir, "overcap")
+    rejected_path = os.path.join(state_dir, "rejected")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # Replay idempotency WITHOUT transactions: every epoch writes
@@ -345,6 +358,11 @@ def start_incremental_dedup(
         marker = os.path.join(epochs_path, f"epoch_{batch_id}")
         if os.path.exists(marker):
             return
+        if prefilter_fn is not None:
+            batch_df, rejected = prefilter_fn(batch_df)
+            rejected.write.mode("overwrite").parquet(
+                os.path.join(rejected_path, f"epoch={batch_id}")
+            )
         # checkpoint: pairs_from_buckets runs an eager skew-detection
         # action plus the pairs action — without this the detector's
         # signature UDF chain would run once per action

@@ -271,3 +271,66 @@ def test_incremental_dedup_stream_suffix(spark, tmp_path):
     pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
     assert pairs == {("a", "b"), ("a", "d"), ("b", "d")}
     assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
+
+
+def test_incremental_dedup_stream_prefilter(spark, tmp_path):
+    """Quality gate at ingest: junk rows are rejected with a durable
+    reason BEFORE fingerprinting — they never enter the signature
+    state (cannot match future rows), while dups among clean rows are
+    still found across epochs."""
+    from dude_spark.operators.filters import filter_corpus
+    from dude_spark.streaming.ingest import start_incremental_dedup
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary, caption string"
+    good = (
+        "a perfectly ordinary caption about the weather and the sea "
+        "with enough common words that every quality cut passes it"
+    )
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, schema
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            prefilter_fn=lambda b: filter_corpus(b, text_col="caption"),
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # epoch 1: a dup pair among clean rows + one junk fragment whose
+    # BYTES collide with a clean row — junk must not produce a pair
+    write([
+        ("a", b"payload-1", good),
+        ("b", b"payload-1", good + " twice"),
+        ("junk1", b"payload-1", "too short"),
+    ])
+    drain()
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()
+    }
+    assert pairs == {("a", "b")}
+    rej = spark.read.parquet(os.path.join(state_dir, "rejected"))
+    assert [(r["image_id"], r["reason"]) for r in rej.collect()] == [
+        ("junk1", "too_short")
+    ]
+    sigs = spark.read.parquet(os.path.join(state_dir, "sigs"))
+    assert {r["image_id"] for r in sigs.collect()} == {"a", "b"}
+
+    # epoch 2: a clean new-vs-known dup + more junk with the same bytes
+    write([
+        ("c", b"payload-1", good + " thrice"),
+        ("junk2", b"payload-1", "x y"),
+    ])
+    drain()
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()
+    }
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+    rej = spark.read.parquet(os.path.join(state_dir, "rejected"))
+    assert {r["image_id"] for r in rej.collect()} == {"junk1", "junk2"}
