@@ -357,6 +357,21 @@ def q_rep_selection(spark, sf_dir):
     )
 
 
+def q_deduped_docs(spark, sf_dir):
+    """The dedup product artifact (operators/report.dedup_corpus): the
+    documents table with non-representative near-duplicates removed —
+    rows untouched by the detector pass through, each dup cluster
+    keeps exactly its representative.  Composes the oracled CC
+    assignments; the oracle is the corpus anti-joined against the
+    recursive closure's non-rep members."""
+    from dude_spark.operators.report import dedup_corpus
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return dedup_corpus(docs, q_dedup_assignments(spark, sf_dir), id_col="doc_id")
+
+
 def q_corpus_summary(spark, sf_dir):
     """Aggregation surface: per-(lang, source) corpus statistics —
     count, total chars, mean tokens (integerized ×1000 for exact
@@ -902,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
         "rep_selection": q_rep_selection,
+        "deduped_docs": q_deduped_docs,
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_lsh_pairs": q_minhash_pairs,
@@ -1544,6 +1560,14 @@ def oracle_sql() -> dict[str, str]:
         FROM scored sc
         JOIN best b ON sc.cluster_id = b.cluster_id AND sc.s = b.bs
         GROUP BY sc.cluster_id
+        """,
+        # deduped_docs: corpus minus the closure's non-rep members
+        "deduped_docs": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
+        + """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        FROM documents d
+        WHERE d.doc_id NOT IN
+              (SELECT doc_id FROM assigns WHERE doc_id != cluster_id)
         """,
         "hamming_pairs": f"""
             WITH base AS (

@@ -169,6 +169,25 @@ def reroot_assignments(
     )
 
 
+def dedup_corpus(
+    corpus: DataFrame, assignments: DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """The product artifact: the corpus with non-representative
+    duplicates REMOVED — rows never seen by any detector pass through
+    untouched, and of each duplicate cluster exactly the
+    representative (``cluster_id``; re-root with
+    ``reroot_assignments`` first for the quality-chosen one) survives.
+    Schema unchanged.
+
+    One left_anti hash join against the (narrow) dup-member id set —
+    the corpus payload never shuffles wider than its own join key, and
+    the anti side carries one id column.  Deterministic given the
+    assignments (which are themselves deterministic: component-min or
+    selected-rep ids)."""
+    dups = assignments.where(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return corpus.join(dups, id_col, "left_anti")
+
+
 def flatten_pairs(assignments: DataFrame) -> DataFrame:
     """assignments → (a=rep, b=dup) pair rows (O9 flatten)."""
     return assignments.where(F.col("image_id") != F.col("cluster_id")).select(

@@ -142,3 +142,33 @@ def test_reroot_assignments_rewrites_cluster_ids(spark):
         for r in reroot_assignments(assigns, reps).collect()
     }
     assert out == {"a": "b", "b": "b", "c": "b"}
+
+
+def test_dedup_corpus_keeps_reps_and_untouched_rows(spark):
+    from dude_spark.operators.report import (
+        dedup_corpus,
+        reroot_assignments,
+        select_representatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in ("a", "b", "c", "x", "y")],
+        "image_id string, text string",
+    )
+    # one cluster {a, b, c} with rep a (component min); x, y untouched
+    assigns = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], "image_id string, cluster_id string"
+    )
+    out = dedup_corpus(corpus, assigns)
+    assert set(out.columns) == {"image_id", "text"}  # schema unchanged
+    assert {r["image_id"] for r in out.collect()} == {"a", "x", "y"}
+
+    # composed with quality reroot: b (best score) survives instead of a
+    scores = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("c", 2)], "image_id string, q long"
+    )
+    rerooted = reroot_assignments(
+        assigns, select_representatives(assigns, scores, "q")
+    )
+    out2 = dedup_corpus(corpus, rerooted)
+    assert {r["image_id"] for r in out2.collect()} == {"b", "x", "y"}
