@@ -69,6 +69,78 @@ def test_incremental_dedup_stream(spark, tmp_path):
     assert pair_dirs == {"epoch=0", "epoch=1"}
 
 
+def test_stream_state_read_is_pruned(spark, tmp_path):
+    """The round-3 top defect: every micro-batch re-scanned the WHOLE
+    accumulated sigs/rows state.  With the ShardedEpochStore, epoch 2
+    must open a STRICT SUBSET of the state files — only the shards its
+    own keys hash into — and the per-epoch prune audit under scans/
+    records it durably (files_read < files_total for both the sigs
+    and the rows state)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary"
+
+    def verify_bytes(pairs, rows):
+        ra = rows.select(F.col("image_id").alias("a"), F.col("bytes").alias("ba"))
+        rb = rows.select(F.col("image_id").alias("b"), F.col("bytes").alias("bb"))
+        return (
+            pairs.join(ra, "a").join(rb, "b")
+            .where(F.col("ba") == F.col("bb"))
+            .select("a", "b")
+        )
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            verify_fn=verify_bytes, state_cols=("bytes",),
+            n_state_shards=8,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # epoch 1: 40 distinct payloads + one dup — buckets land in (nearly)
+    # every one of the 8 shards, so the state is spread wide
+    _write_batch(
+        spark,
+        input_dir,
+        [(f"u{i}", f"payload-{i}".encode()) for i in range(40)]
+        + [("dup0", b"payload-0")],
+    )
+    drain()
+
+    # epoch 2: ONE newcomer duplicating one known payload — its bucket
+    # hashes into one shard, so the sigs read must open only that
+    # shard's files across epochs, not the whole state
+    _write_batch(spark, input_dir, [("x", b"payload-7")])
+    drain()
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(os.path.join(state_dir, "pairs")).collect()
+    }
+    assert pairs == {("dup0", "u0"), ("u7", "x")}
+
+    with open(os.path.join(state_dir, "scans", "epoch_1.json")) as f:
+        audit = json.load(f)
+    assert audit["n_state_shards"] == 8
+    sigs = audit["sigs"]
+    assert 0 < sigs["files_read"] < sigs["files_total"]
+    rows = audit["rows"]
+    assert 0 < rows["files_read"] < rows["files_total"]
+
+    # the shard count is pinned for the state dir's lifetime: a restart
+    # with a different value would silently move every key's shard
+    with pytest.raises(ValueError, match="n_state_shards"):
+        start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            verify_fn=verify_bytes, state_cols=("bytes",),
+            n_state_shards=16,
+        )
+
+
 _BASE = (
     "the quick brown fox jumps over the lazy dog beside the quiet riverbank "
     "at dawn while distant church bells echo across the misty valley and "
