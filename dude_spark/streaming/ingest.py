@@ -237,22 +237,35 @@ def minhash_ingest(
 def simhash_ingest(
     cfg: SimHashConfig | None = None,
 ) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:
-    """D2 preset for start_incremental_dedup (caption channel).
+    """D2 preset for start_incremental_dedup — caption and/or phash
+    channels, following the config exactly like the batch detector.
 
     Returns ``(bucket_fn, verify_fn, state_cols)`` — pigeonhole
     Hamming-ball buckets for candidate generation and the exact
-    per-channel Hamming recheck.  The caption channel only: a stream
-    of raw rows carries captions, and persisting captions (not sigs)
-    in the rows state keeps the state schema detector-agnostic — the
-    verify recomputes signatures for just the semi-reduced pair
-    members (the signature UDF cost is O(|pairs|), not O(corpus)).
+    per-channel Hamming recheck.  ``state_cols`` carries exactly the
+    raw columns the enabled channels need (``caption`` and/or
+    ``phash``): persisting raw features (not sigs) in the rows state
+    keeps the state schema detector-agnostic — the verify recomputes
+    signatures for just the semi-reduced pair members (the signature
+    cost is O(|pairs|), not O(corpus); the phash channel's "signature"
+    is the raw column itself, a pure projection).
+
+    The phash channel at ingest is the multimodal half of the brief:
+    visually-identical re-encodes (same perceptual hash within the
+    Hamming ball) pair against KNOWN images as they stream in, the
+    generalization of the reference's content-equality at ingest
+    (/root/reference/internal/processing/hashing.go:289-319) to
+    near-identical pixels.  Default: caption-only (a bytes-less text
+    stream needs no phash column).
     """
     cfg = cfg or SimHashConfig(use_phash=False)
-    if cfg.use_phash:
-        raise ValueError(
-            "simhash_ingest streams caption rows; use a phash-bearing "
-            "state_cols + custom verify_fn for the phash channel"
-        )
+    state_cols = tuple(
+        c
+        for c, on in (("caption", cfg.use_caption), ("phash", cfg.use_phash))
+        if on
+    )
+    if not state_cols:
+        raise ValueError("SimHashConfig enables no channels")
 
     def bucket_fn(batch: DataFrame) -> DataFrame:
         return simhash_buckets(simhash_signatures(batch, cfg), cfg)
@@ -269,7 +282,7 @@ def simhash_ingest(
         sigs = simhash_signatures(members, cfg)
         return simhash_pairs_verified(pairs, sigs, cfg).select("a", "b")
 
-    return bucket_fn, verify_fn, ("caption",)
+    return bucket_fn, verify_fn, state_cols
 
 
 def suffix_ingest(

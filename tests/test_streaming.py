@@ -289,12 +289,65 @@ def test_incremental_dedup_stream_simhash(spark, tmp_path):
     assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
 
 
-def test_simhash_ingest_rejects_phash_config(spark):
+def test_incremental_dedup_stream_simhash_phash(spark, tmp_path):
+    """The D2 PHASH channel at ingest (round-3 missing #2): perceptual
+    hashes within the radius-3 Hamming ball pair within a batch AND
+    cross-epoch against known state.  Planted phashes flip bits in
+    DISTINCT 8-bit segments, so pigeonhole recovery is deterministic
+    (the WWW'07 guarantee), and a restart re-emits nothing."""
+    from dude_spark.config import SimHashConfig
+    from dude_spark.streaming import simhash_ingest
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, phash long"
+    bucket_fn, verify_fn, state_cols = simhash_ingest(
+        SimHashConfig(use_caption=False)
+    )
+    assert state_cols == ("phash",)
+
+    base = 0x0123456789ABCDEF
+    far = base ^ 0x00FFFF00FF00FF00  # ~28 bits away: never pairs
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn, state_cols=state_cols,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    # epoch 1: b is one bit-flip from a (distance 1 <= radius 3)
+    write([("a", base), ("b", base ^ (1 << 5)), ("c", far)])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b")}
+
+    # epoch 2: d flips a different segment's bit — distance 1 from KNOWN
+    # a, 2 from KNOWN b, both within the ball; e is unrelated
+    # e sits 8 bits from far and ~28 from base — outside every ball
+    write([("d", base ^ (1 << 23)), ("e", far ^ 0x00000000000F000F)])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b"), ("a", "d"), ("b", "d")}
+    assert len(os.listdir(os.path.join(state_dir, "epochs"))) == 2
+
+    # restart with nothing new: the streaming checkpoint re-emits nothing
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "b"), ("a", "d"), ("b", "d")}
+
+
+def test_simhash_ingest_rejects_no_channels():
     from dude_spark.config import SimHashConfig
     from dude_spark.streaming import simhash_ingest
 
     with pytest.raises(ValueError):
-        simhash_ingest(SimHashConfig(use_phash=True))
+        simhash_ingest(SimHashConfig(use_phash=False, use_caption=False))
 
 
 def test_incremental_dedup_stream_suffix(spark, tmp_path):
