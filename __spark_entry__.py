@@ -861,13 +861,58 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+_ANN_OFFSET = 400000
+_ANN_K = 10
+
+
 def q_ann_topk(spark, sf_dir):
     """IVF ANN (rows-only: approximate by design; exact sibling
     q_embedding_topk is oracle-gated, and tests/test_embedding.py gates
-    ANN∩exact overlap >= 0.8 on these same driver embeddings)."""
+    ANN∩exact overlap >= 0.8 on these same driver embeddings).
+
+    Planted live slice (round-3 VERDICT next #9, mirroring
+    _plant_near_dups): each query vector gets k EXACT duplicates
+    (cosine 1.0) re-keyed above _ANN_OFFSET.  An identical vector is
+    assigned to the same top cells the query probes first, so a
+    correct index always surfaces >= k candidates per query and the
+    output holds exactly |queries|·k rows; an IVF recall collapse
+    (cell assignment diverging from probes) yields < k candidates for
+    some query and visibly drops rows.  The id offset is guarded
+    lazily like the other plants (assert_true folded into the plan,
+    referenced through a filter so Catalyst cannot prune it)."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 5)
-    out = ann_topk(embs, queries, k=10, dim=64)
+    guard = embs.agg(
+        F.assert_true(
+            F.coalesce(F.max(F.col("vec_id").cast("long")), F.lit(-1))
+            < F.lit(_ANN_OFFSET),
+            F.lit(
+                f"planted ANN vec_id offset {_ANN_OFFSET} collides with "
+                "organic ids; raise _ANN_OFFSET for this corpus"
+            ),
+        ).alias("_guard")
+    )
+    planted = (
+        queries.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(_ANN_K - 1))).alias("i"),
+        )
+        .select(
+            (
+                F.lit(_ANN_OFFSET)
+                + F.col("vec_id").cast("long") * _ANN_K
+                + F.col("i")
+            ).alias("vec_id"),
+            "embedding",
+            F.lit(None).cast("int").alias("label"),
+        )
+        .crossJoin(F.broadcast(guard))
+        .where(F.col("_guard").isNull())
+        .drop("_guard")
+    )
+    corpus = embs.unionByName(planted)
+    out = ann_topk(corpus, queries, k=10, dim=64)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

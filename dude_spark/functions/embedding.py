@@ -282,9 +282,15 @@ def ann_topk(
     nprobe = min(nprobe, len(cent))
     assign_cells = min(assign_cells, len(cent))
 
+    from ..session import ensure_min_partitions
+
     c_cells = _cells_udf(cent, assign_cells)
     q_cells = _cells_udf(cent, nprobe)
-    cb = corpus.where(F.col(vec_col).isNotNull()).select(
+    # partition floor before the cell-assignment matmul UDF over the
+    # corpus scan (queries are small + broadcast — no floor needed)
+    cb = ensure_min_partitions(
+        corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
         norm_col(F.col(vec_col)).alias("c_norm"),
@@ -451,9 +457,34 @@ def _cosine_dup_pairs_exact(
             keep = a_ids[ai] < ids[bj]  # a < b: dedupe + drop self
             yield pd.DataFrame({"a": a_ids[ai][keep], "b": ids[bj][keep]})
 
-    return src.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb")
+    from ..session import ensure_min_partitions
+
+    return ensure_min_partitions(
+        src.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__emb"))
     ).mapInPandas(block, f"a {id_type}, b {id_type}")
+
+
+def _lsh_signature_base(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int, seed: int
+) -> DataFrame:
+    """(image_id, emb, nrm, sig) — the hyperplane-signature projection.
+
+    Spreads an under-split scan before the signature matmul UDF — a
+    one-row-group parquet table plans as ONE input partition, pinning
+    the whole hyperplane matmul to one core (the same §10.5 lesson the
+    text detectors apply; round-3 VERDICT next #10).  Factored out of
+    the LSH path so the partition floor stays plan-assertable: the
+    caller's localCheckpoint truncates the visible plan."""
+    from ..session import ensure_min_partitions
+
+    sig = signature_udf(dim, 64, seed)
+    return ensure_min_partitions(
+        corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    ).select(
+        F.col(id_col).alias("image_id"),
+        F.col(vec_col).alias("emb"),
+        norm_col(F.col(vec_col)).alias("nrm"),
+    ).withColumn("sig", sig(F.col("emb")))
 
 
 def _cosine_dup_pairs_lsh(
@@ -467,17 +498,12 @@ def _cosine_dup_pairs_lsh(
     bucket_cap: int,
     seed: int,
 ) -> DataFrame:
-    sig = signature_udf(dim, 64, seed)
-    base = corpus.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("image_id"),
-        F.col(vec_col).alias("emb"),
-        norm_col(F.col(vec_col)).alias("nrm"),
-    ).withColumn("sig", sig(F.col("emb")))
     # pairs_from_buckets runs an eager skew-detection action plus the
     # pairs action — checkpoint the UDF-computed signatures so the
     # signature matmul runs once, not once per action (at scale this
     # is the dominant cost of the path; on a cluster replace with a
     # stage-store write, as the pipeline does)
+    base = _lsh_signature_base(corpus, id_col, vec_col, dim, seed)
     base = base.localCheckpoint(eager=True)
     buckets = base.select(
         "image_id",

@@ -91,7 +91,12 @@ def vocab_coverage(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("in_vocab"),
         )
         .withColumn(
+            # TRUE integer division (`div`), not floor(double division):
+            # both engines then compute the identical integer op, so the
+            # bit-exact hash contract cannot diverge even where
+            # in_vocab*1000/n_tokens rounds across an integer boundary
+            # (a double loses integer exactness past 2^53)
             "cov_x1000",
-            F.floor(F.col("in_vocab") * 1000 / F.col("n_tokens")).cast("long"),
+            F.expr("in_vocab * 1000L div n_tokens").cast("long"),
         )
     )

@@ -99,6 +99,29 @@ def test_ann_overlap_on_driver_embeddings(spark):
     assert mean >= 0.8, f"ANN overlap {mean:.2f} ({overlaps})"
 
 
+def test_ann_topk_driver_planted_slice_is_live(spark):
+    """The driver's ann_topk query plants k EXACT duplicates per query
+    vector (cosine 1.0, re-keyed >= 400000): a correct IVF index must
+    surface exactly |queries|·k rows and every top-k slot goes to a
+    planted id — so a recall collapse drops VISIBLE rows in the
+    rows-only driver gate (round-3 VERDICT next #9)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    out = e.q_ann_topk(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 50
+    assert all(r["neighbor_id"] >= 400000 for r in out)
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(per_query) == {0, 1, 2, 3, 4}
+    # each query's slots are exactly ITS ten planted copies
+    for q, nbrs in per_query.items():
+        assert nbrs == {400000 + q * 10 + i for i in range(10)}
+
+
 def test_ann_topk_empty_corpus_returns_empty(spark, planted):
     df, _ = planted
     empty = df.where(F.col("vec_id") < 0)

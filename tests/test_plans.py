@@ -266,3 +266,46 @@ def test_ensure_min_partitions_skips_post_shuffle_frames(spark, tmp_path):
     # ...while a scan-rooted narrow projection still gets the spread
     spread = ensure_min_partitions(scan.select("image_id", "caption"))
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_embedding_udf_paths_have_partition_floor(spark, tmp_path):
+    """The §10.5 one-row-group starvation applies to any Python kernel
+    over a raw scan (round-3 VERDICT next #10): the embedding LSH
+    signature matmul, the IVF cell-assignment matmul, and the exact
+    block matmul must all spread an under-split scan before their UDF
+    stage, exactly like the text detectors do."""
+    import numpy as np
+    import pandas as pd
+
+    from dude_spark.functions.embedding import (
+        _lsh_signature_base,
+        ann_topk,
+        cosine_dup_pairs,
+    )
+
+    rs = np.random.RandomState(7)
+    path = str(tmp_path / "embs.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(300),
+                "embedding": [
+                    rs.standard_normal(16).astype("float32").tolist()
+                    for _ in range(300)
+                ],
+            }
+        )
+    ).coalesce(1).write.parquet(path)
+    embs = spark.read.parquet(path)
+    assert embs.rdd.getNumPartitions() == 1
+
+    # the LSH path checkpoints its signature base (plan truncation), so
+    # assert on the factored pre-checkpoint frame it actually uses
+    lsh = _lsh_signature_base(embs, "vec_id", "embedding", 16, 42)
+    exact = cosine_dup_pairs(embs, threshold=0.99, strategy="exact", dim=16)
+    ann = ann_topk(embs, embs.where("vec_id < 2"), k=5, dim=16, n_cells=8)
+    for name, df in (("lsh", lsh), ("exact", exact), ("ann", ann)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+        ), (name, plan)

@@ -9,7 +9,7 @@ round-trip, shingle/verify agreement.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from dude_spark.config import MinHashConfig
@@ -129,9 +129,10 @@ def test_mix_plan_invariants(totals, raw_w, max_repeat):
     w = {d: raw_w[i % len(raw_w)] for i, d in enumerate(strata)}
     s = sum(w[d] for d in strata)
     weights = {d: w[d] / s for d in strata}
-    # renormalized floats can miss the 1e-6 sum gate by accumulation
-    if abs(sum(weights.values()) - 1.0) > 1e-7:
-        return
+    # renormalized floats can miss the 1e-6 sum gate by accumulation —
+    # assume() (not a bare return) so hypothesis tracks and regenerates
+    # filtered examples instead of silently passing them
+    assume(abs(sum(weights.values()) - 1.0) <= 1e-7)
     plan = mix_plan(totals, weights, max_repeat=max_repeat)
     assert set(plan) == set(strata)
     mass = {}
