@@ -58,9 +58,14 @@ def main() -> None:
         warm = spark.read.parquet(f"{work}/images.parquet").limit(4096)
         warm = warm.repartition(cpus).select("image_id")
         warm.mapInPandas(lambda it: it, warm.schema).count()
-        pipeline_s = float("inf")
+        # Best-of-3 with EVERY wall persisted (round-3 VERDICT next #3):
+        # single cold samples on this shared VM swing ±30% with host
+        # weather (identical-code probes 28.4-39.3 s), so the artifact
+        # of record carries its own weather evidence instead of a
+        # point estimate the next round can't interpret.
+        pipeline_samples: list[float] = []
         n_assigned = 0
-        for rep in range(2):
+        for rep in range(3):
             cfg = JobConfig(
                 input_paths=(f"{work}/images.parquet",),
                 checkpoint_dir=f"{work}/ckpt{rep}",
@@ -70,16 +75,35 @@ def main() -> None:
             )
             t0 = time.monotonic()
             result = run_pipeline(spark, cfg, resume=False)
-            pipeline_s = min(pipeline_s, time.monotonic() - t0)
+            pipeline_samples.append(round(time.monotonic() - t0, 3))
             n_assigned = result.stages["components"].rows
+        pipeline_s = min(pipeline_samples)
         timings["images_pipeline_full"] = round(pipeline_s, 3)
 
-        # -------- oracle-gated queries on the driver tables
-        for name, fn in entrymod.queries().items():
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.monotonic() - t0, 3)
+        # -------- oracle-gated queries on the driver tables, best of
+        # TWO FULL PASSES (suite-order/JIT effects owned the round-3
+        # corpus_summary "regression"; samples make weather visible).
+        # The shared ngram-pair checkpoint memo is cleared per pass so
+        # each pass re-pays the materialization exactly once (round-3
+        # semantics) — a per-query repeat would time a memo hit (57 ms)
+        # as if it were the query.
+        passes: list[dict[str, float]] = []
+        for _ in range(2):
+            for _sp, memo_df in list(entrymod._NGRAM_PAIRS_MEMO.values()):
+                try:
+                    memo_df.unpersist()
+                except Exception:
+                    pass
+            entrymod._NGRAM_PAIRS_MEMO.clear()
+            walls: dict[str, float] = {}
+            for name, fn in entrymod.queries().items():
+                t0 = time.monotonic()
+                fn(spark, sf_dir).count()
+                walls[name] = round(time.monotonic() - t0, 3)
+            passes.append(walls)
+        query_samples = {n: [p[n] for p in passes] for n in passes[0]}
+        for name, samples in query_samples.items():
+            timings[name] = min(samples)
 
         print(
             json.dumps(
@@ -87,7 +111,9 @@ def main() -> None:
                     "metric": "images_per_sec_full_pipeline",
                     "value": round(n_images / pipeline_s, 1),
                     "unit": "images/sec",
+                    "samples": pipeline_samples,
                     "queries": timings,
+                    "query_samples": query_samples,
                     "sf": sf,
                     "n_images": n_images,
                     "n_assignments": n_assigned,

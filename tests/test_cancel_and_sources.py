@@ -149,3 +149,38 @@ def test_read_file_tree_lopsided_tree_reads_spread_across_tasks(
     assert len(rows) == 601
     bulk_pids = {r["pid"] for r in rows if "everything" in r["image_id"]}
     assert len(bulk_pids) > 4, bulk_pids
+
+
+def test_walk_listing_reseeds_oversized_subtree(spark, tmp_path_factory):
+    """The LISTING round mirror of the read-spread assert (round-3
+    VERDICT next #5): a seed whose walk blows the per-seed budget must
+    re-emit its remaining directories as next-round seeds, so MORE THAN
+    ONE task lists the bulk subtree — and no file is lost or duplicated
+    across the rounds."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from dude_spark.sources.binaryfile import _list_files
+
+    root = tmp_path_factory.mktemp("reseed")
+    bulk = root / "bulk"
+    expected = set()
+    for d in range(12):
+        sub = bulk / f"d{d:02d}"
+        sub.mkdir(parents=True)
+        for i in range(25):
+            p = sub / f"f{i:02d}.bin"
+            p.write_bytes(b"x")
+            expected.add(str(p))
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"path": [str(bulk)], "is_dir": [True]})
+    )
+    files = _list_files(spark, seeds, None, reseed_threshold=40).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    rows = files.collect()
+    # complete and exact despite the budget cuts
+    assert {r["path"] for r in rows} == expected
+    assert len(rows) == len(expected)
+    # the bulk subtree's listing spread across >1 task
+    assert len({r["pid"] for r in rows}) > 1
