@@ -240,11 +240,24 @@ class ShardedEpochStore:
     def read_for_keys(self, keys_df: DataFrame) -> DataFrame | None:
         return self.read_for_shards(self.shards_for(keys_df))
 
-    def scan_stats(self, df: DataFrame | None) -> dict:
+    def scan_stats(self, df: DataFrame | None, shards: list[int] | None = None) -> dict:
         """Prune-audit numbers for a pruned read: files opened by this
-        scan vs files in the whole state — the per-epoch evidence that
-        state reads are O(batch), not O(corpus)."""
-        total = len(
+        scan + shards touched — the per-epoch evidence that state
+        reads are O(batch), not O(corpus).  Deliberately does NOT
+        count the whole state's files: that would be a full driver-side
+        state listing per epoch, the exact O(corpus) cost the store
+        exists to remove (a test wanting the total can glob it once
+        itself via ``total_data_files``)."""
+        read = 0 if df is None else len(df.inputFiles())
+        out = {"files_read": read, "n_shards": self.n_shards}
+        if shards is not None:
+            out["shards_touched"] = len(set(shards))
+        return out
+
+    def total_data_files(self) -> int:
+        """Count every data file in the state — ONE full listing, for
+        tests/offline audits only (never per-epoch)."""
+        return len(
             [
                 p
                 for p in _hadoop_glob(
@@ -256,8 +269,6 @@ class ShardedEpochStore:
                 if not os.path.basename(p).startswith((".", "_"))
             ]
         )
-        read = 0 if df is None else len(df.inputFiles())
-        return {"files_read": read, "files_total": total}
 
 
 class IcebergStageStore(StageStore):

@@ -134,8 +134,9 @@ def _batch_pairs(
     reference's incremental-work contract, hashing.go:73-116, at
     scale).  Within the opened shards, the bucket-equi join still
     restricts to exactly the touched buckets."""
-    known_all = sigs_store.read_for_keys(sigs.select("bucket"))
-    scan = sigs_store.scan_stats(known_all)
+    shards = sigs_store.shards_for(sigs.select("bucket"))
+    known_all = sigs_store.read_for_shards(shards)
+    scan = sigs_store.scan_stats(known_all, shards)
     overcap_known_rows: list = []
     if known_all is not None:
         known = known_all.where(F.col("epoch") != F.lit(batch_id)).select(
@@ -453,8 +454,9 @@ def start_incremental_dedup(
             members = pairs.select(F.col("a").alias("image_id")).unionByName(
                 pairs.select(F.col("b").alias("image_id"))
             )
-            past = rows_store.read_for_keys(members)
-            rows_scan = rows_store.scan_stats(past)
+            row_shards = rows_store.shards_for(members)
+            past = rows_store.read_for_shards(row_shards)
+            rows_scan = rows_store.scan_stats(past, row_shards)
             rows = (
                 new_rows
                 if past is None

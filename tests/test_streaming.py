@@ -126,10 +126,21 @@ def test_stream_state_read_is_pruned(spark, tmp_path):
     with open(os.path.join(state_dir, "scans", "epoch_1.json")) as f:
         audit = json.load(f)
     assert audit["n_state_shards"] == 8
-    sigs = audit["sigs"]
-    assert 0 < sigs["files_read"] < sigs["files_total"]
-    rows = audit["rows"]
-    assert 0 < rows["files_read"] < rows["files_total"]
+    # the audit itself is O(batch) — files opened + shards touched; the
+    # TOTAL is globbed once here (a per-epoch total listing would be
+    # the very O(corpus) driver cost the store removes)
+    from dude_spark.storage import ShardedEpochStore
+
+    sig_total = ShardedEpochStore(
+        spark, state_dir, "sigs", key_col="bucket", n_shards=8
+    ).total_data_files()
+    row_total = ShardedEpochStore(
+        spark, state_dir, "rows", key_col="image_id", n_shards=8
+    ).total_data_files()
+    assert 0 < audit["sigs"]["files_read"] < sig_total
+    assert 0 < audit["sigs"]["shards_touched"] < 8
+    assert 0 < audit["rows"]["files_read"] < row_total
+    assert 0 < audit["rows"]["shards_touched"] < 8
 
     # the shard count is pinned for the state dir's lifetime: a restart
     # with a different value would silently move every key's shard
