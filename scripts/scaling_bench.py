@@ -29,8 +29,17 @@ the JOB's intrinsic scalability — the thing the criterion is about.
 Report both pairs with their same-day hw_control ceilings.
 
 Usage:
-  python scripts/scaling_bench.py [n_images] [repeats] [coresN] [cores4N]
+  python scripts/scaling_bench.py [n_images] [repeats] [coresN] [cores4N] \
+      [state_file]
   python scripts/scaling_bench.py worker CPUS INPUT WORK   # internal
+
+With a state_file, every pinned-run sample is appended to it as one
+JSON line the moment it completes, and a rerun SKIPS samples already
+recorded — so a campaign killed mid-run (the harness session owns the
+tmux server; when the session dies, so does every process in it)
+resumes at single-sample granularity instead of repeating ~18-minute
+legs.  The fixture work dir is then deterministic (keyed by n) and
+reused across restarts.
 """
 
 from __future__ import annotations
@@ -112,32 +121,70 @@ def _run_pinned(cpus: int, input_path: str, work: str) -> float:
     return float(json.loads(out)["wall_s"])
 
 
+def _load_state(state_file: str | None) -> list[dict]:
+    if not state_file or not os.path.exists(state_file):
+        return []
+    rows = []
+    with open(state_file) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     cores_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     cores_4n = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * cores_n
-    work = tempfile.mkdtemp(prefix="dude_scaling_")
+    state_file = sys.argv[5] if len(sys.argv) > 5 else None
+    if state_file:
+        # deterministic work dir so a resumed run reuses the fixture
+        work = os.path.join(tempfile.gettempdir(), f"dude_scaling_n{n}")
+        os.makedirs(work, exist_ok=True)
+    else:
+        work = tempfile.mkdtemp(prefix="dude_scaling_")
     try:
-        from dude_spark.fixtures import write_fixture
-        from dude_spark.session import get_spark
-
-        gen = get_spark("scaling_gen", master="local[32]", shuffle_partitions=32)
-        gen.sparkContext.setLogLevel("ERROR")
-        write_fixture(gen, work, n=n, partitions=64)
-        gen.stop()
         input_path = f"{work}/images.parquet"
+        marker = f"{work}/_fixture_done_{n}"
+        if not (state_file and os.path.exists(marker)):
+            from dude_spark.fixtures import write_fixture
+            from dude_spark.session import get_spark
+
+            gen = get_spark(
+                "scaling_gen", master="local[32]", shuffle_partitions=32
+            )
+            gen.sparkContext.setLogLevel("ERROR")
+            write_fixture(gen, work, n=n, partitions=64)
+            gen.stop()
+            if state_file:
+                open(marker, "w").close()
 
         # This Firecracker VM shares a host: identical runs measured
         # t32 ∈ {71.8, 94.4, 119.2} s at n=200k (CPU steal).  One
         # (t8, t32) pair is therefore meaningless; runs alternate
         # configs and the MEDIAN per config is reported, with every
         # sample shown so the spread is visible, never hidden.
-        t8s, t32s = [], []
-        for _ in range(repeats):
-            t8s.append(_run_pinned(cores_n, input_path, work))
-            t32s.append(_run_pinned(cores_4n, input_path, work))
-        t8s.sort(), t32s.sort()
+        prior = _load_state(state_file)
+        t8s = [r["wall_s"] for r in prior if r["cores"] == cores_n]
+        t32s = [r["wall_s"] for r in prior if r["cores"] == cores_4n]
+
+        def _sample(cores: int, sink: list[float]) -> None:
+            wall = _run_pinned(cores, input_path, work)
+            sink.append(wall)
+            if state_file:
+                with open(state_file, "a") as fh:
+                    fh.write(json.dumps({"cores": cores, "wall_s": wall}) + "\n")
+
+        # preserve the alternation order across resumes: repeat i runs
+        # (N, 4N); a sample already in the state file is simply skipped
+        for i in range(repeats):
+            if len(t8s) <= i:
+                _sample(cores_n, t8s)
+            if len(t32s) <= i:
+                _sample(cores_4n, t32s)
+        t8s, t32s = sorted(t8s), sorted(t32s)
         t8, t32 = t8s[len(t8s) // 2], t32s[len(t32s) // 2]
         thr8, thr32 = n / t8, n / t32
         eff = (thr32 / thr8) / (cores_4n / cores_n)
@@ -161,7 +208,8 @@ def main() -> None:
             )
         )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if not state_file:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
