@@ -32,6 +32,7 @@ from __future__ import annotations
 import abc
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -116,6 +117,58 @@ def _hadoop_glob(spark: SparkSession, pattern: str) -> list[str]:
     return [s.getPath().toString() for s in statuses]
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop API — the same
+    FS-agnostic route as ``_hadoop_glob``."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.delete(p, True)  # recursive; no-op (returns False) when absent
+
+
+def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory rename — atomic on HDFS and local FS.  On object
+    stores (S3A) rename is copy+delete; there the compaction commit
+    point should be Iceberg's snapshot commit instead
+    (``IcebergStageStore`` is the seam, see ShardedEpochStore)."""
+    fs, s = _hadoop_fs(spark, src)
+    jvm = spark._jvm
+    if not fs.rename(s, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise OSError(f"rename {src} -> {dst} failed")
+
+
+def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create-and-write a small text file through the Hadoop FS."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # small JSON metas only — read in one bounded chunk
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 class ShardedEpochStore:
     """Key-sharded, epoch-partitioned durable state for streaming.
 
@@ -154,7 +207,39 @@ class ShardedEpochStore:
     must stay CONSTANT for the lifetime of a state directory (the shard
     of a key would otherwise move between epochs) — the ingest loop
     records it in a meta file and refuses a mismatched restart.
+
+    **Compaction** (``compact``): after E epochs each shard holds E
+    file sets, so a pruned read still opens O(E) files per touched
+    shard — at one micro-batch per minute that is ~1,440 files/shard/
+    day, and the per-file open cost (footer read, row-group index)
+    eventually dominates the scan it prunes.  ``compact(upto)`` merges
+    every committed epoch ≤ ``upto`` into a single *base generation*
+    directory ``epoch=-G`` (one sorted file set per shard), the
+    parquet-dir analogue of Iceberg's ``rewrite_data_files``.  The
+    commit point is a generation-versioned meta file
+    ``compact_meta.gen=G.json`` holding ``merged_upto``; readers keep
+    only ``epoch == -G`` (current base) and ``epoch > merged_upto``,
+    so every crash window leaves exactly one fully-live view:
+
+      crash before the meta write  → old generation still referenced,
+                                     the half-built ``epoch=-(G+1)``
+                                     ignored (not the live gen);
+      crash after the meta write   → new generation referenced, the
+                                     stale base/epoch dirs ≤ upto
+                                     ignored until the next compact's
+                                     cleanup sweep deletes them.
+
+    Metas are create-new-then-delete-old (never delete-before-create),
+    so there is no window without a live meta.  Negative generations
+    start at -1 (gen 0 = never compacted ⇒ no base dir; ``epoch=-0``
+    would collide with epoch 0).  Base rows keep passing the ingest
+    loop's ``epoch != batch_id`` replay guard because batch ids are
+    never negative.  The dir-rename commit is atomic on HDFS/local; on
+    object stores use the Iceberg seam, where compaction is a real
+    ``rewrite_data_files`` snapshot commit.
     """
+
+    _TMP_DIR = "_compact_tmp"
 
     def __init__(
         self,
@@ -214,11 +299,43 @@ class ShardedEpochStore:
         )
         return sorted(r["shard"] for r in rows)
 
+    # -- compaction generation bookkeeping --------------------------
+
+    @staticmethod
+    def _epoch_of(path: str) -> int | None:
+        """Parse the epoch partition value out of a dir/file URI."""
+        m = re.search(r"epoch=(-?\d+)(?:/|$)", path)
+        return int(m.group(1)) if m else None
+
+    def _compact_meta(self) -> tuple[int, int]:
+        """(gen, merged_upto) from the highest-generation meta file;
+        (0, -1) when never compacted.  Create-new-then-delete-old meta
+        versioning means the highest gen is always the committed one."""
+        metas = _hadoop_glob(
+            self.spark, os.path.join(self.base, "compact_meta.gen=*.json")
+        )
+        best = None
+        for p in metas:
+            m = re.search(r"compact_meta\.gen=(\d+)\.json$", p)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), p)
+        if best is None:
+            return 0, -1
+        meta = json.loads(_hadoop_read_text(self.spark, best[1]))
+        return int(meta["gen"]), int(meta["merged_upto"])
+
+    def _is_live(self, epoch: int, gen: int, merged_upto: int) -> bool:
+        """A dir is live iff it is the current base generation or an
+        epoch above the merge watermark — every other dir is either
+        merged into the base or a crashed compaction's leftover."""
+        return (gen > 0 and epoch == -gen) or epoch > merged_upto
+
     def read_for_shards(self, shards: list[int]) -> DataFrame | None:
-        """Read only the given shards across ALL epochs; None when no
-        matching state exists yet (first batch, or no key overlap).
+        """Read only the given shards across all LIVE epochs (base
+        generation + epochs above the compaction watermark); None when
+        no matching state exists yet (first batch, or no key overlap).
         The returned frame carries recovered ``epoch`` and ``shard``
-        partition columns."""
+        partition columns (the base's epoch is its negative gen)."""
         if not shards:
             return None
         if len(set(shards)) >= self.n_shards:
@@ -231,6 +348,12 @@ class ShardedEpochStore:
                 self.spark,
                 os.path.join(self.base, "epoch=*", f"shard={{{alts}}}"),
             )
+        gen, merged_upto = self._compact_meta()
+        dirs = [
+            d
+            for d in dirs
+            if self._is_live(self._epoch_of(d), gen, merged_upto)
+        ]
         if not dirs:
             return None
         return (
@@ -255,8 +378,9 @@ class ShardedEpochStore:
         return out
 
     def total_data_files(self) -> int:
-        """Count every data file in the state — ONE full listing, for
-        tests/offline audits only (never per-epoch)."""
+        """Count every LIVE data file in the state — ONE full listing,
+        for tests/offline audits only (never per-epoch)."""
+        gen, merged_upto = self._compact_meta()
         return len(
             [
                 p
@@ -267,8 +391,123 @@ class ShardedEpochStore:
                 # data files only — Hadoop's glob also surfaces .crc /
                 # _metadata sidecars, which inputFiles() never lists
                 if not os.path.basename(p).startswith((".", "_"))
+                and self._is_live(self._epoch_of(p), gen, merged_upto)
             ]
         )
+
+    def compact(self, upto_epoch: int) -> dict:
+        """Merge every live epoch ≤ ``upto_epoch`` (plus the previous
+        base generation) into one new base generation — one sorted
+        file set per shard.  The caller must pass only COMMITTED
+        epochs (the ingest loop compacts after writing its epoch
+        marker, so an in-flight replay can never be merged).
+
+        Protocol (each step leaves a consistent reader view, see the
+        class docstring): cleanup strays → write merged state to a tmp
+        dir → rename to ``epoch=-(gen+1)`` → write
+        ``compact_meta.gen=G+1.json`` (the commit point) → delete the
+        superseded meta/base/epoch dirs.  Returns an audit dict the
+        caller can persist."""
+        from pyspark.sql import functions as F
+
+        gen, merged_upto = self._compact_meta()
+        # cleanup sweep: leftovers of a crashed previous compaction —
+        # any non-live dir is by construction unreferenced by the
+        # committed meta, so deleting it cannot change a reader's view
+        for d in _hadoop_glob(self.spark, os.path.join(self.base, "epoch=*")):
+            e = self._epoch_of(d)
+            if e is not None and not self._is_live(e, gen, merged_upto):
+                _hadoop_delete(self.spark, d)
+        _hadoop_delete(self.spark, os.path.join(self.base, self._TMP_DIR))
+        if upto_epoch <= merged_upto:
+            return {
+                "gen": gen,
+                "merged_upto": merged_upto,
+                "epochs_merged": 0,
+                "skipped": "watermark already covers upto_epoch",
+            }
+        live = [
+            (self._epoch_of(d), d)
+            for d in _hadoop_glob(
+                self.spark, os.path.join(self.base, "epoch=*")
+            )
+        ]
+        merge = [
+            (e, d)
+            for e, d in live
+            if e is not None
+            and ((gen > 0 and e == -gen) or merged_upto < e <= upto_epoch)
+        ]
+        n_epochs = len([e for e, _ in merge if e >= 0])
+        if n_epochs == 0 or (n_epochs == 1 and gen == 0):
+            # nothing to merge, or a single uncompacted epoch — a
+            # rewrite would only churn bytes
+            return {
+                "gen": gen,
+                "merged_upto": merged_upto,
+                "epochs_merged": 0,
+                "skipped": "nothing to merge",
+            }
+        src = self.spark.read.option("basePath", self.base).parquet(
+            *[d for _, d in merge]
+        )
+        files_before = len(src.inputFiles())
+        tmp = os.path.join(self.base, self._TMP_DIR)
+        # same write shape as write_epoch: one writer per shard (no
+        # small-file explosion), key-sorted for row-group pruning; the
+        # per-row epoch is dropped — the base's partition value (-gen)
+        # takes over, which keeps the ingest replay guard
+        # (epoch != batch_id) trivially true for base rows
+        (
+            src.drop("epoch", "shard")
+            .withColumn("shard", self._shard_expr())
+            .repartition(F.col("shard"))
+            .sortWithinPartitions(self.key_col)
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        new_gen = gen + 1
+        new_base = os.path.join(self.base, f"epoch=-{new_gen}")
+        _hadoop_rename(self.spark, tmp, new_base)
+        # THE commit point: once this meta exists, readers switch to
+        # the new generation atomically (highest gen wins)
+        _hadoop_write_text(
+            self.spark,
+            os.path.join(self.base, f"compact_meta.gen={new_gen}.json"),
+            json.dumps(
+                {
+                    "gen": new_gen,
+                    "merged_upto": upto_epoch,
+                    "version": 1,
+                }
+            ),
+        )
+        # superseded state — unreferenced now, deletable in any order
+        for _, d in merge:
+            _hadoop_delete(self.spark, d)
+        for p in _hadoop_glob(
+            self.spark, os.path.join(self.base, "compact_meta.gen=*.json")
+        ):
+            m = re.search(r"compact_meta\.gen=(\d+)\.json$", p)
+            if m and int(m.group(1)) < new_gen:
+                _hadoop_delete(self.spark, p)
+        files_after = len(
+            [
+                p
+                for p in _hadoop_glob(
+                    self.spark, os.path.join(new_base, "shard=*", "*")
+                )
+                if not os.path.basename(p).startswith((".", "_"))
+            ]
+        )
+        return {
+            "gen": new_gen,
+            "merged_upto": upto_epoch,
+            "epochs_merged": n_epochs,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
 
 
 class IcebergStageStore(StageStore):

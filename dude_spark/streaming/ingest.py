@@ -324,6 +324,7 @@ def start_incremental_dedup(
     overcap_mode: str = "star",
     prefilter_fn: Callable[[DataFrame], tuple[DataFrame, DataFrame]] | None = None,
     n_state_shards: int = 64,
+    compact_every: int | None = None,
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
@@ -371,6 +372,21 @@ def start_incremental_dedup(
     pinned in ``state_meta.json`` for the lifetime of the state dir;
     a restart with a different value is refused (a key's shard would
     silently move and cross-epoch pairs would be lost).
+
+    ``compact_every``: every K committed epochs, merge the sigs/rows
+    state accumulated so far into one base generation per store
+    (``ShardedEpochStore.compact``) so a pruned read opens O(1) file
+    sets per touched shard instead of O(epochs) — without it a
+    minute-cadence stream accumulates ~1,440 file sets per shard per
+    day and the per-file open cost eventually dominates.  Compaction
+    runs AFTER the epoch marker: a crash mid-compaction replays into
+    the marker short-circuit and the half-built generation is ignored
+    (not the committed meta) and swept by the next compaction.  Each
+    run writes an audit under ``compactions/``.  Amortized cost is
+    O(state/K) rows rewritten per epoch; on Iceberg this maps to
+    ``rewrite_data_files`` maintenance instead.  Default None (never
+    compact) — the pairs/overcap/rejected epoch dirs are append-only
+    products, not lookup state, and are never compacted.
     """
     pairs_path = os.path.join(state_dir, "pairs")
     epochs_path = os.path.join(state_dir, "epochs")
@@ -497,6 +513,20 @@ def start_incremental_dedup(
         os.makedirs(epochs_path, exist_ok=True)
         with open(marker, "w") as f:
             f.write("done")
+        # maintenance AFTER the commit marker: a replay of this epoch
+        # short-circuits above, so a crash anywhere in compact() can
+        # never merge an uncommitted epoch; the next eligible epoch's
+        # compaction sweeps any half-built generation
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            audit = {"epoch": batch_id, "sigs": sigs_store.compact(batch_id)}
+            if verify_fn is not None:
+                audit["rows"] = rows_store.compact(batch_id)
+            compactions_path = os.path.join(state_dir, "compactions")
+            os.makedirs(compactions_path, exist_ok=True)
+            with open(
+                os.path.join(compactions_path, f"epoch_{batch_id}.json"), "w"
+            ) as f:
+                json.dump(audit, f)
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
     writer = (

@@ -85,3 +85,101 @@ def test_iceberg_store_contract_parity(spark, tmp_path):
             sorted(r["v"] for r in store.read("c1").collect()),
         )
     assert results["parquet"] == results["iceberg"]
+
+
+def _state_rows(store):
+    df = store.read_for_shards(list(range(store.n_shards)))
+    if df is None:
+        return []
+    return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())
+
+
+def _mk_epoch(spark, store, epoch, rows):
+    store.write_epoch(spark.createDataFrame(rows, "k string, v int"), epoch)
+
+
+def test_sharded_store_compaction_merges_and_prunes(spark, tmp_path):
+    """compact() must preserve every row while collapsing O(epochs)
+    file sets per shard into one base generation — and repeated
+    compaction must keep rolling the base forward."""
+    from dude_spark.storage import ShardedEpochStore
+
+    store = ShardedEpochStore(spark, str(tmp_path), "s", "k", n_shards=4)
+    for e in range(3):
+        _mk_epoch(spark, store, e, [(f"k{e}-{i}", e * 10 + i) for i in range(5)])
+    before_rows = _state_rows(store)
+    before_files = store.total_data_files()
+
+    audit = store.compact(2)
+    assert audit["gen"] == 1 and audit["merged_upto"] == 2
+    assert audit["epochs_merged"] == 3
+    assert audit["files_after"] < audit["files_before"] == before_files
+    assert _state_rows(store) == before_rows
+    assert store.total_data_files() == audit["files_after"]
+    # positive epoch dirs are gone; only the base generation remains
+    assert {
+        d.split("epoch=")[-1]
+        for d in os.listdir(str(tmp_path / "s"))
+        if d.startswith("epoch=")
+    } == {"-1"}
+
+    # new epochs after compaction stack on top of the base …
+    _mk_epoch(spark, store, 3, [("k3-0", 30)])
+    assert _state_rows(store) == sorted(before_rows + [("k3-0", 30)])
+    # … and a second compaction folds base + new epoch into gen 2
+    audit2 = store.compact(3)
+    assert audit2["gen"] == 2 and audit2["merged_upto"] == 3
+    assert _state_rows(store) == sorted(before_rows + [("k3-0", 30)])
+
+    # watermark no-op: nothing below upto left to merge
+    assert store.compact(3)["epochs_merged"] == 0
+
+
+def test_sharded_store_compaction_crash_windows(spark, tmp_path):
+    """Every crash window must leave exactly one fully-live reader
+    view (class-docstring protocol): a half-built generation (rename
+    done, meta not written) is invisible and swept; a committed meta
+    with stale dirs not yet deleted reads without duplicates."""
+    import shutil
+
+    from dude_spark.storage import ShardedEpochStore
+
+    store = ShardedEpochStore(spark, str(tmp_path), "s", "k", n_shards=4)
+    _mk_epoch(spark, store, 0, [("a", 1), ("b", 2)])
+    _mk_epoch(spark, store, 1, [("c", 3)])
+    store.compact(1)
+    truth = [("a", 1), ("b", 2), ("c", 3)]
+    assert _state_rows(store) == truth
+
+    base = str(tmp_path / "s")
+    # crash window A — rename done, meta NOT written: a stray
+    # epoch=-2 dir (would-be gen 2) duplicating the base must be
+    # ignored by readers (gen is still 1) and swept by compact()
+    shutil.copytree(os.path.join(base, "epoch=-1"), os.path.join(base, "epoch=-2"))
+    assert _state_rows(store) == truth
+    _mk_epoch(spark, store, 2, [("d", 4)])
+    audit = store.compact(2)
+    assert audit["gen"] == 2  # the real gen 2, built fresh after the sweep
+    assert _state_rows(store) == sorted(truth + [("d", 4)])
+
+    # crash window B — meta committed, stale dirs NOT yet deleted: a
+    # leftover pre-merge epoch dir below the watermark must be ignored
+    # (its rows live in the base now; reading both would duplicate)
+    _mk_epoch(spark, store, 1, [("c", 3)])  # resurrect a merged epoch
+    assert _state_rows(store) == sorted(truth + [("d", 4)])
+    # and the next compaction sweeps it without changing the state
+    store.compact(2)
+    assert _state_rows(store) == sorted(truth + [("d", 4)])
+    assert not os.path.exists(os.path.join(base, "epoch=1"))
+
+
+def test_sharded_store_compaction_skips_trivial(spark, tmp_path):
+    """A single uncompacted epoch is not worth a rewrite (pure byte
+    churn) — compact() must no-op, and readers stay correct."""
+    from dude_spark.storage import ShardedEpochStore
+
+    store = ShardedEpochStore(spark, str(tmp_path), "s", "k", n_shards=2)
+    _mk_epoch(spark, store, 0, [("a", 1)])
+    audit = store.compact(0)
+    assert audit["epochs_merged"] == 0 and audit["gen"] == 0
+    assert _state_rows(store) == [("a", 1)]

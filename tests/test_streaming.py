@@ -470,3 +470,111 @@ def test_incremental_dedup_stream_prefilter(spark, tmp_path):
     assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
     rej = spark.read.parquet(os.path.join(state_dir, "rejected"))
     assert {r["image_id"] for r in rej.collect()} == {"junk1", "junk2"}
+
+
+def test_stream_state_compaction_equivalence(spark, tmp_path):
+    """compact_every folds the sigs/rows state into a base generation
+    without changing ANY emitted pair: four epochs with compact_every=2
+    produce the identical pairs table as the uncompacted run, a
+    post-compaction newcomer still pairs against a pre-compaction
+    (base-resident) row, the compaction audit shows the file-count
+    collapse, and a restart re-emits nothing."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    schema = "image_id string, bytes binary"
+
+    def verify_bytes(pairs, rows):
+        ra = rows.select(F.col("image_id").alias("a"), F.col("bytes").alias("ba"))
+        rb = rows.select(F.col("image_id").alias("b"), F.col("bytes").alias("bb"))
+        return (
+            pairs.join(ra, "a").join(rb, "b")
+            .where(F.col("ba") == F.col("bb"))
+            .select("a", "b")
+        )
+
+    def run(tag, compact_every):
+        input_dir = str(tmp_path / f"in-{tag}")
+        state_dir = str(tmp_path / f"state-{tag}")
+        epochs = [
+            [(f"e0-{i}", f"p{i}".encode()) for i in range(6)],
+            [("e1-dup", b"p1"), ("e1-new", b"q0")],
+            [("e2-a", b"r0"), ("e2-b", b"r0")],
+            # epoch 3 duplicates an EPOCH-0 payload: with
+            # compact_every=2 that row lives only in the base
+            # generation by now — the pair proves base state is read
+            [("e3-dup", b"p4")],
+        ]
+        for rows in epochs:
+            _write_batch(spark, input_dir, rows)
+            q = start_incremental_dedup(
+                spark, input_dir, state_dir, schema,
+                verify_fn=verify_bytes, state_cols=("bytes",),
+                n_state_shards=4, compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+        return input_dir, state_dir
+
+    _, plain_state = run("plain", None)
+    comp_in, comp_state = run("comp", 2)
+
+    def pairs_of(state_dir):
+        return {
+            (r["a"], r["b"])
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "pairs")
+            ).collect()
+        }
+
+    assert pairs_of(comp_state) == pairs_of(plain_state)
+    assert ("e0-4", "e3-dup") in pairs_of(comp_state)
+
+    # compaction audits: after batch 1 (epochs 0-1 merged) and batch 3
+    audits = sorted(os.listdir(os.path.join(comp_state, "compactions")))
+    assert audits == ["epoch_1.json", "epoch_3.json"]
+    with open(os.path.join(comp_state, "compactions", "epoch_3.json")) as f:
+        audit = json.load(f)
+    for side in ("sigs", "rows"):
+        assert audit[side]["files_after"] < audit[side]["files_before"]
+        assert audit[side]["merged_upto"] == 3
+    # the live state is ONE base generation per store, no epoch dirs
+    for side in ("sigs", "rows"):
+        dirs = {
+            d for d in os.listdir(os.path.join(comp_state, side))
+            if d.startswith("epoch=")
+        }
+        assert dirs == {f"epoch=-{audit[side]['gen']}"}
+
+    # fewer live files than the uncompacted twin — the point of it
+    from dude_spark.storage import ShardedEpochStore
+
+    for side, key in (("sigs", "bucket"), ("rows", "image_id")):
+        comp_files = ShardedEpochStore(
+            spark, comp_state, side, key_col=key, n_shards=4
+        ).total_data_files()
+        plain_files = ShardedEpochStore(
+            spark, plain_state, side, key_col=key, n_shards=4
+        ).total_data_files()
+        assert comp_files < plain_files
+
+    # restart over the compacted state: nothing new, nothing re-emitted
+    before = pairs_of(comp_state)
+    q = start_incremental_dedup(
+        spark, comp_in, comp_state, schema,
+        verify_fn=verify_bytes, state_cols=("bytes",),
+        n_state_shards=4, compact_every=2,
+    )
+    q.awaitTermination(120)
+    assert pairs_of(comp_state) == before
+
+    # …and a post-compaction epoch still pairs against the base
+    _write_batch(spark, comp_in, [("e4-dup", b"p2")])
+    q = start_incremental_dedup(
+        spark, comp_in, comp_state, schema,
+        verify_fn=verify_bytes, state_cols=("bytes",),
+        n_state_shards=4, compact_every=2,
+    )
+    q.awaitTermination(120)
+    assert pairs_of(comp_state) == before | {("e0-2", "e4-dup")}
