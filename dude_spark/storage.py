@@ -363,6 +363,48 @@ class ShardedEpochStore:
     def read_for_keys(self, keys_df: DataFrame) -> DataFrame | None:
         return self.read_for_shards(self.shards_for(keys_df))
 
+    def read_resolved_for_keys(
+        self, keys_df: DataFrame, exclude_epoch: int | None = None
+    ) -> DataFrame | None:
+        """Pruned read with LATEST-WINS resolution: one row per key,
+        the one from the highest epoch — the contract for *mutable*
+        state (e.g. cluster assignments), where later epochs supersede
+        earlier rows for the same key.  The base generation's negative
+        epoch sorts below every live positive epoch, so a compacted
+        (pre-resolved) base is overridden by any newer delta, exactly
+        as the raw epochs it replaced would have been.  Writers must
+        emit at most one row per key per epoch.  ``exclude_epoch``
+        drops an in-flight epoch's own rows (replay guard)."""
+        df = self.read_for_shards(self.shards_for(keys_df))
+        return self.resolve_latest(df, exclude_epoch)
+
+    def resolve_latest(
+        self, df: DataFrame | None, exclude_epoch: int | None = None
+    ) -> DataFrame | None:
+        """Latest-wins resolution of a raw epoch-partitioned read (see
+        ``read_resolved_for_keys``) — exposed separately so callers
+        doing an explicit pruned read (shards_for → read_for_shards →
+        scan_stats) can resolve the same frame they audited."""
+        from pyspark.sql import functions as F
+
+        if df is None:
+            return None
+        if exclude_epoch is not None:
+            df = df.where(F.col("epoch") != F.lit(exclude_epoch))
+        data_cols = [
+            c for c in df.columns
+            if c not in ("epoch", "shard", self.key_col)
+        ]
+        # max_by is a map-side-combinable aggregate — no window, so a
+        # hot key costs a combine, never a single fat task
+        return (
+            df.groupBy(self.key_col)
+            .agg(
+                F.max_by(F.struct(*data_cols), F.col("epoch")).alias("_r")
+            )
+            .select(self.key_col, "_r.*")
+        )
+
     def scan_stats(self, df: DataFrame | None, shards: list[int] | None = None) -> dict:
         """Prune-audit numbers for a pruned read: files opened by this
         scan + shards touched — the per-epoch evidence that state
@@ -395,12 +437,28 @@ class ShardedEpochStore:
             ]
         )
 
-    def compact(self, upto_epoch: int) -> dict:
+    def compact(self, upto_epoch: int, dedup: str | None = None) -> dict:
         """Merge every live epoch ≤ ``upto_epoch`` (plus the previous
         base generation) into one new base generation — one sorted
         file set per shard.  The caller must pass only COMMITTED
         epochs (the ingest loop compacts after writing its epoch
         marker, so an in-flight replay can never be merged).
+
+        ``dedup`` matches the state's read contract so compaction
+        never changes what a reader sees:
+
+          None        append-only state (signatures, payload rows) —
+                      every row is kept;
+          "latest"    mutable latest-wins state (the
+                      ``read_resolved_for_keys`` contract) — keep the
+                      highest-epoch row per key, which is exactly the
+                      row resolution would have picked (superseded
+                      rows are garbage by definition, so this also
+                      stops a frequently-rewritten key from growing
+                      the base forever);
+          "distinct"  set-semantics state (e.g. membership indexes
+                      read through ``.distinct()``) — duplicate rows
+                      collapse.
 
         Protocol (each step leaves a consistent reader view, see the
         class docstring): cleanup strays → write merged state to a tmp
@@ -452,6 +510,24 @@ class ShardedEpochStore:
             *[d for _, d in merge]
         )
         files_before = len(src.inputFiles())
+        data_cols = [c for c in src.columns if c not in ("epoch", "shard")]
+        if dedup == "latest":
+            # resolve to the row a read_resolved_for_keys would pick —
+            # per-row epoch is still available here (partition column)
+            others = [c for c in data_cols if c != self.key_col]
+            merged = (
+                src.groupBy(self.key_col)
+                .agg(
+                    F.max_by(F.struct(*others), F.col("epoch")).alias("_r")
+                )
+                .select(self.key_col, "_r.*")
+            )
+        elif dedup == "distinct":
+            merged = src.select(*data_cols).distinct()
+        elif dedup is None:
+            merged = src.drop("epoch", "shard")
+        else:
+            raise ValueError(f"unknown dedup mode {dedup!r}")
         tmp = os.path.join(self.base, self._TMP_DIR)
         # same write shape as write_epoch: one writer per shard (no
         # small-file explosion), key-sorted for row-group pruning; the
@@ -459,8 +535,7 @@ class ShardedEpochStore:
         # takes over, which keeps the ingest replay guard
         # (epoch != batch_id) trivially true for base rows
         (
-            src.drop("epoch", "shard")
-            .withColumn("shard", self._shard_expr())
+            merged.withColumn("shard", self._shard_expr())
             .repartition(F.col("shard"))
             .sortWithinPartitions(self.key_col)
             .write.partitionBy("shard")

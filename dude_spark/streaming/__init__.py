@@ -1,3 +1,8 @@
+from .components import (  # noqa: F401
+    assignment_stores,
+    current_assignments,
+    update_assignments,
+)
 from .ingest import (  # noqa: F401
     minhash_ingest,
     simhash_ingest,

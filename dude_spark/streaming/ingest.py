@@ -325,6 +325,7 @@ def start_incremental_dedup(
     prefilter_fn: Callable[[DataFrame], tuple[DataFrame, DataFrame]] | None = None,
     n_state_shards: int = 64,
     compact_every: int | None = None,
+    assign_clusters: bool = False,
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
@@ -387,6 +388,18 @@ def start_incremental_dedup(
     ``rewrite_data_files`` maintenance instead.  Default None (never
     compact) — the pairs/overcap/rejected epoch dirs are append-only
     products, not lookup state, and are never compacted.
+
+    ``assign_clusters``: maintain the image_id → cluster_id duplicate
+    GROUPS incrementally alongside the pairs
+    (``streaming.components.update_assignments``) — per epoch the
+    cost is the batch's pairs plus the membership of components the
+    epoch actually merges, never a CC re-run over the accumulated
+    pairs table.  The assignment state lives under ``assign/`` (and
+    its cluster→members index under ``members/``), readable at any
+    point via ``streaming.components.current_assignments`` with the
+    batch operator's exact contract (cluster_id = component min id,
+    singletons absent).  ``compact_every`` covers these stores too
+    (latest-wins / distinct modes respectively).
     """
     pairs_path = os.path.join(state_dir, "pairs")
     epochs_path = os.path.join(state_dir, "epochs")
@@ -399,6 +412,12 @@ def start_incremental_dedup(
     rows_store = ShardedEpochStore(
         spark, state_dir, "rows", key_col="image_id", n_shards=n_state_shards
     )
+    if assign_clusters:
+        from .components import assignment_stores, update_assignments
+
+        assign_store, members_store = assignment_stores(
+            spark, state_dir, n_state_shards
+        )
 
     # Shard-count pin: the shard of a key is pmod(xxhash64(key),
     # n_shards) — change n_shards mid-stream and every accumulated key
@@ -483,6 +502,10 @@ def start_incremental_dedup(
                 )
             )
             pairs = verify_fn(pairs, rows).select("a", "b")
+        if assign_clusters:
+            # the epoch's final pair table feeds the durable write AND
+            # the incremental-assignment fold — materialize once
+            pairs = pairs.localCheckpoint(eager=True)
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"epoch={batch_id}")
         )
@@ -495,6 +518,11 @@ def start_incremental_dedup(
         sigs_store.write_epoch(sigs, batch_id)
         if verify_fn is not None:
             rows_store.write_epoch(new_rows, batch_id)
+        assign_audit = None
+        if assign_clusters:
+            assign_audit = update_assignments(
+                spark, assign_store, members_store, pairs, batch_id
+            )
         # durable prune audit: the evidence each epoch's state read was
         # O(batch-touched shards), not O(corpus)
         os.makedirs(scans_path, exist_ok=True)
@@ -507,6 +535,7 @@ def start_incremental_dedup(
                     "n_state_shards": n_state_shards,
                     "sigs": sig_scan,
                     "rows": rows_scan,
+                    "assign": assign_audit,
                 },
                 f,
             )
@@ -521,6 +550,15 @@ def start_incremental_dedup(
             audit = {"epoch": batch_id, "sigs": sigs_store.compact(batch_id)}
             if verify_fn is not None:
                 audit["rows"] = rows_store.compact(batch_id)
+            if assign_clusters:
+                # dedup modes match each store's read contract — see
+                # ShardedEpochStore.compact
+                audit["assign"] = assign_store.compact(
+                    batch_id, dedup="latest"
+                )
+                audit["members"] = members_store.compact(
+                    batch_id, dedup="distinct"
+                )
             compactions_path = os.path.join(state_dir, "compactions")
             os.makedirs(compactions_path, exist_ok=True)
             with open(
