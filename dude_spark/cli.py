@@ -99,6 +99,17 @@ def _parser() -> argparse.ArgumentParser:
     st.add_argument("--continuous", action="store_true",
                     help="keep consuming micro-batches (default: drain "
                          "what's available, then stop)")
+    st.add_argument("--n-state-shards", type=int, default=64,
+                    help="pruning granularity of the durable state "
+                         "(pinned per state dir; restarts must match)")
+    st.add_argument("--compact-every", type=int, default=None,
+                    help="fold the accumulated state into one base "
+                         "generation every K epochs (pruned reads open "
+                         "O(1) file sets per shard instead of O(epochs))")
+    st.add_argument("--assign-clusters", action="store_true",
+                    help="maintain image_id→cluster_id duplicate groups "
+                         "incrementally per epoch (assign/ state dir) "
+                         "instead of requiring a batch CC over pairs/")
     st.add_argument("--cpus", type=int, default=0)
     st.add_argument("--local", action="store_true")
 
@@ -314,10 +325,15 @@ def main(argv: list[str] | None = None) -> int:
                 trigger_available_now=not a.continuous,
                 bucket_cap=a.bucket_cap,
                 overcap_mode=a.overcap_mode,
+                n_state_shards=a.n_state_shards,
+                compact_every=a.compact_every,
+                assign_clusters=a.assign_clusters,
                 **kw,
             )
             q.awaitTermination()
             print(f"pairs: {a.state}/pairs")
+            if a.assign_clusters:
+                print(f"assignments: {a.state}/assign (latest-wins)")
             return 0
         finally:
             spark.stop()

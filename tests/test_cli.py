@@ -192,3 +192,37 @@ def test_cli_mix_max_repeat(spark, tmp_path, monkeypatch, capsys):
     assert mixed.where("lang = 'en'").select("epoch").distinct().collect() == [
         (1,)
     ] or mixed.where("lang = 'en' and epoch > 1").count() == 0
+
+
+def test_cli_stream_assign_and_compact_flags(spark, tmp_path, monkeypatch, capsys):
+    """--assign-clusters and --compact-every reach the ingest loop:
+    incremental groups land under assign/ (latest-wins) and the state
+    is compacted to a base generation."""
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [("b", b"same"), ("c", b"same"), ("a", b"same")],
+        "image_id string, bytes binary",
+    )
+    df.coalesce(1).write.parquet(input_dir)
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rc = cli.main([
+        "stream", "--input", input_dir, "--state", state_dir,
+        "--n-state-shards", "4", "--compact-every", "1",
+        "--assign-clusters",
+    ])
+    assert rc == 0
+    assert "assignments:" in capsys.readouterr().out
+
+    from dude_spark.streaming import assignment_stores, current_assignments
+
+    a_store, _ = assignment_stores(spark, state_dir, 4)
+    got = {
+        r["image_id"]: r["cluster_id"]
+        for r in current_assignments(spark, a_store).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}
+    # compact-every=1 folded epoch 0's state into a base generation
+    assert os.path.exists(os.path.join(state_dir, "compactions", "epoch_0.json"))
