@@ -153,3 +153,37 @@ def test_stream_assign_clusters_end_to_end(spark, tmp_path):
     with open(os.path.join(state_dir, "scans", "epoch_2.json")) as f:
         scan = json.load(f)
     assert scan["assign"]["epoch"] == 2
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_incremental_cc_randomized_streams(spark, tmp_path, seed):
+    """Seeded fuzz: random pair streams over a small id universe (so
+    merges are frequent), with a compaction injected mid-stream, must
+    equal batch CC over the cumulative pairs after EVERY epoch.  A
+    hypothesis-per-example Spark round trip would be minutes per
+    example; three seeded streams buy the same breadth tractably."""
+    import random
+
+    rng = random.Random(seed)
+    ids = [f"n{i:02d}" for i in range(12)]
+    a_store, m_store = assignment_stores(
+        spark, str(tmp_path / str(seed)), n_shards=4
+    )
+    compact_at = rng.randrange(1, 4)
+    cumulative = []
+    for e in range(5):
+        pairs = [
+            tuple(rng.sample(ids, 2)) for _ in range(rng.randrange(1, 5))
+        ]
+        pdf = spark.createDataFrame(pairs, "a string, b string")
+        update_assignments(spark, a_store, m_store, pdf, e)
+        cumulative += pairs
+        assert _assign_map(spark, a_store) == _batch_cc_map(spark, cumulative), (
+            f"seed {seed}: divergence after epoch {e} (pairs {cumulative})"
+        )
+        if e == compact_at:
+            a_store.compact(e, dedup="latest")
+            m_store.compact(e, dedup="distinct")
+            assert _assign_map(spark, a_store) == _batch_cc_map(
+                spark, cumulative
+            ), f"seed {seed}: divergence after compaction at epoch {e}"
