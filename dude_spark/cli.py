@@ -231,7 +231,14 @@ def _parser() -> argparse.ArgumentParser:
     s.add_argument("--checkpoint", required=True)
 
     g = sub.add_parser("results", help="summarize latest assignments")
-    g.add_argument("--checkpoint", required=True)
+    src = g.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint",
+                     help="batch pipeline checkpoint dir "
+                          "(stages/components)")
+    src.add_argument("--state",
+                     help="streaming state dir written with "
+                          "--assign-clusters: summarize the live "
+                          "incremental assignments instead")
     g.add_argument("--groups", type=int, default=0, metavar="N",
                    help="also print the N largest duplicate groups nested "
                         "(rep + members, ≅ GetResults runner.go:283-291)")
@@ -616,7 +623,30 @@ def main(argv: list[str] | None = None) -> int:
         try:
             from pyspark.sql import functions as F
 
-            assigns = spark.read.parquet(f"{a.checkpoint}/stages/components")
+            if a.state:
+                # streaming twin: the incremental assignment state is
+                # the same (image_id, cluster_id) contract the batch
+                # components stage writes, so the whole report surface
+                # below works on it unchanged
+                import json as _json
+
+                from .streaming.components import (
+                    assignment_stores,
+                    current_assignments,
+                )
+
+                import os as _os
+
+                with open(
+                    _os.path.join(a.state, "state_meta.json")
+                ) as f:
+                    n_shards = _json.load(f)["n_state_shards"]
+                a_store, _ = assignment_stores(spark, a.state, n_shards)
+                assigns = current_assignments(spark, a_store)
+            else:
+                assigns = spark.read.parquet(
+                    f"{a.checkpoint}/stages/components"
+                )
             sizes = assigns.groupBy("cluster_id").count()
             n_rows = assigns.count()
             n_groups = sizes.count()

@@ -226,3 +226,30 @@ def test_cli_stream_assign_and_compact_flags(spark, tmp_path, monkeypatch, capsy
     assert got == {"a": "a", "b": "a", "c": "a"}
     # compact-every=1 folded epoch 0's state into a base generation
     assert os.path.exists(os.path.join(state_dir, "compactions", "epoch_0.json"))
+
+
+def test_cli_results_from_streaming_state(spark, tmp_path, monkeypatch, capsys):
+    """results --state summarizes the live incremental assignments
+    (streaming twin of the batch components stage) with the same
+    nested-groups surface."""
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [("b", b"x"), ("c", b"x"), ("a", b"x"), ("p", b"y"), ("q", b"y")],
+        "image_id string, bytes binary",
+    )
+    df.coalesce(1).write.parquet(input_dir)
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    assert cli.main([
+        "stream", "--input", input_dir, "--state", state_dir,
+        "--n-state-shards", "4", "--assign-clusters",
+    ]) == 0
+    capsys.readouterr()
+
+    rc = cli.main(["results", "--state", state_dir, "--groups", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "5 rows in 2 duplicate groups" in out
+    assert "a (3):" in out and "p (2):" in out
