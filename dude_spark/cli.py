@@ -272,6 +272,22 @@ def _config_from_args(a: argparse.Namespace) -> JobConfig:
     ).validated()
 
 
+def _stream_config_id(detector: str, det_cfg) -> str:
+    """Deterministic id of the stream's bucket/verify configuration —
+    the streaming twin of JobConfig.config_id, pinned in the state
+    dir's meta so a detector swap on accumulated state is refused
+    (incompatible bucket keys = silent cross-epoch recall loss)."""
+    import dataclasses
+    import hashlib
+    import json as _json
+
+    sub: dict = {"detector": detector}
+    if det_cfg is not None:
+        sub.update(dataclasses.asdict(det_cfg))
+    blob = _json.dumps(sub, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 def _local_master(cpus: int) -> str:
     """--cpus 0 means 'all cores' everywhere in this CLI: the run
     subcommand gets that from JobConfig.validated()'s clamp, but the
@@ -297,6 +313,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             kw = {}
+            det_cfg = None
             if a.detector in ("minhash", "simhash", "suffix"):
                 if a.detector == "minhash":
                     from .streaming import minhash_ingest
@@ -307,6 +324,7 @@ def main(argv: list[str] | None = None) -> int:
                         else MinHashConfig()
                     )
                     bucket_fn, verify_fn, state_cols = minhash_ingest(mh)
+                    det_cfg = mh
                 elif a.detector == "suffix":
                     from .streaming import suffix_ingest
 
@@ -316,10 +334,15 @@ def main(argv: list[str] | None = None) -> int:
                         else SuffixConfig()
                     )
                     bucket_fn, verify_fn, state_cols = suffix_ingest(sx)
+                    det_cfg = sx
                 else:
                     from .streaming import simhash_ingest
 
-                    bucket_fn, verify_fn, state_cols = simhash_ingest()
+                    # the preset's own default: caption channel only (a
+                    # bytes-less text stream carries no phash column)
+                    sh_cfg = SimHashConfig(use_phash=False)
+                    bucket_fn, verify_fn, state_cols = simhash_ingest(sh_cfg)
+                    det_cfg = sh_cfg
                 kw = dict(
                     bucket_fn=bucket_fn,
                     verify_fn=verify_fn,
@@ -335,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_state_shards=a.n_state_shards,
                 compact_every=a.compact_every,
                 assign_clusters=a.assign_clusters,
+                state_config_id=_stream_config_id(a.detector, det_cfg),
                 **kw,
             )
             q.awaitTermination()

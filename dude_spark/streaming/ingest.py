@@ -326,6 +326,7 @@ def start_incremental_dedup(
     n_state_shards: int = 64,
     compact_every: int | None = None,
     assign_clusters: bool = False,
+    state_config_id: str | None = None,
 ):
     """Start the ingest-dedup stream; returns the StreamingQuery.
 
@@ -400,6 +401,16 @@ def start_incremental_dedup(
     batch operator's exact contract (cluster_id = component min id,
     singletons absent).  ``compact_every`` covers these stores too
     (latest-wins / distinct modes respectively).
+
+    ``state_config_id``: opt-in detector pin.  A restart that swaps
+    the detector (or its signature-affecting config) on an existing
+    state dir compares incompatible bucket keys — old signatures
+    never collide with new ones, so every cross-epoch pair silently
+    vanishes (the n_state_shards failure class, detector-shaped).
+    Pass a stable id naming the bucket/verify configuration (the CLI
+    derives one from detector + thresholds + state_cols) and a
+    mismatched restart is refused; legacy state dirs adopt the pin on
+    first pinned restart.
     """
     pairs_path = os.path.join(state_dir, "pairs")
     epochs_path = os.path.join(state_dir, "epochs")
@@ -423,6 +434,14 @@ def start_incremental_dedup(
     # n_shards) — change n_shards mid-stream and every accumulated key
     # moves shards, so pruned reads would MISS known state (silent
     # recall loss, the worst failure mode).  Refuse loudly instead.
+    # Detector pin (state_config_id): the same failure class hides in
+    # a detector/config switch on an existing state dir — the new
+    # bucket_fn's keys live in a different value space, so old
+    # signatures simply never collide with new ones and cross-epoch
+    # pairs silently vanish.  bucket_fn is an opaque callable, so the
+    # guard is opt-in: callers that can name their config (the CLI
+    # does, from detector + thresholds + state_cols) pass it and a
+    # mismatched restart is refused.
     meta_path = os.path.join(state_dir, "state_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -435,6 +454,25 @@ def start_incremental_dedup(
                 "silently drop new-vs-known pairs — reuse the original "
                 "value or start a fresh state_dir + checkpoint"
             )
+        pinned_cid = meta.get("config_id")
+        if (
+            state_config_id is not None
+            and pinned_cid is not None
+            and pinned_cid != state_config_id
+        ):
+            raise ValueError(
+                f"state dir {state_dir} holds signatures from detector "
+                f"config {pinned_cid!r}; restarting with "
+                f"{state_config_id!r} would compare incompatible bucket "
+                "keys and silently drop every cross-epoch pair — reuse "
+                "the original config or start a fresh state_dir + "
+                "checkpoint"
+            )
+        if state_config_id is not None and pinned_cid is None:
+            # legacy meta (pre-config-id): adopt the pin in place
+            meta["config_id"] = state_config_id
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
     elif os.path.exists(os.path.join(state_dir, "sigs")):
         raise ValueError(
             f"state dir {state_dir} holds pre-sharded signature state "
@@ -443,7 +481,14 @@ def start_incremental_dedup(
     else:
         os.makedirs(state_dir, exist_ok=True)
         with open(meta_path, "w") as f:
-            json.dump({"n_state_shards": n_state_shards, "version": 1}, f)
+            json.dump(
+                {
+                    "n_state_shards": n_state_shards,
+                    "config_id": state_config_id,
+                    "version": 2,
+                },
+                f,
+            )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # Replay idempotency WITHOUT transactions: every epoch writes

@@ -253,3 +253,27 @@ def test_cli_results_from_streaming_state(spark, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "5 rows in 2 duplicate groups" in out
     assert "a (3):" in out and "p (2):" in out
+
+
+def test_cli_stream_pins_detector_config(spark, tmp_path, monkeypatch):
+    """The CLI derives a config id from the detector + its thresholds
+    and pins it: re-running with a different detector on the same
+    state dir is refused instead of silently finding nothing."""
+    import pytest
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [("a", b"x"), ("b", b"x")], "image_id string, bytes binary"
+    )
+    df.coalesce(1).write.parquet(input_dir)
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    assert cli.main(["stream", "--input", input_dir, "--state", state_dir]) == 0
+    with pytest.raises(ValueError, match="detector config"):
+        cli.main([
+            "stream", "--input", input_dir, "--state", state_dir,
+            "--schema", "image_id string, caption string",
+            "--detector", "minhash",
+        ])

@@ -578,3 +578,54 @@ def test_stream_state_compaction_equivalence(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert pairs_of(comp_state) == before | {("e0-2", "e4-dup")}
+
+
+def test_stream_detector_pin_refuses_config_swap(spark, tmp_path):
+    """A detector/config swap on an existing state dir compares
+    incompatible bucket keys — old signatures never collide with new
+    ones, so cross-epoch pairs silently vanish.  With state_config_id
+    the restart is refused loudly; legacy (unpinned) dirs adopt the
+    pin on first pinned restart."""
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary"
+    _write_batch(spark, input_dir, [("a", b"x"), ("b", b"x")])
+
+    def drain(cid):
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema, state_config_id=cid,
+        )
+        q.awaitTermination(120)
+
+    drain("exact|v1")
+    # same pin: accepted across restart
+    _write_batch(spark, input_dir, [("c", b"x")])
+    drain("exact|v1")
+    # different pin: refused before any state is touched
+    with pytest.raises(ValueError, match="detector config"):
+        start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            state_config_id="minhash|v1",
+        )
+    # unpinned restart on a pinned dir: allowed (opt-in guard)
+    _write_batch(spark, input_dir, [("d", b"x")])
+    q = start_incremental_dedup(spark, input_dir, state_dir, schema)
+    q.awaitTermination(120)
+
+    # legacy dir (no config_id in meta) adopts the pin in place
+    import json as _json
+
+    meta_path = os.path.join(state_dir, "state_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta.pop("config_id", None)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    _write_batch(spark, input_dir, [("e", b"x")])
+    drain("exact|v2")  # adopts
+    with open(meta_path) as f:
+        assert _json.load(f)["config_id"] == "exact|v2"
+    with pytest.raises(ValueError, match="detector config"):
+        start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            state_config_id="exact|v3",
+        )
