@@ -183,3 +183,62 @@ def test_sharded_store_compaction_skips_trivial(spark, tmp_path):
     audit = store.compact(0)
     assert audit["epochs_merged"] == 0 and audit["gen"] == 0
     assert _state_rows(store) == [("a", 1)]
+
+
+def test_iceberg_epoch_store_probe_fails_fast(spark):
+    from dude_spark.storage import IcebergEpochStore
+
+    if _iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — probe-failure path N/A")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergEpochStore(spark, "sigs", key_col="bucket")
+
+
+def test_iceberg_epoch_store_contract_parity(spark, tmp_path):
+    """Executable twin claim: where the Iceberg runtime IS present,
+    IcebergEpochStore must satisfy the ShardedEpochStore read/write
+    contract — epoch overwrite idempotency, pruned shard reads,
+    latest-wins resolution, row-preserving compaction — with results
+    identical to the parquet store's.  Skips here (no jar)."""
+    from dude_spark.storage import IcebergEpochStore, ShardedEpochStore
+
+    if not _iceberg_available(spark):
+        pytest.skip(
+            "org.apache.iceberg not on the Spark classpath — submit with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime to run"
+        )
+    stores = {
+        "parquet": ShardedEpochStore(
+            spark, str(tmp_path), "s", key_col="k", n_shards=4
+        ),
+        "iceberg": IcebergEpochStore(
+            spark, "parity_s", key_col="k", n_shards=4
+        ),
+    }
+    results = {}
+    for name, store in stores.items():
+        e0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        e1 = spark.createDataFrame([("a", 10), ("c", 3)], "k string, v int")
+        store.write_epoch(e0, 0)
+        store.write_epoch(e1, 1)
+        store.write_epoch(e1, 1)  # replay: epoch overwrite, no dup rows
+        keys = spark.createDataFrame([("a",)], "k string")
+        pruned = store.read_for_keys(keys)
+        resolved = store.read_resolved_for_keys(keys)
+        store.compact(1)
+        after = store.read_resolved_for_keys(keys)
+        results[name] = (
+            sorted(
+                (r["k"], r["v"], r["epoch"])
+                for r in pruned.select("k", "v", "epoch").collect()
+            ),
+            sorted((r["k"], r["v"]) for r in resolved.collect()),
+            sorted((r["k"], r["v"]) for r in after.collect()),
+        )
+    # iceberg prunes by partition metadata, parquet by shard dirs —
+    # both must surface the same rows with the same resolution
+    # (modulo the parquet base's folded epoch: compare resolved views)
+    assert results["parquet"][1] == results["iceberg"][1]
+    assert results["parquet"][2] == results["iceberg"][2]
+    # the raw pruned read agrees wherever epochs survive (pre-compact)
+    assert results["parquet"][0] == results["iceberg"][0]
