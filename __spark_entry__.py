@@ -32,6 +32,8 @@ from dude_spark.detectors.simhash import (
 from dude_spark.detectors.suffix import suffix_buckets, suffix_signatures, verify_substring
 from dude_spark.functions.embedding import ann_topk, brute_force_topk, cosine_dup_pairs
 from dude_spark.functions.events import (
+    asof_join,
+    range_pairs,
     sessionize,
     sliding_window_stats,
     tumbling_window_stats,
@@ -44,6 +46,7 @@ from dude_spark.functions.splits import (
 )
 from dude_spark.functions.text import (
     bpe_token_count,
+    tokens,
     lang_id,
     norm_fingerprint,
     punct_count,
@@ -65,7 +68,7 @@ from dude_spark.operators.pii import (
 )
 from dude_spark.operators.shards import shard_assignment
 from dude_spark.operators.boilerplate import boilerplate_ngrams
-from dude_spark.operators.textdedup import ngram_jaccard_pairs
+from dude_spark.operators.textdedup import chunk_dedup, ngram_jaccard_pairs
 from dude_spark.operators.verify import (
     prefilter_minhash,
     verify_hamming,
@@ -584,6 +587,70 @@ def q_user_sessions(spark, sf_dir):
     return sessionize(_events(spark, sf_dir))
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (functions/events.asof_join): every click attached
+    to the user's most recent prior view — the point-in-time-correct
+    attribution join Spark has no operator for.  Runs the TIME-SLICED
+    (bucket_seconds=1 day) scale path so the oracle gates the
+    cross-bucket carry machinery, not just the plain window.  Nulls
+    (clicks with no prior view) coalesce to -1 on both engines."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, views, bucket_seconds=86400)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    r_us = F.unix_micros(F.col("r_ts").cast("timestamp"))
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        us.alias("click_ts_us"),
+        F.coalesce(F.col("r_event_id"), F.lit(-1)).cast("long").alias("view_event_id"),
+        F.coalesce(us - r_us, F.lit(-1)).cast("long").alias("gap_us"),
+    )
+
+
+def q_event_pairs_range(spark, sf_dir):
+    """Interval self-join (functions/events.range_pairs): same-user
+    event pairs within 30 minutes, via gap-width time binning — two
+    equi-join probes per event, never a per-user cartesian; the
+    DuckDB twin is the literal inequality join."""
+    out = range_pairs(_events(spark, sf_dir), gap_seconds=1800)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("gap_us").cast("long").alias("gap_us"),
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-granularity exact dedup (operators/textdedup.chunk_dedup,
+    Lee et al. 2022's tractable form): first-occurrence-wins over
+    non-overlapping 10-token chunks, verified through the md5-of-
+    rebuilt-text rewrite oracle (the PII-scrub trick).  Planted live
+    slices: 30 full copies (collapse to n_kept=0) and 10 partial
+    copies (first 20 tokens shared + a unique tail -> exactly the
+    tail chunk survives), so a keeper-selection or rebuild defect
+    shifts hashes immediately."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    partial = docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(tokens(F.col("text")), 1, 20), " "),
+            F.lit(" zzchunktail"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return chunk_dedup(docs.unionByName(copies).unionByName(partial), chunk_tokens=10)
+
+
 def q_embedding_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 5)
@@ -959,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": q_event_window_stats,
         "sliding_window_stats": q_sliding_window_stats,
         "user_sessions": q_user_sessions,
+        "asof_attribution": q_asof_attribution,
+        "event_pairs_range": q_event_pairs_range,
+        "chunk_dedup": q_chunk_dedup,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
         "rep_selection": q_rep_selection,
@@ -1552,6 +1622,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_x100
             FROM sessed GROUP BY user_id, sess
+        """,
+        # asof_attribution: the literal most-recent-prior-view join —
+        # rn=1 over (ts DESC, event_id DESC) is the same total order as
+        # Spark's (ts, side, id) carry-forward; -1 coalesces on both
+        # engines so the unmatched-click rows hash identically
+        "asof_attribution": """
+            WITH c AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            v AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'
+            ),
+            m AS (
+              SELECT c.event_id, v.event_id AS vid, v.ts AS vts,
+                     row_number() OVER (
+                       PARTITION BY c.event_id
+                       ORDER BY v.ts DESC, v.event_id DESC
+                     ) AS rn
+              FROM c JOIN v
+                ON v.user_id = c.user_id AND v.ts <= c.ts
+            )
+            SELECT CAST(c.event_id AS BIGINT) AS event_id,
+                   CAST(c.user_id AS BIGINT) AS user_id,
+                   epoch_us(c.ts) AS click_ts_us,
+                   CAST(coalesce(m.vid, -1) AS BIGINT) AS view_event_id,
+                   CAST(coalesce(epoch_us(c.ts) - epoch_us(m.vts), -1) AS BIGINT)
+                     AS gap_us
+            FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+              USING (event_id)
+        """,
+        # event_pairs_range: the literal inequality self-join DuckDB
+        # can afford at sf0.01 — Spark's binned equi-join must emit the
+        # identical pair set (1800000000 us fits INT32's 2^31-1, no
+        # overflow; strictly-after = (ts, event_id) lexicographic)
+        "event_pairs_range": """
+            SELECT CAST(a.user_id AS BIGINT) AS user_id,
+                   CAST(a.event_id AS BIGINT) AS a,
+                   CAST(b.event_id AS BIGINT) AS b,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+              AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+              AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        """,
+        # chunk_dedup: first-occurrence-wins via a per-chunk
+        # row_number (oracle scale) vs Spark's combinable min-struct
+        # aggregate; rebuilt text compared through md5 (rewrite
+        # oracle).  Plants mirror q_chunk_dedup exactly: full copies
+        # at +200000, 20-shared-tokens partials at +300000.
+        "chunk_dedup": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000, text FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 300000,
+                     array_to_string(
+                       (regexp_split_to_array(trim(text), '\\s+'))[1:20], ' ')
+                       || ' zzchunktail' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id >= 30 AND doc_id < 40
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM base WHERE length(trim(text)) > 0
+            ),
+            chunks AS (
+              SELECT doc_id, i AS idx,
+                     array_to_string(w[(i*10+1):((i+1)*10)], ' ') AS chunk
+              FROM toks, LATERAL unnest(
+                generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)
+              ) AS u(i)
+            ),
+            flagged AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, idx
+                     ) AS rn
+              FROM chunks
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_chunks,
+                     sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                     md5(coalesce(
+                       string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                  ' ' ORDER BY idx), '')) AS dedup_fp
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.dedup_fp, md5('')) AS dedup_fp
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "substring_pairs": """
             WITH g AS (

@@ -14,6 +14,17 @@ event tables (the driver's `events` table), built scale-first:
                           (the length_deciles lesson); skew is bounded
                           by the hottest single user, and the session
                           id is deterministic (first event's epoch).
+  asof_join               most-recent-prior match per key (the
+                          attribution / point-in-time-correct join
+                          Spark has no operator for): union-tag +
+                          per-key carry-forward, with an optional
+                          TIME-SLICED variant that bounds every window
+                          task by (key, bucket) instead of the hottest
+                          key's full history.
+  range_pairs             interval self-join (pairs of same-key events
+                          within a gap) via gap-width time binning —
+                          two equi-join probes per row, never a
+                          per-key cartesian.
 
 Outputs are integers (epoch seconds, counts, value sums pre-rounded
 per event to ×100 longs) so the DuckDB oracle twins hash exactly.
@@ -145,5 +156,168 @@ def sessionize(
             "session_start",
             "n_events",
             "sum_value_x100",
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    prefix: str = "r_",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join: attach to every LEFT row the most recent RIGHT row
+    of the same key with ``right.ts <= left.ts`` (inclusive — a right
+    event at exactly the left's timestamp matches).  Ties on ts resolve
+    to the largest ``id_col`` — a total, engine-independent order, so a
+    SQL oracle (``ORDER BY ts DESC, id DESC LIMIT 1``) agrees exactly.
+
+    Spark has no native as-of operator; a naive range join is
+    O(|left|·|right|) per key.  This is the union-tag formulation:
+    tag rights 0 / lefts 1, sort per key by (ts, side, id) — side
+    places a same-instant right BEFORE the left that should see it —
+    and carry the last right payload forward with
+    ``last(ignorenulls)``.  One keyed shuffle, no join at all.
+
+    Scale: the plain path sorts each key's full history in one window
+    task — fine when per-key volume is bounded (human users), a
+    straggler for bot keys at 10^12 events.  ``bucket_seconds`` bounds
+    that: rows slice into (key, time-bucket) window partitions, each
+    bucket also aggregates its LAST right row (a combinable max-struct
+    agg), a per-key window over the tiny bucket-summary frame carries
+    the previous buckets' last right into each bucket, and the final
+    match is coalesce(local carry, previous-bucket carry).  No task
+    ever sees more than one key-bucket of rows; the cross-bucket
+    window handles #buckets rows per key, not #events.
+
+    Returns all LEFT columns plus the RIGHT's non-key columns renamed
+    ``{prefix}<name>`` (null where no prior right event exists).
+    """
+    r_payload = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on),
+        F.col(ts_col).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_aid"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("_rv"),
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.col(id_col).alias("_aid"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("_ats"), F.col("_side"), F.col("_aid")]
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
+    else:
+        bucket_us = int(bucket_seconds) * 1_000_000
+        u = u.withColumn(
+            "_b", F.floor(F.unix_micros(F.col("_ats").cast("timestamp")) / bucket_us)
+        )
+        # carry WITHIN each (key, bucket) slice — task size is bounded
+        # by the bucket, not the key's history
+        wl = (
+            Window.partitionBy(on, "_b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        u = u.withColumn("_ml", F.last("_rv", ignorenulls=True).over(wl))
+        # last right per (key, bucket): combinable agg — (_ats, _aid)
+        # is unique per right row, so the struct max never compares _rv
+        bucket_last = (
+            u.where(F.col("_side") == 0)
+            .groupBy(on, "_b")
+            .agg(F.max(F.struct("_ats", "_aid", "_rv")).alias("_bl"))
+        )
+        # previous buckets' last right, carried across the SUMMARY
+        # frame (#buckets rows per key, never #events)
+        wb = Window.partitionBy(on).orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = (
+            u.select(on, "_b")
+            .distinct()
+            .join(bucket_last, [on, "_b"], "left")
+            .withColumn("_prev", F.last("_bl", ignorenulls=True).over(wb))
+            .select(on, "_b", F.col("_prev._rv").alias("_pv"))
+        )
+        matched = u.join(carry, [on, "_b"]).withColumn(
+            "_m", F.coalesce(F.col("_ml"), F.col("_pv"))
+        )
+    return matched.where(F.col("_side") == 1).select(
+        F.col("_lv.*"),
+        *[F.col(f"_m.{c}").alias(prefix + c) for c in r_payload],
+    )
+
+
+def range_pairs(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Interval self-join: all pairs of same-key events at most
+    ``gap_seconds`` apart, each pair exactly once, oriented
+    chronologically (``a`` strictly before ``b`` by (ts, id)).
+
+    Spark plans an inequality self-join as a per-key cartesian; the
+    scale-correct shape is gap-width time BINNING: with bins of
+    exactly the gap, a qualifying partner is always in the anchor's
+    own bin or the next one, so each anchor probes two equi-join keys
+    — (key, bin) and (key, bin+1) — and the inequality filter runs
+    AFTER a hash join, never inside a nested loop.  The two probe
+    cases are disjoint (a partner's bin is one of the two, never
+    both), so no dedup pass is needed.
+
+    Skew note: output cardinality is inherently quadratic in
+    per-(key, bin) density — a key with M events inside one gap
+    window genuinely HAS M·(M-1)/2 qualifying pairs.  That is a
+    property of the query, not the plan; callers on heavy-tailed keys
+    should pre-cap with an audited filter (the candidates.py bucket
+    pattern) before pairing.
+
+    Returns (on, a, b, gap_us): event ids plus their microsecond gap.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    e = events.select(
+        F.col(on),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_eid"),
+    ).withColumn("_bin", F.floor(F.col("_us") / gap_us))
+    probe = e.select(
+        on,
+        "_us",
+        "_eid",
+        F.explode(F.array(F.col("_bin"), F.col("_bin") + 1)).alias("_jb"),
+    )
+    build = e.select(
+        F.col(on),
+        F.col("_us").alias("_us2"),
+        F.col("_eid").alias("_eid2"),
+        F.col("_bin").alias("_jb"),
+    )
+    after = (F.col("_us2") > F.col("_us")) | (
+        (F.col("_us2") == F.col("_us")) & (F.col("_eid2") > F.col("_eid"))
+    )
+    return (
+        probe.join(build, [on, "_jb"])
+        .where(after & (F.col("_us2") - F.col("_us") <= F.lit(gap_us)))
+        .select(
+            F.col(on),
+            F.col("_eid").alias("a"),
+            F.col("_eid2").alias("b"),
+            (F.col("_us2") - F.col("_us")).alias("gap_us"),
         )
     )

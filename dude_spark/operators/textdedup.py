@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import word_ngrams
+from ..functions.text import tokens, word_ngrams
 from ..session import ensure_min_partitions
 
 
@@ -82,3 +82,79 @@ def ngram_jaccard_pairs(
     )
     out.dropped_grams = dropped  # type: ignore[attr-defined]
     return out
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Chunk-granularity exact dedup (the tractable form of Lee et
+    al. 2022's exact-substring dedup, and the batch analogue of
+    CCNet's paragraph dedup for corpora without paragraph breaks):
+    split every document into non-overlapping ``chunk_tokens``-token
+    chunks, keep only each distinct chunk's FIRST corpus occurrence
+    (min (doc_id, chunk_idx) — deterministic, append-stable for
+    existing docs), and report the rebuilt per-document text.
+
+    Returns (doc_id, n_chunks, n_kept, dedup_fp) — dedup_fp is the
+    md5 of the kept chunks re-joined in document order (the PII-scrub
+    rewrite-oracle trick: a full-text rewrite verified through one
+    32-char column).  Documents whose every chunk appeared earlier
+    collapse to md5('') with n_kept = 0; empty documents survive with
+    n_chunks = 0.
+
+    Scale shape: chunking is pure codegen (sequence + transform +
+    slice, no UDF); the dedup decision is ONE combinable min-struct
+    aggregate keyed by xxhash64(chunk) — 8-byte shuffle keys, never
+    the chunk text (a 64-bit collision merges two distinct chunks
+    with probability ~|chunks|²/2^64: the same documented contract as
+    the gram hashing above).  The rebuild is a per-document aggregate
+    whose buffer is bounded by that document's own chunk count.
+    """
+    w = int(chunk_tokens)
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    chunk_at = lambda i: F.array_join(F.slice(toks, i * w + 1, w), " ")
+    chunks = F.when(
+        F.size(toks) > 0, F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at)
+    ).otherwise(F.array().cast("array<string>"))
+    ex = ensure_min_partitions(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select("doc", F.posexplode(chunks).alias("idx", "chunk"))
+    ex = ex.withColumn("k", F.xxhash64("chunk"))
+    first = ex.groupBy("k").agg(F.min(F.struct("doc", "idx")).alias("keeper"))
+    flagged = ex.join(first, "k").withColumn(
+        "keep", (F.col("doc") == F.col("keeper.doc")) & (F.col("idx") == F.col("keeper.idx"))
+    )
+    per_doc = flagged.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    # collect_list drops nulls, so the when() keeps
+                    # only surviving chunks; array_sort on (idx, chunk)
+                    # restores document order (idx is unique per doc)
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("dedup_fp"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("dedup_fp"), F.md5(F.lit(""))).alias("dedup_fp"),
+        )
+    )
