@@ -38,7 +38,7 @@ from dude_spark.functions.events import (
     sliding_window_stats,
     tumbling_window_stats,
 )
-from dude_spark.functions.ranking import ntile_exact
+from dude_spark.functions.ranking import grouped_topk, ntile_exact
 from dude_spark.functions.splits import (
     deterministic_sample,
     hash_split,
@@ -67,6 +67,7 @@ from dude_spark.operators.pii import (
     redact_text,
 )
 from dude_spark.operators.shards import shard_assignment
+from dude_spark.operators.snapshot import snapshot_diff
 from dude_spark.operators.boilerplate import boilerplate_ngrams
 from dude_spark.operators.textdedup import chunk_dedup, ngram_jaccard_pairs
 from dude_spark.operators.verify import (
@@ -651,6 +652,52 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup(docs.unionByName(copies).unionByName(partial), chunk_tokens=10)
 
 
+def q_top_docs_per_source(spark, sf_dir):
+    """Exact top-3 longest docs per (lang, source)
+    (functions/ranking.grouped_topk): salted two-level combinable
+    aggregate — a hot group never streams through one WindowExec task
+    (final buffer ≤ n_salt·k rows whatever the group size); descending
+    order via negation, doc_id tiebreak for totality."""
+    docs = _docs(spark, sf_dir).select(
+        "lang", "source", "doc_id", "n_chars", (-F.col("n_chars")).alias("_neg")
+    )
+    out = grouped_topk(docs, ["lang", "source"], ["_neg", "doc_id"], k=3)
+    return out.select(
+        "lang",
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/snapshot.snapshot_diff): the
+    queryable form of the reference's (size, mtime) incremental probe
+    (hashing.go:73-88 semantics) — added/removed/changed ids between
+    two corpus versions, fingerprints reduced to md5 BEFORE the
+    full-outer join so payload never rides the shuffle.  The 'new'
+    snapshot is derived deterministically: ids ≡0 (mod 97) removed,
+    texts of ids ≡0 (mod 89) rewritten, 25 fresh ids appended."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 97 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" zzrev"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    out = snapshot_diff(docs, mutated.unionByName(added))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "old_fp",
+        "new_fp",
+        "status",
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 5)
@@ -1029,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "event_pairs_range": q_event_pairs_range,
         "chunk_dedup": q_chunk_dedup,
+        "top_docs_per_source": q_top_docs_per_source,
+        "snapshot_diff": q_snapshot_diff,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
         "rep_selection": q_rep_selection,
@@ -1667,6 +1716,48 @@ def oracle_sql() -> dict[str, str]:
               ON b.user_id = a.user_id
               AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
               AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+        """,
+        # top_docs_per_source: DuckDB's per-group row_number IS the
+        # hot-window anti-pattern Spark must avoid; fine at oracle
+        # scale, and QUALIFY makes the intent explicit
+        "top_docs_per_source": """
+            SELECT lang, source,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(row_number() OVER (
+                     PARTITION BY lang, source
+                     ORDER BY n_chars DESC, doc_id
+                   ) AS BIGINT) AS rank
+            FROM documents
+            QUALIFY rank <= 3
+        """,
+        # snapshot_diff: literal full-outer fingerprint compare over
+        # the same deterministic mutation (remove %97, rewrite %89,
+        # add 25); unchanged rows excluded on both engines
+        "snapshot_diff": """
+            WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            n0 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 89 = 0 THEN text || ' zzrev'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 400000, text FROM documents WHERE doc_id < 25
+            ),
+            n AS (SELECT doc_id, md5(text) AS fp FROM n0),
+            j AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     o.fp AS old_fp, n.fp AS new_fp
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   coalesce(old_fp, '') AS old_fp,
+                   coalesce(new_fp, '') AS new_fp,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM j
+            WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
         """,
         # chunk_dedup: first-occurrence-wins via a per-chunk
         # row_number (oracle scale) vs Spark's combinable min-struct

@@ -172,3 +172,62 @@ def ntile_exact(
             + F.lit(1)
         )
     return ranked.withColumn(out_col, tile.cast("long")).drop("__rn")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Exact top-k rows PER GROUP without a per-group window task.
+
+    Keeps, for every distinct ``group_cols`` value, the ``k`` smallest
+    rows under the ascending lexicographic order of ``order_cols``
+    (negate a numeric column for descending; include a unique column
+    for a total order — the same caller contract as
+    :func:`with_global_rank`).  Appends 1-based ``rank``.
+
+    The textbook ``row_number().over(partitionBy(group))`` filter
+    streams a hot group's every row through ONE WindowExec task — the
+    group_results lesson.  Here the group never meets a window:
+
+      stage 1  groupBy(group, salt) where salt = pmod(xxhash64(all
+               order cols), n_salt): collect, sort, SLICE to k.  A
+               group of M rows puts ~M/n_salt in any one aggregation
+               buffer, and Spark's partial aggregation merges slices
+               map-side.
+      stage 2  explode the per-salt survivors (≤ n_salt·k rows per
+               group) and repeat the same agg keyed by group alone —
+               the final buffer is bounded by n_salt·k regardless of
+               group size.
+
+    Both stages are ordinary combinable hash aggregates; correctness
+    does not depend on the salt spread (any salt assignment yields the
+    same global top-k because per-salt top-k over-approximates).
+    Size ``n_salt`` ≈ hot-group-rows / target-buffer-rows at the
+    operating SF; k·n_salt stays driver-irrelevant (nothing collects).
+    """
+    k = int(k)
+    group = [F.col(c) for c in group_cols]
+    payload = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    topk = lambda col: F.slice(F.array_sort(col), 1, k)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(int(n_salt)))
+    stage1 = (
+        df.groupBy(*group, salt.alias("_salt"))
+        .agg(topk(F.collect_list(payload)).alias("_top"))
+        .select(*group, F.explode("_top").alias("_p"))
+    )
+    stage2 = (
+        stage1.groupBy(*group)
+        .agg(topk(F.collect_list("_p")).alias("_top"))
+        .select(*group, F.posexplode("_top").alias("_rank0", "_p"))
+    )
+    return stage2.select(
+        F.col("_p._row.*"),
+        (F.col("_rank0") + 1).cast("long").alias("rank"),
+    )

@@ -79,6 +79,22 @@ class TestAsofJoin:
         assert any(v is None for v in plain.values()) or len(plain) == 300
         assert sum(v is not None for v in plain.values()) > 200
 
+    def test_matches_brute_force(self, spark):
+        rng = random.Random(13)
+        lefts = [(i, rng.randrange(0, 50_000), rng.randrange(4)) for i in range(150)]
+        rights = [
+            (1000 + i, rng.randrange(0, 50_000), rng.randrange(4)) for i in range(150)
+        ]
+        got = _asof_pairs(asof_join(_frame(spark, lefts), _frame(spark, rights)))
+        want = {}
+        for le, ls, lu in lefts:
+            best = None
+            for re_, rs, ru in rights:
+                if ru == lu and rs <= ls and (best is None or (rs, re_) > best):
+                    best = (rs, re_)
+            want[le] = best[1] if best else None
+        assert got == want
+
     def test_bucketed_carry_across_empty_buckets(self, spark):
         # right event long before the left, with many empty buckets
         # between: the summary-frame carry must bridge them
