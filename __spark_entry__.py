@@ -462,6 +462,26 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Per-row-probability sampling (functions/splits.weighted_sample):
+    keep each doc with probability min(1, n_chars/800) — the
+    quality-weighted downsampling shape (here length as the stand-in
+    score).  The per-row hex bound is floor(w * 2^32) rendered as
+    8-char lowercase hex, ONE IEEE-double product both engines compute
+    identically; the oracle embeds the same expression via printf.
+    Long docs (w >= 1) exercise the 'g' keep-all branch at every SF."""
+    from dude_spark.functions.splits import weighted_sample
+
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(800.0))
+    out = weighted_sample(
+        _docs(spark, sf_dir), w, id_col="doc_id", seed="wsample"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_domain_mix(spark, sf_dir):
     """Token-weighted domain mixing (functions/splits.mix_corpus):
     downsample-only rebalancing of the en/de/fr slice to a 50/30/20
@@ -555,6 +575,34 @@ def q_seq_packing(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("seq_id").cast("long").alias("seq_id"),
         F.col("seq_offset").cast("long").alias("seq_offset"),
+    )
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection (operators/packing.budget_select):
+    fill a 10,000-token budget with the highest-stopword-ratio docs
+    first (stop_x1000 descending — the Gopher quality signal already
+    oracle-gated by doc_quality — with doc_id as tiebreaker), keeping
+    whole docs while the inclusive prefix sum stays within budget.
+    Spark computes the prefix sum with the two-pass distributed shape
+    (no global-order window); DuckDB runs the literal window, so both
+    the kept set and every cum_tokens integer must agree exactly."""
+    from dude_spark.operators.packing import budget_select
+
+    cols = dict(quality_signals(F.col("text")))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        (-cols["stop_x1000"]).alias("__negstop"),
+    )
+    out = budget_select(
+        d, budget=10_000, token_col="n_tokens",
+        order_cols=("__negstop", "doc_id"),
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
 
 
@@ -944,6 +992,35 @@ def q_decontam_pairs(spark, sf_dir):
     )
 
 
+def q_contam_scores(spark, sf_dir):
+    """Doc-level contamination fraction (operators/decontam.
+    contamination_scores): how many of each doc's distinct 32-grams
+    appear in the benchmark set, as integer-exact per-mille.  Same
+    self-derived benchmark as decontam_pairs (an 80-char slice of
+    every 50th doc), so the sliced docs score high BY CONSTRUCTION (a
+    live gate — a broadcast-probe collapse zeroes visible n_hits) and
+    both engines build the identical benchmark.  Spark probes xxhash64
+    gram keys against the broadcast benchmark set; the oracle joins
+    the gram STRINGS, so a hash-key defect cannot hide."""
+    from dude_spark.operators.decontam import contamination_scores
+
+    docs = _docs(spark, sf_dir)
+    corpus = _docs_as_images(spark, sf_dir)
+    bench = docs.where(
+        (F.col("doc_id") % 50 == 0) & (F.length("text") >= 150)
+    ).select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.substring("text", 21, 80).alias("caption"),
+    )
+    out = contamination_scores(corpus, bench, gram_len=32)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("contam_x1000").cast("long").alias("contam_x1000"),
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4 on this corpus's
     similarity scale) — exact all-pairs, DuckDB-oracle-gated."""
@@ -1066,10 +1143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "stable_sample": q_stable_sample,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "domain_mix": q_domain_mix,
         "domain_mix_epochs": q_domain_mix_epochs,
         "shard_assignment": q_shard_assignment,
         "seq_packing": q_seq_packing,
+        "budget_select": q_budget_select,
         "event_window_stats": q_event_window_stats,
         "sliding_window_stats": q_sliding_window_stats,
         "user_sessions": q_user_sessions,
@@ -1088,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "decontam_pairs": q_decontam_pairs,
+        "contam_scores": q_contam_scores,
         "hamming_pairs": q_hamming_pairs,
         "semantic_dedup": q_semantic_dedup,
         "ann_topk": q_ann_topk,
@@ -1482,6 +1562,22 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'de' THEN 'g'
                               WHEN 'el' THEN '40000000' END
         """,
+        # weighted_sample: per-row bound = floor(min(1, n_chars/800) *
+        # 2^32) as 8-hex — the same IEEE-double product shape as
+        # domain_mix's bounds, here per ROW instead of per stratum
+        "weighted_sample": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE WHEN CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                         CAST(n_chars AS DOUBLE) / 800.0) * 4294967296.0)
+                       AS BIGINT) >= 4294967296 THEN 'g'
+                     ELSE printf('%08x',
+                       CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                         CAST(n_chars AS DOUBLE) / 800.0) * 4294967296.0)
+                       AS BIGINT))
+                END
+        """,
         # domain_mix: mass → fractions → hex bounds, every float step
         # in the same IEEE-double expression shape as
         # splits.mix_fractions (see its docstring contract)
@@ -1610,6 +1706,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prefix // 1024 AS BIGINT) AS seq_id,
                    CAST(prefix % 1024 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        # budget_select: DuckDB runs the literal quality-ordered
+        # window the Spark side replaces with the two-pass prefix sum;
+        # stop_x1000 replays the doc_quality oracle's integer math
+        "budget_select": f"""
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  AS n_tokens,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> lower(t) IN {STOPWORD_SQL})) END AS stop
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE stop * 1000 // n_tokens END AS stop_x1000
+              FROM s
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY stop_x1000 DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM r
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 10000
         """,
         "event_window_stats": """
             SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
@@ -1837,6 +1963,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT cg.doc_id AS doc_id, bg.bench_id AS bench_id
             FROM cg JOIN bg USING (gram)
             GROUP BY 1, 2
+        """,
+        # contam_scores: same benchmark + gram CTEs as decontam_pairs;
+        # the oracle joins gram STRINGS where Spark probes xxhash64
+        # keys, and replays the vocab-coverage integer-div convention
+        "contam_scores": """
+            WITH bench AS (
+              SELECT substring(text, 21, 80) AS btext
+              FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 150
+            ),
+            cg AS (
+              SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 32) AS gram
+              FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+              WHERE length(text) >= 32
+            ),
+            bg AS (
+              SELECT DISTINCT substring(btext, CAST(i AS INT), 32) AS gram
+              FROM bench, unnest(range(1, length(btext) - 30)) AS t(i)
+              WHERE length(btext) >= 32
+            )
+            SELECT cg.doc_id AS doc_id,
+                   count(*) AS n_grams,
+                   count(bg.gram) AS n_hits,
+                   CAST(count(bg.gram) * 1000 // count(*) AS BIGINT)
+                     AS contam_x1000
+            FROM cg LEFT JOIN bg USING (gram)
+            GROUP BY cg.doc_id
         """,
         "dedup_assignments": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
         + "SELECT doc_id, cluster_id FROM assigns",

@@ -121,6 +121,55 @@ def fraction_bound(frac: float) -> str:
     return "g" if bound_i >= _HEX_SPAN else format(bound_i, "08x")
 
 
+def weight_bound(weight: Column) -> Column:
+    """Per-row hex bound realizing a [0, 1] keep-probability column —
+    the per-row generalization of :func:`fraction_bound`.
+
+    ``floor(weight * 2^32)`` is ONE IEEE-double product + floor, so any
+    engine with doubles reproduces it bit-exactly (the domain_mix
+    oracle precedent); the result renders as the same fixed-width
+    lowercase hex the module's keys compare against.  Out-of-range
+    weights clamp (``<= 0`` → drop-all bound, ``>= 1`` → ``'g'``
+    keep-all); a NULL weight yields a NULL bound, so the comparison is
+    NULL and the row is dropped (no weight → no stable assignment,
+    the stratified_sample NULL contract).
+    """
+    scaled = F.floor(weight.cast("double") * F.lit(float(_HEX_SPAN)))
+    return (
+        F.when(weight.isNull(), F.lit(None).cast("string"))
+        .when(scaled >= _HEX_SPAN, F.lit("g"))
+        .when(scaled <= 0, F.lit("00000000"))
+        .otherwise(F.lpad(F.lower(F.hex(scaled)), 8, "0"))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    id_col: str = "image_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Keep each row with probability = its own weight in [0, 1],
+    deterministically keyed on identity — quality-weighted corpus
+    downsampling (keep high-quality docs with high probability, junk
+    with low) as one codegen'd comparison.
+
+    Same guarantees as :func:`deterministic_sample`, per row: stable
+    across re-runs / repartitioning / appends, and MONOTONE IN THE
+    WEIGHT — the uniform key is weight-independent, so raising a row's
+    weight can only keep it, never evict it (re-scoring a corpus with
+    a better quality model changes membership one-directionally per
+    row).  ``weight_col`` may be a column name or a derived Column
+    expression; weights clamp to [0, 1], NULL weights drop the row
+    (see :func:`weight_bound`).
+
+    Scale shape: zero shuffle, zero UDF — a whole-stage-codegen filter
+    over the scan at any corpus size, like every op in this module.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.where(_hex_key(F.col(id_col), seed) < weight_bound(w))
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

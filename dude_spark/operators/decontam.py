@@ -38,7 +38,7 @@ not cap the flagging.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SuffixConfig
@@ -106,6 +106,83 @@ def contamination_pairs(
             yield pdf.loc[m, ["doc_id", "bench_id"]]
 
     return j.mapInPandas(keep_sharing, f"doc_id {d_t}, bench_id {b_t}")
+
+
+def _gram_array(text: Column, gram_len: int) -> Column:
+    """Array of the DISTINCT character ``gram_len``-grams of ``text``
+    (< gram_len chars → empty).  Pure JVM array expressions — the
+    per-doc distinct happens INSIDE the row via array_distinct, so no
+    shuffle ever sees duplicate grams.  The explicit ``n >= 1`` guard
+    matters: Spark's ``sequence(1, 0)`` generates DESCENDING ``[1, 0]``
+    rather than an empty range."""
+    n = F.length(text) - F.lit(gram_len - 1)
+    seq = F.transform(
+        F.sequence(F.lit(1), n), lambda p: text.substr(p, F.lit(gram_len))
+    )
+    return F.array_distinct(
+        F.when(n >= 1, seq).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def contamination_scores(
+    corpus: DataFrame, benchmark: DataFrame, gram_len: int = 32
+) -> DataFrame:
+    """Per-document contamination FRACTION — (doc_id, n_grams, n_hits,
+    contam_x1000) where n_grams counts the doc's distinct character
+    ``gram_len``-grams and n_hits how many of those appear anywhere in
+    the benchmark set.
+
+    The doc-level refinement of :func:`contamination_pairs` (GPT-3
+    appendix C / PaLM-style overlap scoring): the pair operator answers
+    "does this doc overlap the benchmark AT ALL" — this one answers
+    "HOW MUCH", so curation can keep a doc with one incidental shared
+    idiom but drop one that embeds half an eval answer key.  Docs
+    shorter than ``gram_len`` have no grams and no defined fraction;
+    they are absent from the output (a doc that cannot contain a
+    gram-sized overlap needs no score).
+
+    contam_x1000 is integer floor division (``n_hits * 1000 div
+    n_grams`` — the vocab-coverage convention), so the DuckDB ``//``
+    twin hashes identically.
+
+    Scale shape: the corpus NEVER shuffles wide.  Gram extraction and
+    the per-doc distinct are map-side array expressions; the benchmark
+    gram set (tiny by the decontamination contract) is broadcast and
+    probed map-side via a left join on xxhash64 keys (8-byte probe
+    keys instead of gram text; a miscount would need an xxhash64
+    collision between a corpus gram and a DIFFERENT benchmark gram —
+    ~1e-8 at 10^9 distinct grams); the only corpus shuffle is the
+    final groupBy carrying (doc_id, two longs) with map-side partial
+    aggregation.  At 10^12 docs the explode is ~|text| rows per doc —
+    the same order as the winnowing scan — so when only flagged docs
+    need scores, feed ``contamination_pairs`` survivors in as
+    ``corpus`` instead of the full table.
+    """
+    if gram_len <= 0:
+        raise ValueError(f"gram_len must be positive, got {gram_len}")
+    c = corpus.select(
+        F.col("image_id").alias("doc_id"),
+        F.explode(_gram_array(F.col("caption"), gram_len)).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    b = (
+        benchmark.select(
+            F.explode(_gram_array(F.col("caption"), gram_len)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        c.join(F.broadcast(b), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "contam_x1000", F.expr("n_hits * 1000 div n_grams").cast("long")
+        )
+    )
 
 
 def decontaminate(

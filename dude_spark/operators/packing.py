@@ -70,3 +70,48 @@ def pack_sequences(
         .withColumn(offset_col, (F.col("__cum") % budget).cast("long"))
         .drop("__cum")
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_cols: Sequence[str] = ("doc_id",),
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy token-budget corpus selection: walk the corpus in
+    ``order_cols`` order and keep whole documents while the running
+    token total stays within ``budget`` — "fill a 1T-token training
+    budget with the best documents first".
+
+    Rank-by-quality-then-cut is THE standard curation step downstream
+    of quality scoring (pass a precomputed descending sort key — e.g.
+    a negated quality column — plus a unique tiebreaker as
+    ``order_cols``; same total-order caller contract as
+    with_global_rank).  A document is kept iff its INCLUSIVE prefix sum
+    ``<= budget`` — whole docs only, no partial truncation; a doc
+    exactly exhausting the budget is kept.  ``out_col`` carries that
+    inclusive prefix sum, so the output is also the packing manifest
+    for the selected slice.
+
+    Scale shape: the prefix sum is functions/ranking.with_running_total
+    (two narrow distributed passes, no SinglePartition window at any
+    size — the seq_packing shape); the cut itself is a codegen filter.
+    Equals the literal ``sum(tokens) OVER (ORDER BY ...) <= budget``
+    window query, which is how the driver oracle checks it.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    clash = {out_col, "__run"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with selection "
+            "output columns; rename them first"
+        )
+    cum = with_running_total(docs, order_cols, token_col, out_col="__run")
+    incl = F.col("__run") + F.col(token_col).cast("long")
+    return (
+        cum.where(incl <= int(budget))
+        .withColumn(out_col, incl.cast("long"))
+        .drop("__run")
+    )

@@ -94,3 +94,44 @@ def test_matches_bruteforce_cross_gram_join(spark):
     }
     assert got == want
     assert ("26", "b1") in want  # the unicode overlap is a live case
+
+
+def test_contamination_scores_bruteforce(spark):
+    """(n_grams, n_hits, contam_x1000) == the Python distinct-gram
+    recount: a verbatim-contained doc scores 1000, a disjoint doc 0, a
+    doc below gram_len is ABSENT, and repeated grams inside one doc
+    count once (the array_distinct contract)."""
+    rng = random.Random(23)
+    L = 8
+    corpus_rows = [(str(i), _rand_text(rng, 12)) for i in range(12)]
+    corpus_rows.append(("12", "xyzw"))  # < L: no grams, absent
+    corpus_rows.append(("13", "abcdefgh" * 6))  # heavy repeated grams
+    bench_rows = [
+        ("b0", corpus_rows[4][1]),          # doc 4 fully contained
+        ("b1", corpus_rows[7][1][3:40]),    # doc 7 partially contained
+        ("b2", "abcdefgh" * 3),             # covers doc 13's gram cycle
+    ]
+    corpus, bench = _df(spark, corpus_rows), _df(spark, bench_rows)
+    from dude_spark.operators.decontam import contamination_scores
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contam_x1000"])
+        for r in contamination_scores(corpus, bench, gram_len=L).collect()
+    }
+    bgrams = set()
+    for _, bt in bench_rows:
+        bgrams |= {bt[i : i + L] for i in range(len(bt) - L + 1)}
+    want = {}
+    for cid, ct in corpus_rows:
+        grams = {ct[i : i + L] for i in range(len(ct) - L + 1)}
+        if not grams:
+            continue
+        hits = len(grams & bgrams)
+        want[cid] = (len(grams), hits, hits * 1000 // len(grams))
+    assert got == want
+    assert "12" not in got                      # sub-gram doc absent
+    assert got["4"][2] == 1000                  # verbatim containment
+    assert got["13"][0] == 8                    # cycle: 8 distinct grams
+    assert got["13"][2] == 1000
+    assert any(v[2] == 0 for v in got.values())  # disjoint docs score 0
+    assert any(0 < v[2] < 1000 for v in got.values())  # partial overlap

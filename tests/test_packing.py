@@ -107,3 +107,44 @@ def test_weight_validation(spark, toks_df):
     clash = toks_df.withColumn("seq_id", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         pack_sequences(clash, 10)
+
+
+def test_budget_select_matches_greedy(toks_df):
+    """Kept set + cum_tokens == the Python greedy walk in quality
+    order, including the boundary doc that exactly exhausts the budget
+    (inclusive <=, whole docs only)."""
+    from dude_spark.operators.packing import budget_select
+
+    d = toks_df.withColumn("negq", -((F.col("doc_id") * 7) % 13))
+    rows = sorted(
+        ((-(i * 7 % 13), i, (i * 37) % 211 + (613 if i % 97 == 0 else 0))
+         for i in range(500))
+    )
+    # pick a budget landing EXACTLY on a prefix sum: the boundary doc
+    # must be kept
+    acc, prefix = 0, []
+    for _, i, t in rows:
+        acc += t
+        prefix.append((i, t, acc))
+    budget = prefix[137][2]
+    want = {(i, t, c) for i, t, c in prefix if c <= budget}
+    got = {
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in budget_select(
+            d, budget, token_col="n_tokens", order_cols=("negq", "doc_id")
+        ).collect()
+    }
+    assert got == want
+    assert prefix[137][0:1][0] in {i for i, _, _ in want}  # boundary kept
+    assert 0 < len(want) < 500  # a strict, non-empty cut
+
+
+def test_budget_select_validation(toks_df):
+    from dude_spark.operators.packing import budget_select
+
+    with pytest.raises(ValueError, match="budget must be positive"):
+        budget_select(toks_df, 0)
+    with pytest.raises(ValueError, match="collide"):
+        budget_select(
+            toks_df.withColumn("cum_tokens", F.lit(1)), 100
+        )

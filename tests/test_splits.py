@@ -10,6 +10,8 @@ cross-engine md5 agreement vs DuckDB (the driver oracle's mechanism).
 
 from __future__ import annotations
 
+import math
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -320,3 +322,55 @@ def test_mix_corpus_epochs_exact_kept_set(spark):
         {d for d, e in got if 2000 <= d < 2040 and e == k} for k in (1, 2, 3)
     ]
     assert fr_epochs[0] != fr_epochs[1] or fr_epochs[1] != fr_epochs[2]
+
+
+def test_weighted_sample_matches_bruteforce(spark):
+    """Membership == the literal per-row predicate: md5-u32(key) <
+    floor(clamp(w) * 2^32), replayed in Python — covering the clamp
+    branches (negative, zero, >1), the NULL-drop contract, and
+    fractional weights."""
+    import hashlib
+
+    from dude_spark.functions.splits import weighted_sample
+
+    weights = [None, -0.2, 0.0, 0.05, 0.3, 0.5, 0.77, 1.0, 1.5]
+    rows = [(str(i), weights[i % len(weights)]) for i in range(600)]
+    df = spark.createDataFrame(rows, "image_id string, w double")
+    kept = {r["image_id"] for r in weighted_sample(df, "w").collect()}
+    span = 16**8
+    want = set()
+    for i, w in rows:
+        if w is None:
+            continue
+        scaled = math.floor(w * span)
+        if scaled >= span:
+            want.add(i)
+        elif scaled > 0 and int(
+            hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16
+        ) < scaled:
+            want.add(i)
+    assert kept == want
+    assert want  # the fixture keeps a non-trivial subset
+    # w >= 1 rows are ALL kept (the 'g' branch), w <= 0 rows all dropped
+    assert all(i in kept for i, w in rows if w is not None and w >= 1.0)
+    assert all(i not in kept for i, w in rows if w is not None and w <= 0.0)
+
+
+def test_weighted_sample_monotone_and_pure_plan(spark):
+    """Raising every weight only ADDS rows (the re-scoring contract),
+    and the op stays a zero-shuffle codegen filter like the rest of
+    the module."""
+    from dude_spark.functions.splits import weighted_sample
+
+    rows = [(str(i), ((i * 31) % 100) / 100.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "image_id string, w double")
+    lo = {r["image_id"] for r in weighted_sample(df, "w").collect()}
+    hi = {
+        r["image_id"]
+        for r in weighted_sample(
+            df, F.least(F.lit(1.0), F.col("w") + F.lit(0.25))
+        ).collect()
+    }
+    assert lo <= hi and len(hi) > len(lo)
+    plan = _plan(weighted_sample(df, "w"))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
