@@ -227,6 +227,53 @@ def _parser() -> argparse.ArgumentParser:
     sh.add_argument("--cpus", type=int, default=0)
     sh.add_argument("--local", action="store_true")
 
+    sa = sub.add_parser(
+        "sample",
+        help="deterministic identity-keyed sampling: fixed fraction, "
+             "per-stratum fractions, or per-row weight column "
+             "(functions/splits.py; stable across re-runs and appends)",
+    )
+    sa.add_argument("--input", required=True, help="corpus parquet path")
+    sa.add_argument("--out", required=True, help="sampled-corpus output dir")
+    mode = sa.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--frac", type=float, default=None,
+                      help="keep a stable ~FRAC fraction of rows")
+    mode.add_argument("--fractions", default=None,
+                      help="per-stratum name=frac list, e.g. "
+                           "'en=0.5,de=1.0' (needs --strata-col; "
+                           "unlisted strata are dropped)")
+    mode.add_argument("--weight-col", default=None,
+                      help="per-row keep-probability column in [0,1] "
+                           "(clamped; NULL weights drop the row)")
+    sa.add_argument("--strata-col", default=None)
+    sa.add_argument("--id-col", default="image_id")
+    sa.add_argument("--seed", default="sample")
+    sa.add_argument("--cpus", type=int, default=0)
+    sa.add_argument("--local", action="store_true")
+
+    se = sub.add_parser(
+        "select",
+        help="token-budget corpus selection: keep whole docs in "
+             "quality order while the running token total stays "
+             "within budget (operators/packing.budget_select)",
+    )
+    se.add_argument("--input", required=True, help="corpus parquet path")
+    se.add_argument("--out", required=True,
+                    help="selected-corpus output dir (input schema + "
+                         "cum_tokens, the inclusive prefix sum)")
+    se.add_argument("--budget", type=int, required=True,
+                    help="token budget (whole docs only; a doc exactly "
+                         "exhausting it is kept)")
+    se.add_argument("--token-col", default="n_tokens")
+    se.add_argument("--order-by", required=True,
+                    help="comma list of sort keys walked first-to-last, "
+                         "'-col' for descending (numeric cols only; "
+                         "pass as --order-by=-col,... so argparse does "
+                         "not read the dash as a flag); include a unique "
+                         "tiebreaker for a total order")
+    se.add_argument("--cpus", type=int, default=0)
+    se.add_argument("--local", action="store_true")
+
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
@@ -286,6 +333,26 @@ def _stream_config_id(detector: str, det_cfg) -> str:
         sub.update(dataclasses.asdict(det_cfg))
     blob = _json.dumps(sub, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def _parse_share_list(spec: str, flag: str) -> dict[str, float]:
+    """'name=number,...' → dict, with ConfigError naming the flag —
+    shared by the mix and sample subcommands."""
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, eq, share = part.partition("=")
+        if not eq or not name.strip():
+            raise ConfigError(
+                f"{flag} entries must look like name=share, got {part!r}"
+            )
+        try:
+            out[name.strip()] = float(share)
+        except ValueError as exc:
+            raise ConfigError(
+                f"{flag} share for {name.strip()!r} is not a "
+                f"number: {share!r}"
+            ) from exc
+    return out
 
 
 def _local_master(cpus: int) -> str:
@@ -493,22 +560,85 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
 
-    if a.cmd == "mix":
-        weights: dict[str, float] = {}
-        for part in a.weights.split(","):
-            name, eq, share = part.partition("=")
-            if not eq or not name.strip():
-                raise ConfigError(
-                    f"--weights entries must look like name=share, got "
-                    f"{part!r}"
+    if a.cmd == "sample":
+        if a.fractions is not None and a.strata_col is None:
+            raise ConfigError("--fractions requires --strata-col")
+        spark = get_spark(
+            "dude_spark_sample",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .functions.splits import (
+                deterministic_sample,
+                stratified_sample,
+                weighted_sample,
+            )
+
+            docs = spark.read.parquet(a.input)
+            if a.frac is not None:
+                kept = deterministic_sample(
+                    docs, a.frac, id_col=a.id_col, seed=a.seed
                 )
-            try:
-                weights[name.strip()] = float(share)
-            except ValueError as exc:
-                raise ConfigError(
-                    f"--weights share for {name.strip()!r} is not a "
-                    f"number: {share!r}"
-                ) from exc
+                label = f"frac={a.frac}"
+            elif a.weight_col is not None:
+                kept = weighted_sample(
+                    docs, a.weight_col, id_col=a.id_col, seed=a.seed
+                )
+                label = f"weight col {a.weight_col!r}"
+            else:
+                fr = _parse_share_list(a.fractions, "--fractions")
+                kept = stratified_sample(
+                    docs, fr, strata_col=a.strata_col,
+                    id_col=a.id_col, seed=a.seed,
+                )
+                label = f"fractions {dict(sorted(fr.items()))}"
+            kept.write.mode("overwrite").parquet(a.out)
+            n = spark.read.parquet(a.out).count()
+            print(f"kept {n} rows ({label}) -> {a.out}")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "select":
+        order = [c.strip() for c in a.order_by.split(",") if c.strip()]
+        if not order:
+            raise ConfigError("--order-by must name at least one column")
+        spark = get_spark(
+            "dude_spark_select",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.packing import budget_select
+
+            docs = spark.read.parquet(a.input)
+            cols, tmp = [], []
+            for i, c in enumerate(order):
+                if c.startswith("-"):
+                    # descending via negation (numeric sort keys only —
+                    # budget_select's order contract is ascending)
+                    name = f"__ord{i}"
+                    docs = docs.withColumn(name, -F.col(c[1:]))
+                    tmp.append(name)
+                    cols.append(name)
+                else:
+                    cols.append(c)
+            out = budget_select(
+                docs, a.budget, token_col=a.token_col,
+                order_cols=tuple(cols),
+            ).drop(*tmp)
+            out.write.mode("overwrite").parquet(a.out)
+            sel = spark.read.parquet(a.out)
+            n = sel.count()
+            used = sel.agg(F.max("cum_tokens")).first()[0] or 0
+            print(f"kept {n} docs, {used}/{a.budget} tokens -> {a.out}")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "mix":
+        weights = _parse_share_list(a.weights, "--weights")
         if a.max_repeat < 1:
             raise ConfigError(
                 f"--max-repeat must be >= 1, got {a.max_repeat}"

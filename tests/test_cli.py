@@ -277,3 +277,89 @@ def test_cli_stream_pins_detector_config(spark, tmp_path, monkeypatch):
             "--schema", "image_id string, caption string",
             "--detector", "minhash",
         ])
+
+
+def test_cli_sample_modes(spark, tmp_path, monkeypatch, capsys):
+    """sample subcommand: all three modes write the expected subsets;
+    --fractions without --strata-col and malformed lists are refused."""
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    inp = str(tmp_path / "corpus")
+    spark.range(400).selectExpr(
+        "cast(id as string) image_id",
+        "CASE WHEN id % 4 = 0 THEN 'de' ELSE 'en' END AS lang",
+        "cast(id % 100 as double) / 100.0 AS q",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "frac")
+    assert cli.main(["sample", "--input", inp, "--out", out,
+                     "--frac", "0.25"]) == 0
+    n_frac = spark.read.parquet(out).count()
+    assert 0 < n_frac < 400
+    assert "kept" in capsys.readouterr().out
+
+    out = str(tmp_path / "weighted")
+    assert cli.main(["sample", "--input", inp, "--out", out,
+                     "--weight-col", "q"]) == 0
+    n_w = spark.read.parquet(out).count()
+    assert 0 < n_w < 400
+
+    out = str(tmp_path / "strat")
+    assert cli.main(["sample", "--input", inp, "--out", out,
+                     "--fractions", "de=1.0,en=0.1",
+                     "--strata-col", "lang"]) == 0
+    strat = spark.read.parquet(out)
+    assert strat.where("lang = 'de'").count() == 100  # kept whole
+    assert strat.where("lang = 'en'").count() < 100
+
+    with pytest.raises(ConfigError, match="requires --strata-col"):
+        cli.main(["sample", "--input", inp, "--out", out,
+                  "--fractions", "de=1.0"])
+    with pytest.raises(ConfigError, match="name=share"):
+        cli.main(["sample", "--input", inp, "--out", out,
+                  "--fractions", "de:1.0", "--strata-col", "lang"])
+
+
+def test_cli_select_budget(spark, tmp_path, monkeypatch, capsys):
+    """select subcommand: quality-descending budget cut equals the
+    window recompute; temp descending keys don't leak into the output."""
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    inp, out = str(tmp_path / "corpus"), str(tmp_path / "sel")
+    spark.range(300).selectExpr(
+        "id AS doc_id",
+        "cast(5 + id % 40 as long) AS n_tokens",
+        "cast((id * 11) % 97 as long) AS quality",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main([
+        "select", "--input", inp, "--out", out, "--budget", "2000",
+        "--token-col", "n_tokens", "--order-by=-quality,doc_id",
+    ]) == 0
+    assert "/2000 tokens" in capsys.readouterr().out
+    sel = spark.read.parquet(out)
+    assert set(sel.columns) == {"doc_id", "n_tokens", "quality",
+                                "cum_tokens"}
+    rows = sorted(
+        ((-r["quality"], r["doc_id"], r["n_tokens"])
+         for r in spark.read.parquet(inp).collect())
+    )
+    acc, want = 0, {}
+    for _, d, t in rows:
+        acc += t
+        if acc > 2000:
+            break
+        want[d] = acc
+    got = {r["doc_id"]: r["cum_tokens"] for r in sel.collect()}
+    assert got == want
+
+    with pytest.raises(ConfigError, match="at least one column"):
+        cli.main(["select", "--input", inp, "--out", out,
+                  "--budget", "10", "--order-by", " , "])
