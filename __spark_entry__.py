@@ -1021,6 +1021,48 @@ def q_contam_scores(spark, sf_dir):
     )
 
 
+def q_cross_dedup(spark, sf_dir):
+    """Incremental BATCH dedup (operators/candidates.cross_corpus_pairs,
+    the batch twin of the streaming micro-batch join): dedupe a new
+    crawl against the already-ingested corpus — new-vs-known plus
+    within-new pairs on exact text identity, never within-known.  The
+    new batch is derived deterministically from the corpus itself:
+    every 10th doc re-collected under a shifted id (live cross pairs BY
+    CONSTRUCTION) plus two fresh copies of every 100th-mod-7 doc under
+    a 'NEWDUP:' marker (live within-new pairs that cannot match known).
+    Pairs normalize to (least, greatest) longs so orientation
+    conventions (within-new a<b strings vs cross known→new) can't leak
+    into the hash."""
+    from dude_spark.operators.candidates import cross_corpus_pairs
+
+    docs = _docs(spark, sf_dir)
+    known = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    re_crawl = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    nd = docs.where(F.col("doc_id") % 100 == 7)
+    new = re_crawl
+    for off in (2_000_000, 3_000_000):
+        new = new.unionByName(
+            nd.select(
+                (F.col("doc_id") + off).cast("string").alias("image_id"),
+                F.concat(F.lit("NEWDUP:"), F.col("text")).alias("caption"),
+            )
+        )
+    bucketize = lambda d: d.select(
+        "image_id", F.sha2(F.col("caption"), 256).alias("bucket")
+    )
+    pairs, _overcap = cross_corpus_pairs(bucketize(known), bucketize(new))
+    a, b = F.col("a").cast("long"), F.col("b").cast("long")
+    return pairs.select(
+        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (threshold 0.4 on this corpus's
     similarity scale) — exact all-pairs, DuckDB-oracle-gated."""
@@ -1168,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "decontam_pairs": q_decontam_pairs,
         "contam_scores": q_contam_scores,
+        "cross_dedup_pairs": q_cross_dedup,
         "hamming_pairs": q_hamming_pairs,
         "semantic_dedup": q_semantic_dedup,
         "ann_topk": q_ann_topk,
@@ -1963,6 +2006,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT cg.doc_id AS doc_id, bg.bench_id AS bench_id
             FROM cg JOIN bg USING (gram)
             GROUP BY 1, 2
+        """,
+        # cross_dedup_pairs: the oracle builds the identical derived
+        # new batch, joins kn x nw and nw x nw on text identity, and
+        # never joins kn x kn (the operator's within-known exclusion)
+        "cross_dedup_pairs": """
+            WITH kn AS (
+              SELECT doc_id AS id, md5(text) AS h FROM documents
+            ),
+            nw AS (
+              SELECT doc_id + 1000000 AS id, md5(text) AS h
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000 AS id, md5('NEWDUP:' || text) AS h
+              FROM documents WHERE doc_id % 100 = 7
+              UNION ALL
+              SELECT doc_id + 3000000 AS id, md5('NEWDUP:' || text) AS h
+              FROM documents WHERE doc_id % 100 = 7
+            )
+            SELECT DISTINCT least(x.a0, x.b0) AS a, greatest(x.a0, x.b0) AS b
+            FROM (
+              SELECT k.id AS a0, n.id AS b0 FROM kn k JOIN nw n USING (h)
+              UNION ALL
+              SELECT n1.id AS a0, n2.id AS b0
+              FROM nw n1 JOIN nw n2 USING (h) WHERE n1.id < n2.id
+            ) x
         """,
         # contam_scores: same benchmark + gram CTEs as decontam_pairs;
         # the oracle joins gram STRINGS where Spark probes xxhash64

@@ -268,3 +268,123 @@ def salt_buckets(buckets: DataFrame, salt: int) -> DataFrame:
             F.pmod(F.xxhash64("image_id"), F.lit(salt)).cast("string"),
         ),
     )
+
+
+def pairs_vs_known(
+    new_buckets: DataFrame,
+    known_buckets: DataFrame,
+    bucket_cap: int = 64,
+    context: str = "cross-corpus join",
+) -> tuple[DataFrame, list]:
+    """(a=known_id, b=new_id) bucket-equi pairs of a NEW batch against
+    an already-processed KNOWN corpus — the incremental-dedup join the
+    streaming path runs every micro-batch, exposed for batch callers.
+
+    Both inputs are (image_id, bucket) frames.  Within-known pairs are
+    never emitted (the known side is already deduplicated by contract);
+    the caller adds within-new pairs via :func:`pairs_from_buckets`, or
+    uses :func:`cross_corpus_pairs` for the standard composition.
+
+    Skew contract for the KNOWN side, which grows without bound as a
+    corpus accumulates (a boilerplate-caption bucket collects members
+    forever): a bucket whose known membership exceeds ``bucket_cap``
+    joins through its MIN known id only — O(new batch) output rows
+    instead of O(batch x corpus) — computed with the map-side
+    combinable ``overcap_stats`` aggregate, so one pathological bucket
+    never owns a single fat task.  Connectivity is preserved (every
+    new member still pairs with the known component's anchor).  The
+    cut is RECORDED, never silent: returns ``(pairs, overcap_rows)``
+    with one collected Row(bucket, bucket_size, bucket_min) per capped
+    bucket for the caller's lineage sink.  More than
+    ``_MAX_COLLECTED_OVERCAP`` capped buckets means the cap/detector
+    selectivity mismatches the corpus and EVERY batch would pay it —
+    refused loudly rather than OOMing the driver.
+
+    Scale shape: the known side is first restricted to the batch's
+    distinct buckets (broadcast of O(batch) keys at typical sizes,
+    AQE picks the side), so the multi-TB known table is probed, never
+    fully paired; the skew aggregate is collected eagerly so the pairs
+    action scans the known table ONCE, not once per lazy reference.
+    """
+    spark = new_buckets.sparkSession
+    known = known_buckets.select(
+        F.col("image_id").alias("known_id"), "bucket"
+    )
+    batch_bkts = new_buckets.select("bucket").distinct()
+    known_hit = known.join(batch_bkts, "bucket")
+    overcap_rows = (
+        overcap_stats(
+            known_hit.select(F.col("known_id").alias("image_id"), "bucket"),
+            bucket_cap,
+        )
+        .limit(_MAX_COLLECTED_OVERCAP + 1)
+        .collect()
+    )
+    if len(overcap_rows) > _MAX_COLLECTED_OVERCAP:
+        raise ValueError(
+            f"{context} touches over {_MAX_COLLECTED_OVERCAP:,} over-cap "
+            "KNOWN buckets — bucket_cap / detector selectivity mismatches "
+            "this corpus; raise bucket_cap or use a more selective "
+            "detector config"
+        )
+    if overcap_rows:
+        hot_reps = F.broadcast(
+            spark.createDataFrame(
+                [(r["bucket"], r["bucket_min"]) for r in overcap_rows],
+                schema=known_hit.select("bucket", "known_id").schema,
+            )
+        )
+        join_side = known_hit.join(
+            hot_reps.select("bucket"), "bucket", "left_anti"
+        ).unionByName(hot_reps.select("bucket", "known_id"))
+    else:
+        join_side = known_hit
+    pairs = (
+        new_buckets.select(F.col("image_id").alias("new_id"), "bucket")
+        .join(join_side, "bucket")
+        .where(F.col("known_id") != F.col("new_id"))
+        .select(F.col("known_id").alias("a"), F.col("new_id").alias("b"))
+    )
+    return pairs, overcap_rows
+
+
+def cross_corpus_pairs(
+    known_buckets: DataFrame,
+    new_buckets: DataFrame,
+    bucket_cap: int = 64,
+    overcap_mode: str = "star",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental BATCH dedup: candidate pairs for a new batch against
+    an existing corpus — within-new pairs plus new-vs-known pairs,
+    never within-known ("dedupe this month's crawl against everything
+    already ingested, without re-pairing the old side").
+
+    The batch twin of the streaming micro-batch join (streaming/
+    ingest._batch_pairs shares :func:`pairs_vs_known`), for users whose
+    increments arrive as whole tables rather than a stream.  Both
+    inputs are (image_id, bucket) frames from any detector's bucket
+    stage.  Returns ``(pairs, overcap)`` where overcap carries
+    (bucket, bucket_size, side∈{batch,known}) for the lineage sink —
+    both cap mechanisms record, never silently truncate.  Pair
+    orientation: within-new pairs are (a<b); cross pairs are
+    (a=known, b=new); callers needing one namespace normalize with
+    least/greatest.
+    """
+    vs_known, known_rows = pairs_vs_known(
+        new_buckets, known_buckets, bucket_cap
+    )
+    vs_new, overcap_batch = pairs_from_buckets(
+        new_buckets, bucket_cap, overcap_mode
+    )
+    overcap = overcap_batch.select(
+        "bucket", "bucket_size", F.lit("batch").alias("side")
+    )
+    if known_rows:
+        spark = new_buckets.sparkSession
+        overcap = overcap.unionByName(
+            spark.createDataFrame(
+                [(r["bucket"], r["bucket_size"], "known") for r in known_rows],
+                schema=overcap.schema,
+            )
+        )
+    return vs_new.unionByName(vs_known).distinct(), overcap

@@ -73,11 +73,7 @@ from ..detectors.suffix import (
     suffix_signatures,
     verify_substring,
 )
-from ..operators.candidates import (
-    _MAX_COLLECTED_OVERCAP,
-    overcap_stats,
-    pairs_from_buckets,
-)
+from ..operators.candidates import pairs_from_buckets, pairs_vs_known
 from ..operators.verify import verify_jaccard
 from ..storage import ShardedEpochStore
 
@@ -140,56 +136,19 @@ def _batch_pairs(
     overcap_known_rows: list = []
     if known_all is not None:
         known = known_all.where(F.col("epoch") != F.lit(batch_id)).select(
-            F.col("image_id").alias("known_id"), F.col("bucket")
+            "image_id", "bucket"
         )
-        # only state buckets the batch actually touches participate
-        batch_bkts = sigs.select("bucket").distinct()
-        known_hit = known.join(batch_bkts, "bucket")
-        # the skew-detection aggregate is candidates.overcap_stats (ONE
-        # implementation of the cap semantics), collected eagerly —
-        # bounded by the batch's distinct buckets, and collecting it
-        # means the pairs action below scans the multi-TB sigs state
-        # ONCE, not once per lazy reference to the hot aggregate
-        overcap_known_rows = (
-            overcap_stats(
-                known_hit.select(F.col("known_id").alias("image_id"), "bucket"),
-                bucket_cap,
-            )
-            .limit(_MAX_COLLECTED_OVERCAP + 1)
-            .collect()
-        )
-        if len(overcap_known_rows) > _MAX_COLLECTED_OVERCAP:
-            # >100k of THIS batch's buckets are over-cap in state: the
-            # detector/cap config mismatches the corpus and every epoch
-            # would pay it — fail the stream loudly (restart with a
-            # fixed config) instead of OOMing the driver silently.
-            raise ValueError(
-                f"micro-batch {batch_id} touches over "
-                f"{_MAX_COLLECTED_OVERCAP:,} over-cap KNOWN buckets — "
-                "bucket_cap / detector selectivity mismatches this "
-                "corpus; raise bucket_cap or use a more selective "
-                "detector config"
-            )
-        if overcap_known_rows:
-            hot_reps = F.broadcast(
-                spark.createDataFrame(
-                    [
-                        (r["bucket"], r["bucket_min"])
-                        for r in overcap_known_rows
-                    ],
-                    schema=known_hit.select("bucket", "known_id").schema,
-                )
-            )
-            join_side = known_hit.join(
-                hot_reps.select("bucket"), "bucket", "left_anti"
-            ).unionByName(hot_reps.select("bucket", "known_id"))
-        else:
-            join_side = known_hit
-        vs_known = (
-            sigs.select(F.col("image_id").alias("new_id"), "bucket")
-            .join(join_side, "bucket")
-            .where(F.col("known_id") != F.col("new_id"))
-            .select(F.col("known_id").alias("a"), F.col("new_id").alias("b"))
+        # the capped new-vs-known join is candidates.pairs_vs_known
+        # (ONE implementation of the cross-corpus cap semantics, shared
+        # with the batch cross_corpus_pairs operator): known side
+        # restricted to the batch's buckets, over-cap known buckets
+        # joined through their min id, skew aggregate collected eagerly
+        # so the pairs action scans the multi-TB sigs state ONCE
+        vs_known, overcap_known_rows = pairs_vs_known(
+            sigs.select("image_id", "bucket"),
+            known,
+            bucket_cap,
+            context=f"micro-batch {batch_id}",
         )
     else:
         vs_known = None

@@ -135,3 +135,22 @@ def test_contamination_scores_bruteforce(spark):
     assert got["13"][2] == 1000
     assert any(v[2] == 0 for v in got.values())  # disjoint docs score 0
     assert any(0 < v[2] < 1000 for v in got.values())  # partial overlap
+
+
+def test_contamination_scores_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set rides a broadcast join — the corpus side
+    must never sort-merge-shuffle its exploded grams (the operator's
+    whole scale contract)."""
+    rng = random.Random(5)
+    corpus = _df(spark, [(str(i), _rand_text(rng, 30)) for i in range(20)])
+    bench = _df(spark, [("b0", _rand_text(rng, 30))])
+    from dude_spark.operators.decontam import contamination_scores
+
+    plan = (
+        contamination_scores(corpus, bench, gram_len=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
