@@ -274,6 +274,45 @@ def _parser() -> argparse.ArgumentParser:
     se.add_argument("--cpus", type=int, default=0)
     se.add_argument("--local", action="store_true")
 
+    dn = sub.add_parser(
+        "dedup-new",
+        help="incremental batch dedup: duplicate pairs of a NEW batch "
+             "table against an existing corpus table (within-new + "
+             "new-vs-known, never within-known; "
+             "operators/candidates.cross_corpus_pairs)",
+    )
+    dn.add_argument("--corpus", required=True,
+                    help="already-ingested corpus parquet (treated as "
+                         "deduplicated: within-corpus pairs are not "
+                         "emitted)")
+    dn.add_argument("--new", required=True,
+                    help="new batch parquet to dedupe against the "
+                         "corpus and against itself")
+    dn.add_argument("--out", required=True,
+                    help="output dir: pairs/ + overcap/ (bucket, size, "
+                         "side cap audit)")
+    dn.add_argument("--detector",
+                    choices=("exact", "minhash", "simhash", "suffix"),
+                    default="exact",
+                    help="exact sha2 content buckets (no recheck "
+                         "needed); fuzzy detectors run their exact "
+                         "verify over the pair members by default")
+    dn.add_argument("--id-col", default="image_id")
+    dn.add_argument("--text-col", default="caption",
+                    help="text column the fuzzy detectors read")
+    dn.add_argument("--bytes-col", default="bytes",
+                    help="binary column the exact detector hashes")
+    dn.add_argument("--minhash-threshold", type=float, default=None)
+    dn.add_argument("--min-match-len", type=int, default=None)
+    dn.add_argument("--bucket-cap", type=int, default=64)
+    dn.add_argument("--overcap-mode", choices=("star", "exhaustive"),
+                    default="star")
+    dn.add_argument("--no-verify", action="store_true",
+                    help="emit fuzzy candidates without the exact "
+                         "recheck")
+    dn.add_argument("--cpus", type=int, default=0)
+    dn.add_argument("--local", action="store_true")
+
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
@@ -633,6 +672,78 @@ def main(argv: list[str] | None = None) -> int:
             n = sel.count()
             used = sel.agg(F.max("cum_tokens")).first()[0] or 0
             print(f"kept {n} docs, {used}/{a.budget} tokens -> {a.out}")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "dedup-new":
+        spark = get_spark(
+            "dude_spark_dedup_new",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.candidates import cross_corpus_pairs
+
+            def load(path):
+                df = spark.read.parquet(path)
+                payload = (
+                    F.col(a.bytes_col).alias("bytes")
+                    if a.detector == "exact"
+                    else F.col(a.text_col).alias("caption")
+                )
+                return df.select(
+                    F.col(a.id_col).cast("string").alias("image_id"),
+                    payload,
+                )
+
+            known, new = load(a.corpus), load(a.new)
+            verify_fn = None
+            if a.detector == "exact":
+                from .detectors.exact import exact_buckets as bucket_fn
+            elif a.detector == "minhash":
+                from .streaming import minhash_ingest
+
+                mh = (
+                    MinHashConfig(jaccard_threshold=a.minhash_threshold)
+                    if a.minhash_threshold is not None
+                    else MinHashConfig()
+                )
+                bucket_fn, verify_fn, _ = minhash_ingest(mh)
+            elif a.detector == "suffix":
+                from .streaming import suffix_ingest
+
+                sx = (
+                    SuffixConfig(min_match_len=a.min_match_len)
+                    if a.min_match_len is not None
+                    else SuffixConfig()
+                )
+                bucket_fn, verify_fn, _ = suffix_ingest(sx)
+            else:
+                from .streaming import simhash_ingest
+
+                bucket_fn, verify_fn, _ = simhash_ingest(
+                    SimHashConfig(use_phash=False)
+                )
+            kb, nb = bucket_fn(known), bucket_fn(new)
+            if a.detector != "exact":
+                # pandas-UDF signature chains + the eager skew probes
+                # inside cross_corpus_pairs: pin the buckets once or
+                # every probe action re-runs the UDFs
+                kb = kb.localCheckpoint(eager=True)
+                nb = nb.localCheckpoint(eager=True)
+            pairs, overcap = cross_corpus_pairs(
+                kb, nb, a.bucket_cap, a.overcap_mode
+            )
+            if verify_fn is not None and not a.no_verify:
+                pairs = verify_fn(pairs, known.unionByName(new))
+            pairs.write.mode("overwrite").parquet(f"{a.out}/pairs")
+            overcap.write.mode("overwrite").parquet(f"{a.out}/overcap")
+            n = spark.read.parquet(f"{a.out}/pairs").count()
+            n_cap = spark.read.parquet(f"{a.out}/overcap").count()
+            print(f"{n} duplicate pairs (new batch vs corpus + "
+                  f"within-new), {n_cap} capped buckets -> {a.out}")
             return 0
         finally:
             spark.stop()

@@ -363,3 +363,44 @@ def test_cli_select_budget(spark, tmp_path, monkeypatch, capsys):
     with pytest.raises(ConfigError, match="at least one column"):
         cli.main(["select", "--input", inp, "--out", out,
                   "--budget", "10", "--order-by", " , "])
+
+
+def test_cli_dedup_new(spark, tmp_path, monkeypatch, capsys):
+    """dedup-new subcommand: exact mode pairs a re-ingested doc with
+    its corpus original and pairs within-new copies, never
+    within-corpus; minhash mode runs the verify path end to end."""
+    corpus, new, out = (str(tmp_path / d) for d in ("corpus", "new", "o"))
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": [f"k{i}" for i in range(20)],
+        "bytes": [f"payload-{i % 19}".encode() for i in range(20)],
+        "caption": [f"caption text number {i % 19} with words" for i in range(20)],
+    })).write.parquet(corpus)
+    # n0 re-ingests k3's payload; n1/n2 duplicate each other only
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": ["n0", "n1", "n2"],
+        "bytes": [b"payload-3", b"brand new", b"brand new"],
+        "caption": ["caption text number 3 with words",
+                    "wholly new caption", "wholly new caption"],
+    })).write.parquet(new)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    assert cli.main(["dedup-new", "--corpus", corpus, "--new", new,
+                     "--out", out]) == 0
+    assert "duplicate pairs" in capsys.readouterr().out
+    got = {(r["a"], r["b"])
+           for r in spark.read.parquet(f"{out}/pairs").collect()}
+    # corpus has a within-known dup pair (k0/k19 share payload-0):
+    # it must NOT appear
+    assert got == {("k3", "n0"), ("n1", "n2")}
+
+    out2 = str(tmp_path / "o2")
+    assert cli.main(["dedup-new", "--corpus", corpus, "--new", new,
+                     "--out", out2, "--detector", "minhash"]) == 0
+    got2 = {(r["a"], r["b"])
+            for r in spark.read.parquet(f"{out2}/pairs").collect()}
+    assert ("k3", "n0") in got2 and ("n1", "n2") in got2
+    assert not any(x.startswith("k") and y.startswith("k")
+                   for x, y in got2)
