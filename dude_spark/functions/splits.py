@@ -130,13 +130,16 @@ def weight_bound(weight: Column) -> Column:
     oracle precedent); the result renders as the same fixed-width
     lowercase hex the module's keys compare against.  Out-of-range
     weights clamp (``<= 0`` → drop-all bound, ``>= 1`` → ``'g'``
-    keep-all); a NULL weight yields a NULL bound, so the comparison is
-    NULL and the row is dropped (no weight → no stable assignment,
-    the stratified_sample NULL contract).
+    keep-all); a NULL or NaN weight yields a NULL bound, so the
+    comparison is NULL and the row is dropped (no weight → no stable
+    assignment, the stratified_sample NULL contract — NaN needs its
+    own branch because Spark orders NaN ABOVE every number, which
+    would otherwise silently take the keep-all branch).
     """
-    scaled = F.floor(weight.cast("double") * F.lit(float(_HEX_SPAN)))
+    w = weight.cast("double")
+    scaled = F.floor(w * F.lit(float(_HEX_SPAN)))
     return (
-        F.when(weight.isNull(), F.lit(None).cast("string"))
+        F.when(w.isNull() | F.isnan(w), F.lit(None).cast("string"))
         .when(scaled >= _HEX_SPAN, F.lit("g"))
         .when(scaled <= 0, F.lit("00000000"))
         .otherwise(F.lpad(F.lower(F.hex(scaled)), 8, "0"))

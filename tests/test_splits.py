@@ -333,14 +333,15 @@ def test_weighted_sample_matches_bruteforce(spark):
 
     from dude_spark.functions.splits import weighted_sample
 
-    weights = [None, -0.2, 0.0, 0.05, 0.3, 0.5, 0.77, 1.0, 1.5]
+    weights = [None, -0.2, 0.0, 0.05, 0.3, 0.5, 0.77, 1.0, 1.5,
+               float("nan")]
     rows = [(str(i), weights[i % len(weights)]) for i in range(600)]
     df = spark.createDataFrame(rows, "image_id string, w double")
     kept = {r["image_id"] for r in weighted_sample(df, "w").collect()}
     span = 16**8
     want = set()
     for i, w in rows:
-        if w is None:
+        if w is None or w != w:  # NULL and NaN both drop
             continue
         scaled = math.floor(w * span)
         if scaled >= span:
