@@ -229,6 +229,30 @@ def q_boilerplate(spark, sf_dir):
     return out.select("gram", F.col("df").cast("long").alias("df"))
 
 
+def q_dup_profile(spark, sf_dir):
+    """Per-document duplication profile
+    (operators/boilerplate.duplication_profile): the fraction of each
+    doc's distinct 5-grams occurring in >= 2 distinct docs — Lee et
+    al. 2022's duplicated-gram measurement made per-document.
+    Naturally live (the corpus' repeated spans) plus a planted slice:
+    full copies of docs 0-9 under +400000 ids, which must score
+    dup_x1000 = 1000 on BOTH sides of each copy."""
+    from dude_spark.operators.boilerplate import duplication_profile
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"), "text"
+    )
+    base = docs.select("doc_id", "text").unionByName(planted)
+    out = duplication_profile(base, n=5, min_df=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("dup_grams").cast("long").alias("dup_grams"),
+        F.col("dup_x1000").cast("long").alias("dup_x1000"),
+    )
+
+
 def q_filter_reasons(spark, sf_dir):
     """Corpus quality filtering (operators/filters.rejection_reason):
     the first-match drop-reason per document — too_short /
@@ -337,6 +361,25 @@ def q_dup_group_sizes(spark, sf_dir):
         q_dedup_assignments(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(F.count("*").cast("long").alias("group_size"))
+    )
+
+
+def q_dedup_impact(spark, sf_dir):
+    """Per-source dedup accounting (operators/report.dedup_impact)
+    over the oracled CC assignments: which source is duplicate-heavy,
+    and how many docs dedup_corpus would remove there — gated against
+    the same recursive-SQL closure joined back to the corpus."""
+    from dude_spark.operators.report import dedup_impact
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "source")
+    assignments = q_dedup_assignments(spark, sf_dir)
+    out = dedup_impact(corpus, assignments, id_col="doc_id", group_cols=("source",))
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("dup_members").cast("long").alias("dup_members"),
+        F.col("removed").cast("long").alias("removed"),
+        F.col("removed_x1000").cast("long").alias("removed_x1000"),
     )
 
 
@@ -1177,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
+        "dup_profile": q_dup_profile,
         "lang_id": q_lang_id,
         "pii_counts": q_pii_counts,
         "ngram_jaccard_pairs": _ngram_pairs_checkpointed,
@@ -1201,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_assignments": q_dedup_assignments,
         "dup_group_sizes": q_dup_group_sizes,
+        "dedup_impact": q_dedup_impact,
         "rep_selection": q_rep_selection,
         "deduped_docs": q_deduped_docs,
         "embedding_topk": q_embedding_topk,
@@ -1554,6 +1599,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, CAST(count(*) AS BIGINT) AS df
             FROM g GROUP BY gram HAVING count(*) >= 3
+        """,
+        # dup_profile: same per-doc distinct 5-gram CTE shape as
+        # boilerplate_ngrams; df over gram STRINGS (the Spark operator
+        # shuffles xxhash64 longs — equal under the documented
+        # collision contract), // replaying Spark's integer `div`
+        "dup_profile": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 400000 AS doc_id, text
+              FROM documents WHERE doc_id < 10
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM base WHERE length(trim(text)) > 0
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                          t[i+3] || ' ' || t[i+4]
+                          for i in range(1, len(t) - 3)]) AS gram
+                FROM toks WHERE len(t) >= 5
+              )
+            ),
+            gdf AS (
+              SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+            )
+            SELECT g.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_grams,
+                   CAST((sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) * 1000)
+                        // count(*) AS BIGINT) AS dup_x1000
+            FROM g JOIN gdf USING (gram)
+            GROUP BY g.doc_id
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL + "SELECT a, b, inter, uni FROM pairs",
         "corpus_summary": """
@@ -2062,6 +2143,24 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT doc_id, cluster_id FROM assigns",
         "dup_group_sizes": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
         + "SELECT cluster_id, count(*) AS group_size FROM assigns GROUP BY cluster_id",
+        # dedup_impact: the same recursive closure LEFT-joined back to
+        # the corpus and rolled up per source; // replays Spark's `div`
+        "dedup_impact": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")
+        + """
+            SELECT d.source AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_members,
+                   CAST(sum(CASE WHEN a.doc_id IS NOT NULL
+                                  AND a.cluster_id <> d.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+                   CAST((sum(CASE WHEN a.doc_id IS NOT NULL
+                                   AND a.cluster_id <> d.doc_id
+                              THEN 1 ELSE 0 END) * 1000) // count(*)
+                        AS BIGINT) AS removed_x1000
+            FROM documents d LEFT JOIN assigns a ON a.doc_id = d.doc_id
+            GROUP BY d.source
+        """,
         # rep_selection: argmax replayed as max-score-then-min-id over
         # the same recursive closure; score twin = token_stats' n_tokens
         "rep_selection": "WITH RECURSIVE " + _ASSIGN_SQL.lstrip().removeprefix("WITH")

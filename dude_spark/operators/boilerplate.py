@@ -212,3 +212,79 @@ def strip_boilerplate(
         .select(F.col(id_col), F.col("__removed").alias("removed_tokens"))
     )
     return stripped, audit
+
+
+def duplication_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """(id_col, n_grams, dup_grams, dup_x1000) per document with at
+    least one n-gram: how much of each document's DISTINCT n-gram set
+    also occurs in >= ``min_df`` distinct documents corpus-wide.
+
+    The per-document form of Lee et al. 2022's corpus duplication
+    measurements ("Deduplicating Training Data Makes Language Models
+    Better" reports the train-set fraction of duplicated 50-grams as
+    a corpus statistic): ``boilerplate_ngrams`` answers "WHICH spans
+    repeat", this answers "HOW MUCH of each doc is repeated material"
+    — the ranking signal for dedup triage (dup_x1000 = 1000 → a full
+    near-copy; ~0 → unique content) and the natural weight column for
+    ``weighted_sample``'s quality-weighted downsampling.
+
+    Semantics: grams are per-doc DISTINCT (a doc repeating its own
+    phrase is ``repetition_signals``' business, not duplication); df
+    counts DISTINCT docs, so with ``min_df=2`` a gram is "duplicated"
+    iff at least one OTHER document contains it.  ``dup_x1000`` is
+    TRUE integer division (the vocab_coverage ``div`` contract), so
+    the DuckDB oracle replays the identical integer op.  Docs shorter
+    than ``n`` tokens have no grams and are absent by contract.
+
+    Scale shape: one explode→hash pass feeds (a) the df aggregate —
+    map-side-combinable count over xxhash64 LONGS, the module's
+    8-byte-key shuffle convention — and (b) the gram-keyed join that
+    attaches df back to each (doc, gram); the per-doc rollup is then
+    one combinable (count, conditional count) aggregate.  No windows,
+    no Python workers, no driver collects.  A stopword-phrase hot
+    gram skews the attach join's key (its build row fans out to every
+    probe row) — per-key output equals input, so this is partition
+    imbalance for AQE skew-split, never a blowup.  Hash-collision
+    contract (shared with _hot_hashes): a 64-bit collision can only
+    INFLATE a gram's df — one unique gram misclassified duplicated
+    with probability ~|grams|²/2^64.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(
+            f"min_df must be >= 2 (1 would mark every gram), got {min_df}"
+        )
+    dg = _doc_grams(docs, id_col, text_col, n).select(
+        "doc", F.xxhash64("gram").alias("gh")
+    )
+    # lazy checkpoint: dg feeds both the df aggregate and the attach
+    # join — without it the explode→hash scan subtree runs twice
+    dg = dg.localCheckpoint(eager=False)
+    df_tab = dg.groupBy("gh").agg(
+        F.countDistinct("doc").cast("long").alias("df")
+    )
+    return (
+        dg.join(df_tab, "gh")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("df") >= min_df).cast("long"))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "dup_grams",
+            F.expr("dup_grams * 1000L div n_grams")
+            .cast("long")
+            .alias("dup_x1000"),
+        )
+    )

@@ -215,6 +215,57 @@ def dedup_corpus(
     return corpus.join(dups, id_col, "left_anti")
 
 
+def dedup_impact(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "image_id",
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-stratum dedup accounting: for each ``group_cols`` value of
+    the corpus, (``*group_cols``, n_docs, dup_members, removed,
+    removed_x1000) — how many rows belong to any duplicate cluster,
+    how many ``dedup_corpus`` would REMOVE (non-representative
+    members, i.e. cluster_id != id), and the removal rate in
+    integer per-mille (TRUE integer division, the vocab_coverage
+    ``div`` contract).
+
+    The curation triage table: "which crawl/source/language is
+    duplicate-heavy" decides where to spend verify budget and which
+    acquisition pipeline to fix — the reference surfaces only a flat
+    pair report (files.go:81-127); operators read THIS before acting
+    on it.  Re-root assignments first (``reroot_assignments``) and
+    ``removed`` counts the quality-policy drops instead of the
+    component-min policy's.
+
+    Scale shape: one id-keyed LEFT hash join (assignments carry two id
+    columns, never payload) + one combinable count aggregate on the
+    stratum keys; no windows, no collects.  Strata counts are exact —
+    a doc outside every cluster contributes n_docs only (dup flags
+    NULL → 0 via the join miss)."""
+    a = assignments.select(
+        F.col(id_col),
+        (F.col("cluster_id") != F.col(id_col)).cast("long").alias("__rm"),
+    )
+    return (
+        corpus.select(id_col, *group_cols)
+        .join(a, id_col, "left")
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("dup_members"),
+            F.sum(F.coalesce(F.col("__rm"), F.lit(0)))
+            .cast("long")
+            .alias("removed"),
+        )
+        .withColumn(
+            "removed_x1000",
+            F.expr("removed * 1000L div n_docs").cast("long"),
+        )
+    )
+
+
 def flatten_pairs(assignments: DataFrame) -> DataFrame:
     """assignments → (a=rep, b=dup) pair rows (O9 flatten)."""
     return assignments.where(F.col("image_id") != F.col("cluster_id")).select(

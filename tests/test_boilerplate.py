@@ -157,3 +157,60 @@ def test_over_cap_hot_set_degrades_to_shuffle_join(spark, monkeypatch):
     plan = stripped._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
     assert sorted(map(tuple, stripped.collect())) == baseline
+
+
+def test_duplication_profile_bruteforce(spark):
+    """duplication_profile replays a pure-Python recompute exactly:
+    per-doc distinct grams, df over distinct docs, true integer div."""
+    from dude_spark.operators.boilerplate import duplication_profile
+
+    rows = [(r[0], r[1]) for r in [
+        (0, f"unique words alpha beta {_BP} gamma delta"),
+        (1, f"{_BP} other content here entirely different"),
+        (2, "completely unrelated text with many  various tokens inside"),
+        (3, f"tail case {_BP}"),
+        (4, "short doc"),  # < 5 tokens: no grams, absent by contract
+        (5, "solo repeat one two three four solo repeat one two three four"),
+    ]]
+    rows.append((6, rows[2][1]))  # full copy: dup_x1000 = 1000 both ways
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_x1000"])
+        for r in duplication_profile(docs, n=5).collect()
+    }
+
+    def grams(text):
+        t = text.strip().split()
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    df = {}
+    for i, text in rows:
+        for g in grams(text):
+            df.setdefault(g, set()).add(i)
+    want = {}
+    for i, text in rows:
+        gs = grams(text)
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if len(df[g]) >= 2)
+        want[i] = (len(gs), dup, dup * 1000 // len(gs))
+    assert got == want
+    assert 4 not in got                      # too short for one gram
+    assert got[6][2] == 1000 and got[2][2] == 1000  # full copy, both sides
+    # within-doc repetition is NOT duplication: doc 5's grams are its own
+    assert got[5][1] < got[5][0]
+
+
+def test_duplication_profile_plan_and_validation(spark):
+    """No Window, no Python workers; min_df/n validation refuses."""
+    from dude_spark.operators.boilerplate import duplication_profile
+
+    docs = _docs(spark)
+    out = duplication_profile(docs, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError):
+        duplication_profile(docs, n=0)
+    with pytest.raises(ValueError):
+        duplication_profile(docs, min_df=1)

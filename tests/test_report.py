@@ -172,3 +172,71 @@ def test_dedup_corpus_keeps_reps_and_untouched_rows(spark):
     )
     out2 = dedup_corpus(corpus, rerooted)
     assert {r["image_id"] for r in out2.collect()} == {"b", "x", "y"}
+
+
+def test_dedup_impact_per_stratum_accounting(spark):
+    """dedup_impact: exact per-source counts — docs outside every
+    cluster count toward n_docs only; removed = non-representative
+    members; true-integer per-mille."""
+    from dude_spark.operators.report import dedup_impact
+
+    corpus = spark.createDataFrame(
+        [
+            ("a1", "web"), ("a2", "web"), ("a3", "web"), ("a4", "web"),
+            ("b1", "books"), ("b2", "books"),
+            ("c1", "code"),
+        ],
+        "image_id string, source string",
+    )
+    # cluster {a1,a2,a3} (a1 rep), cluster {b1,b2} (b1 rep); a4/c1 unseen
+    assignments = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1"), ("b1", "b1"), ("b2", "b1")],
+        "image_id string, cluster_id string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["dup_members"], r["removed"], r["removed_x1000"])
+        for r in dedup_impact(corpus, assignments).collect()
+    }
+    assert got == {
+        "web": (4, 3, 2, 500),    # 2*1000 div 4
+        "books": (2, 2, 1, 500),
+        "code": (1, 0, 0, 0),
+    }
+    # plan: no Window, no Python workers
+    plan = (
+        dedup_impact(corpus, assignments)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_impact_composes_with_reroot(spark):
+    """After reroot_assignments the removal policy follows the chosen
+    representative: removed counts members != rep, and dedup_corpus's
+    survivor count per stratum equals n_docs - removed."""
+    from dude_spark.operators.report import (
+        dedup_corpus,
+        dedup_impact,
+        reroot_assignments,
+        select_representatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a1", "web"), ("a2", "web"), ("a3", "web")],
+        "image_id string, source string",
+    )
+    assignments = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1")],
+        "image_id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("a1", 1), ("a2", 9), ("a3", 5)], "image_id string, score long"
+    )
+    reps = select_representatives(assignments, scores, "score")
+    rerooted = reroot_assignments(assignments, reps)
+    got = dedup_impact(corpus, rerooted).collect()[0]
+    assert (got["n_docs"], got["removed"]) == (3, 2)  # a2 survives
+    survivors = {r["image_id"] for r in dedup_corpus(corpus, rerooted).collect()}
+    assert survivors == {"a2"}
+    assert got["n_docs"] - got["removed"] == len(survivors)
