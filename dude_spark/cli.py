@@ -208,6 +208,35 @@ def _parser() -> argparse.ArgumentParser:
     bp.add_argument("--cpus", type=int, default=0)
     bp.add_argument("--local", action="store_true")
 
+    tr = sub.add_parser(
+        "triage",
+        help="dedup triage tables: per-doc duplication profile and, "
+             "with --assignments, per-stratum dedup impact "
+             "(operators/boilerplate.duplication_profile + "
+             "operators/report.dedup_impact)",
+    )
+    tr.add_argument("--input", required=True, help="corpus parquet path")
+    tr.add_argument("--out", required=True,
+                    help="output dir: profile/ (doc, n_grams, dup_grams, "
+                         "dup_x1000) + impact/ (per-stratum dedup "
+                         "accounting, with --assignments)")
+    tr.add_argument("--assignments", default=None,
+                    help="assignments parquet (id + cluster_id, e.g. a "
+                         "run checkpoint's assignments stage) enabling "
+                         "the impact/ table")
+    tr.add_argument("--by", default="source",
+                    help="comma-separated stratum columns for impact/ "
+                         "(default 'source')")
+    tr.add_argument("--id-col", default="image_id")
+    tr.add_argument("--text-col", default="caption")
+    tr.add_argument("--ngram", type=int, default=5,
+                    help="gram width in tokens (default 5)")
+    tr.add_argument("--min-df", type=int, default=2,
+                    help="distinct-doc threshold for a gram to count "
+                         "duplicated (default 2)")
+    tr.add_argument("--cpus", type=int, default=0)
+    tr.add_argument("--local", action="store_true")
+
     sh = sub.add_parser(
         "shards",
         help="write a corpus as size-bounded, verifiable training "
@@ -845,6 +874,45 @@ def main(argv: list[str] | None = None) -> int:
                 f"{n_grams} boilerplate {a.ngram}-gram(s); stripped "
                 f"tokens from {n_docs} doc(s) -> {a.out}"
             )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "triage":
+        spark = get_spark(
+            "dude_spark_triage",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .operators.boilerplate import duplication_profile
+            from .operators.report import dedup_impact
+
+            docs = spark.read.parquet(a.input)
+            prof = duplication_profile(
+                docs, id_col=a.id_col, text_col=a.text_col,
+                n=a.ngram, min_df=a.min_df,
+            )
+            prof.write.mode("overwrite").parquet(f"{a.out}/profile")
+            n_prof = spark.read.parquet(f"{a.out}/profile").count()
+            msg = f"profiled {n_prof} doc(s)"
+            if a.assignments is not None:
+                by = tuple(c for c in a.by.split(",") if c)
+                missing = [c for c in by if c not in docs.columns]
+                if missing:
+                    print(f"error: --by column(s) {missing} not in the "
+                          f"corpus schema {docs.columns}",
+                          file=sys.stderr)
+                    return 2
+                impact = dedup_impact(
+                    docs,
+                    spark.read.parquet(a.assignments),
+                    id_col=a.id_col,
+                    group_cols=by,
+                )
+                impact.write.mode("overwrite").parquet(f"{a.out}/impact")
+                n_strata = spark.read.parquet(f"{a.out}/impact").count()
+                msg += f"; impact over {n_strata} {'/'.join(by)} stratum(a)"
+            print(msg + f" -> {a.out}")
             return 0
         finally:
             spark.stop()

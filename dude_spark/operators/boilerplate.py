@@ -261,12 +261,22 @@ def duplication_profile(
         raise ValueError(
             f"min_df must be >= 2 (1 would mark every gram), got {min_df}"
         )
-    dg = _doc_grams(docs, id_col, text_col, n).select(
-        "doc", F.xxhash64("gram").alias("gh")
+    # ONE explicit gh exchange serves BOTH consumers (plan-asserted
+    # ReusedExchange in tests): hash(gh) partitioning satisfies the
+    # distinct-rewrite's (gh, doc) clustering — a subset of the keys
+    # clusters the superset — AND the attach join's gh requirement, so
+    # the scan→explode→hash subtree executes exactly once and neither
+    # consumer adds a second wide shuffle of the gram table.  (NOT a
+    # localCheckpoint: a lazy one truncates lineage mid-job and floods
+    # the log with non-existent-accumulator errors from the
+    # still-finishing pre-checkpoint stages; an eager one materializes
+    # |grams| rows to executor disk that the reused exchange already
+    # holds as shuffle blocks.)
+    dg = (
+        _doc_grams(docs, id_col, text_col, n)
+        .select("doc", F.xxhash64("gram").alias("gh"))
+        .repartition("gh")
     )
-    # lazy checkpoint: dg feeds both the df aggregate and the attach
-    # join — without it the explode→hash scan subtree runs twice
-    dg = dg.localCheckpoint(eager=False)
     df_tab = dg.groupBy("gh").agg(
         F.countDistinct("doc").cast("long").alias("df")
     )

@@ -210,6 +210,12 @@ def test_duplication_profile_plan_and_validation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # both consumers of the gram frame shuffle on the SAME key, so the
+    # explode→hash subtree must execute ONCE via AQE exchange reuse
+    # (visible only in the post-execution adaptive plan)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
     with pytest.raises(ValueError):
         duplication_profile(docs, n=0)
     with pytest.raises(ValueError):

@@ -404,3 +404,43 @@ def test_cli_dedup_new(spark, tmp_path, monkeypatch, capsys):
     assert ("k3", "n0") in got2 and ("n1", "n2") in got2
     assert not any(x.startswith("k") and y.startswith("k")
                    for x, y in got2)
+
+
+def test_cli_triage(spark, tmp_path, monkeypatch, capsys):
+    """triage subcommand: profile/ matches the operator; with
+    --assignments the impact/ table appears, keyed by --by; a --by
+    column missing from the corpus is refused with exit 2."""
+    inp = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog", "web"),
+            ("b", "the quick brown fox jumps over the lazy dog", "web"),
+            ("c", "entirely different text with no shared five gram", "books"),
+        ],
+        "image_id string, caption string, source string",
+    ).write.parquet(inp)
+    asg = str(tmp_path / "assignments")
+    spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "image_id string, cluster_id string"
+    ).write.parquet(asg)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "triage")
+    assert cli.main(["triage", "--input", inp, "--out", out]) == 0
+    prof = {r["image_id"]: r["dup_x1000"]
+            for r in spark.read.parquet(f"{out}/profile").collect()}
+    assert prof == {"a": 1000, "b": 1000, "c": 0}
+    assert "profiled 3 doc(s)" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "triage2")
+    assert cli.main(["triage", "--input", inp, "--out", out2,
+                     "--assignments", asg]) == 0
+    impact = {r["source"]: (r["n_docs"], r["removed"])
+              for r in spark.read.parquet(f"{out2}/impact").collect()}
+    assert impact == {"web": (2, 1), "books": (1, 0)}
+    assert "impact over 2" in capsys.readouterr().out
+
+    assert cli.main(["triage", "--input", inp, "--out", out2,
+                     "--assignments", asg, "--by", "nope"]) == 2
+    assert "not in the corpus schema" in capsys.readouterr().err
