@@ -1985,7 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         # the same deterministic mutation (remove %97, rewrite %89,
         # add 25); unchanged rows excluded on both engines
         "snapshot_diff": """
-            WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            WITH o AS (SELECT doc_id, md5('1' || text) AS fp FROM documents),
             n0 AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 89 = 0 THEN text || ' zzrev'
@@ -1994,7 +1994,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 400000, text FROM documents WHERE doc_id < 25
             ),
-            n AS (SELECT doc_id, md5(text) AS fp FROM n0),
+            n AS (SELECT doc_id, md5('1' || text) AS fp FROM n0),
             j AS (
               SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
                      o.fp AS old_fp, n.fp AS new_fp

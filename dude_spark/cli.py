@@ -888,6 +888,18 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.report import dedup_impact
 
             docs = spark.read.parquet(a.input)
+            # validate the cheap inputs BEFORE the expensive profile
+            # pass: a typo'd --by must fail in milliseconds, not after
+            # the corpus-wide explode→hash→join ran and wrote output
+            by = tuple(c.strip() for c in a.by.split(",") if c.strip())
+            if a.assignments is not None:
+                missing = [c for c in by if c not in docs.columns]
+                if missing:
+                    print(f"error: --by column(s) {missing} not in the "
+                          f"corpus schema {docs.columns}",
+                          file=sys.stderr)
+                    return 2
+                assignments = spark.read.parquet(a.assignments)
             prof = duplication_profile(
                 docs, id_col=a.id_col, text_col=a.text_col,
                 n=a.ngram, min_df=a.min_df,
@@ -896,18 +908,8 @@ def main(argv: list[str] | None = None) -> int:
             n_prof = spark.read.parquet(f"{a.out}/profile").count()
             msg = f"profiled {n_prof} doc(s)"
             if a.assignments is not None:
-                by = tuple(c for c in a.by.split(",") if c)
-                missing = [c for c in by if c not in docs.columns]
-                if missing:
-                    print(f"error: --by column(s) {missing} not in the "
-                          f"corpus schema {docs.columns}",
-                          file=sys.stderr)
-                    return 2
                 impact = dedup_impact(
-                    docs,
-                    spark.read.parquet(a.assignments),
-                    id_col=a.id_col,
-                    group_cols=by,
+                    docs, assignments, id_col=a.id_col, group_cols=by
                 )
                 impact.write.mode("overwrite").parquet(f"{a.out}/impact")
                 n_strata = spark.read.parquet(f"{a.out}/impact").count()
@@ -974,6 +976,19 @@ def main(argv: list[str] | None = None) -> int:
                     _os.path.join(a.state, "state_meta.json")
                 ) as f:
                     n_shards = _json.load(f)["n_state_shards"]
+                # a state dir written WITHOUT --assign-clusters has no
+                # assign/ store: an empty summary here would read as
+                # "the stream found no duplicates" when assignments
+                # were simply never maintained — refuse instead
+                if not _os.path.isdir(_os.path.join(a.state, "assign")):
+                    print(
+                        f"error: {a.state} has no assignment state "
+                        "(assign/) — the stream ran without "
+                        "--assign-clusters; re-run it with the flag "
+                        "to maintain incremental duplicate groups",
+                        file=sys.stderr,
+                    )
+                    return 2
                 a_store, _ = assignment_stores(spark, a.state, n_shards)
                 assigns = current_assignments(spark, a_store)
             else:

@@ -170,7 +170,15 @@ def weighted_sample(
     over the scan at any corpus size, like every op in this module.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    return df.where(_hex_key(F.col(id_col), seed) < weight_bound(w))
+    bound = weight_bound(w)
+    # the explicit 'g' branch is deterministic_sample's frac==1.0
+    # early-return, per row: weight >= 1 keeps the row even when its
+    # id is NULL (a hashed compare would drop it — keep-probability 0
+    # instead of the promised 1).  For non-NULL keys the branch is
+    # redundant (every hex key < 'g'), so the sampled set is unchanged.
+    return df.where(
+        (bound == F.lit("g")) | (_hex_key(F.col(id_col), seed) < bound)
+    )
 
 
 def stratified_sample(

@@ -34,13 +34,24 @@ def snapshot_diff(
     """(id, old_fp, new_fp, status) for status ∈ added | removed |
     changed (| unchanged when ``include_unchanged``).
 
-    The fingerprint is md5 over the content columns joined with a
-    US unit separator (\\x1f — cannot appear in text, so ("ab","c")
-    never collides with ("a","bc")); absent-side fingerprints return
-    as '' rather than null so downstream hashing/joins need no
+    The fingerprint is md5 over the content columns, each encoded as
+    a presence flag plus the value — ``'1' || value`` for a non-NULL
+    column, ``'0'`` for NULL — joined with a US unit separator (\\x1f
+    — cannot appear in text, so ("ab","c") never collides with
+    ("a","bc")).  The flag makes NULL, '' and every real value
+    pairwise distinct: a bare concat_ws SKIPS null columns, so
+    (NULL, 'a') would fingerprint equal to ('a', NULL) and a
+    NULL → '' edit would read as unchanged.  Absent-side fingerprints
+    return as '' rather than null so downstream hashing/joins need no
     null-handling."""
     sep = "\x1f"
-    fp = F.md5(F.concat_ws(sep, *[F.col(c).cast("string") for c in content_cols]))
+    enc = [
+        F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1"), F.col(c).cast("string"))
+        )
+        for c in content_cols
+    ]
+    fp = F.md5(F.concat_ws(sep, *enc))
     o = old.select(F.col(id_col), fp.alias("old_fp"))
     n = new.select(F.col(id_col), fp.alias("new_fp"))
     j = o.join(n, id_col, "full_outer")

@@ -33,6 +33,7 @@ import abc
 import json
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -149,6 +150,31 @@ def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def _hadoop_write_text_atomic(
+    spark: SparkSession, path: str, text: str
+) -> None:
+    """Write a small text file so it appears ATOMICALLY at ``path``:
+    create under a temp name, then rename into place.  A crash
+    mid-write leaves only an ignorable ``.tmp-*`` orphan, never a
+    torn file at the final name — required for commit-point metas
+    (``compact_meta.gen=G.json``), where a truncated JSON at the
+    committed name would shadow the previous valid generation and
+    brick every subsequent read.  Same object-store caveat as
+    ``_hadoop_rename``."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    _hadoop_write_text(spark, tmp, text)
+    fs, dst = _hadoop_fs(spark, path)
+    # HDFS/local rename refuses an existing destination: a file already
+    # at the final name is either a TORN pre-atomic-writer leftover or
+    # an idempotent replay of this same commit — both safely replaced.
+    # The delete→rename gap is covered by the reader's fallback (it
+    # skips a missing/unparseable generation and serves the previous
+    # one until the rename lands).
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    _hadoop_rename(spark, tmp, path)
 
 
 def _hadoop_read_text(spark: SparkSession, path: str) -> str:
@@ -308,21 +334,42 @@ class ShardedEpochStore:
         return int(m.group(1)) if m else None
 
     def _compact_meta(self) -> tuple[int, int]:
-        """(gen, merged_upto) from the highest-generation meta file;
-        (0, -1) when never compacted.  Create-new-then-delete-old meta
-        versioning means the highest gen is always the committed one."""
+        """(gen, merged_upto) from the highest-generation PARSEABLE
+        meta file; (0, -1) when never compacted.  Metas are written
+        atomically (temp-then-rename), so the highest gen is the
+        committed one; a torn file — pre-atomic-writer state dirs, or
+        an object store whose rename is copy+delete — is skipped and
+        the next generation down wins (its base dir is only deleted
+        AFTER the newer meta committed, so falling back is only
+        possible while both are still fully live).  All metas present
+        but none parseable is unrecoverable ambiguity → loud error,
+        never a silent (0, -1) that would read merged-away epochs."""
         metas = _hadoop_glob(
             self.spark, os.path.join(self.base, "compact_meta.gen=*.json")
         )
-        best = None
+        cands = []
         for p in metas:
             m = re.search(r"compact_meta\.gen=(\d+)\.json$", p)
-            if m and (best is None or int(m.group(1)) > best[0]):
-                best = (int(m.group(1)), p)
-        if best is None:
-            return 0, -1
-        meta = json.loads(_hadoop_read_text(self.spark, best[1]))
-        return int(meta["gen"]), int(meta["merged_upto"])
+            if m:
+                cands.append((int(m.group(1)), p))
+        for _, p in sorted(cands, reverse=True):
+            # a torn meta can fail as malformed JSON, a missing field,
+            # OR a filesystem-level read error (LocalFS raises
+            # ChecksumException through py4j when the .crc sidecar
+            # disagrees) — any failure to produce (gen, merged_upto)
+            # from THIS file means fall back to the next generation
+            try:
+                meta = json.loads(_hadoop_read_text(self.spark, p))
+                return int(meta["gen"]), int(meta["merged_upto"])
+            except Exception:
+                continue
+        if cands:
+            raise RuntimeError(
+                f"every compaction meta in {self.base} is unparseable "
+                f"({[p for _, p in cands]}) — refusing to guess the live "
+                "generation; restore a meta or rebuild the state dir"
+            )
+        return 0, -1
 
     def _is_live(self, epoch: int, gen: int, merged_upto: int) -> bool:
         """A dir is live iff it is the current base generation or an
@@ -546,8 +593,10 @@ class ShardedEpochStore:
         new_base = os.path.join(self.base, f"epoch=-{new_gen}")
         _hadoop_rename(self.spark, tmp, new_base)
         # THE commit point: once this meta exists, readers switch to
-        # the new generation atomically (highest gen wins)
-        _hadoop_write_text(
+        # the new generation atomically (highest gen wins) — written
+        # via temp-then-rename so a crash can never leave a TORN json
+        # at the committed name shadowing the previous generation
+        _hadoop_write_text_atomic(
             self.spark,
             os.path.join(self.base, f"compact_meta.gen={new_gen}.json"),
             json.dumps(
@@ -733,12 +782,12 @@ class IcebergEpochStore:
             ) from e
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
 
-    def _shard_expr(self):
-        from pyspark.sql import functions as F
-
-        return F.pmod(F.xxhash64(self.key_col), F.lit(self.n_shards)).cast(
-            "int"
-        )
+    # the shard function must stay bit-identical between the two
+    # store implementations (a divergence silently breaks key->shard
+    # agreement when one is swapped for the other) — alias, like the
+    # latest-wins methods below, never copy
+    _shard_expr = ShardedEpochStore._shard_expr
+    shards_for = ShardedEpochStore.shards_for
 
     def write_epoch(self, df: DataFrame, epoch: int) -> None:
         from pyspark.sql import functions as F
@@ -762,20 +811,6 @@ class IcebergEpochStore:
             )
         else:
             out.writeTo(self.table).overwritePartitions()
-
-    def shards_for(self, keys_df: DataFrame) -> list[int]:
-        from pyspark.sql import functions as F
-
-        rows = (
-            keys_df.select(
-                F.pmod(F.xxhash64(self.key_col), F.lit(self.n_shards))
-                .cast("int")
-                .alias("shard")
-            )
-            .distinct()
-            .collect()
-        )
-        return sorted(r["shard"] for r in rows)
 
     def read_for_shards(self, shards: list[int]) -> DataFrame | None:
         from pyspark.sql import functions as F

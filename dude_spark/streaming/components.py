@@ -200,11 +200,12 @@ def current_assignments(
     state read (every shard, latest-wins), for end-of-stream
     materialization and audits, never inside the per-epoch loop."""
     df = assign_store.read_for_shards(list(range(assign_store.n_shards)))
-    if df is None:
+    resolved = assign_store.resolve_latest(df)
+    if resolved is None:
         return spark.createDataFrame(
             [], "image_id string, cluster_id string"
         )
-    return (
-        df.groupBy("image_id")
-        .agg(F.max_by(F.col("cluster_id"), F.col("epoch")).alias("cluster_id"))
-    )
+    # resolve_latest, not a hand-rolled max_by: the latest-wins
+    # contract (tie-breaking, extra state columns) must stay single-
+    # sourced with the pruned-read path or the two silently diverge
+    return resolved.select("image_id", "cluster_id")

@@ -38,18 +38,24 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="stream_probe_")
     input_dir, state_dir = os.path.join(root, "in"), os.path.join(root, "st")
     rows = []
+
+    def payload(e: int, i: int) -> bytes:
+        # ~10% of each batch duplicates a payload the PREVIOUS epoch
+        # actually emitted as unique (its rows [2n/10, n) carry their
+        # own p-(e-1)-i payload — referencing i<n/10 there would miss:
+        # those rows carry e-2 payloads themselves), ~10% duplicates
+        # within the batch (odd i repeats even i-1), the rest unique —
+        # deterministic, no RNG needed
+        if e > 0 and i < n // 10:
+            return f"p-{e - 1:03d}-{2 * n // 10 + i:06d}".encode()
+        if i < 2 * n // 10:
+            return f"p-{e:03d}-{i - i % 2:06d}".encode()
+        return f"p-{e:03d}-{i:06d}".encode()
+
     for e in range(epochs):
-        # ~10% of each batch duplicates a payload from an EARLIER
-        # epoch (cross-epoch pairs + merges), ~10% duplicates within
-        # the batch, the rest unique — deterministic, no RNG needed
         pdf = pd.DataFrame({
             "image_id": [f"e{e:03d}-{i:06d}" for i in range(n)],
-            "bytes": [
-                (f"p-{(e - 1):03d}-{i:06d}" if e > 0 and i < n // 10
-                 else f"p-{e:03d}-{i - (i % 2 if i < 2 * n // 10 else 0):06d}")
-                .encode()
-                for i in range(n)
-            ],
+            "bytes": [payload(e, i) for i in range(n)],
         })
         pdf.to_parquet(os.path.join(input_dir, f"batch-{e:03d}.parquet")
                        if os.path.isdir(input_dir) else _first(input_dir, e))

@@ -97,3 +97,20 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "a", "bc")], "doc_id long, a string, b string")
         got = snapshot_diff(old, new, content_cols=("a", "b")).collect()
         assert [r["status"] for r in got] == ["changed"]
+
+    def test_null_content_is_distinct_from_empty_and_shifted(self, spark):
+        """NULL-aware fingerprint: a bare concat_ws would SKIP null
+        columns, so (NULL,'a') vs ('a',NULL) and NULL vs '' would all
+        read 'unchanged' — each must be 'changed'."""
+        two = "doc_id long, a string, b string"
+        old = spark.createDataFrame([(1, "a", None)], two)
+        new = spark.createDataFrame([(1, None, "a")], two)
+        got = snapshot_diff(old, new, content_cols=("a", "b")).collect()
+        assert [r["status"] for r in got] == ["changed"]
+
+        old1 = self._df(spark, [(1, None)])
+        new1 = self._df(spark, [(1, "")])
+        got1 = snapshot_diff(old1, new1).collect()
+        assert [r["status"] for r in got1] == ["changed"]
+        # and NULL -> NULL really is unchanged (absent from the diff)
+        assert snapshot_diff(old1, old1).count() == 0

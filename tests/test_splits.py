@@ -375,3 +375,17 @@ def test_weighted_sample_monotone_and_pure_plan(spark):
     assert lo <= hi and len(hi) > len(lo)
     plan = _plan(weighted_sample(df, "w"))
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_null_id_keep_all_branch(spark):
+    """weight >= 1 means keep-probability 1 EVEN for NULL-id rows
+    (deterministic_sample's frac==1.0 early-return, per row); a
+    sub-1 weight with no identity still drops (no stable assignment)."""
+    from dude_spark.functions.splits import weighted_sample
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 1.5), (None, 0.999), ("x", 1.0)],
+        "image_id string, w double",
+    )
+    kept = {(r["image_id"], r["w"]) for r in weighted_sample(df, "w").collect()}
+    assert kept == {(None, 1.0), (None, 1.5), ("x", 1.0)}

@@ -242,3 +242,55 @@ def test_iceberg_epoch_store_contract_parity(spark, tmp_path):
     assert results["parquet"][2] == results["iceberg"][2]
     # the raw pruned read agrees wherever epochs survive (pre-compact)
     assert results["parquet"][0] == results["iceberg"][0]
+
+
+def test_sharded_store_torn_meta_falls_back(spark, tmp_path):
+    """Crash window C — a torn (half-written) meta at the committed
+    name: the atomic writer makes this impossible going forward, but
+    pre-atomic state dirs / copy+delete object stores can still
+    surface one.  The reader must fall back to the next parseable
+    generation instead of raising forever; all-metas-torn must be a
+    loud error, never a silent never-compacted view."""
+    import pytest
+
+    from dude_spark.storage import ShardedEpochStore
+
+    store = ShardedEpochStore(spark, str(tmp_path), "s", "k", n_shards=4)
+    _mk_epoch(spark, store, 0, [("a", 1), ("b", 2)])
+    _mk_epoch(spark, store, 1, [("c", 3)])
+    store.compact(1)
+    truth = [("a", 1), ("b", 2), ("c", 3)]
+    base = str(tmp_path / "s")
+
+    # torn higher-gen meta appears (e.g. a crashed non-atomic writer):
+    # readers must keep serving gen 1
+    with open(os.path.join(base, "compact_meta.gen=2.json"), "w") as f:
+        f.write('{"gen": 2, "merged')  # truncated mid-write
+    assert store._compact_meta() == (1, 1)
+    assert _state_rows(store) == truth
+
+    # the next compaction still commits a REAL gen above the torn one
+    _mk_epoch(spark, store, 2, [("d", 4)])
+    audit = store.compact(2)
+    assert audit["gen"] >= 2
+    assert _state_rows(store) == sorted(truth + [("d", 4)])
+
+    # every meta torn -> refuse loudly (ambiguous live generation)
+    for p in os.listdir(base):
+        if p.startswith("compact_meta.gen="):
+            with open(os.path.join(base, p), "w") as f:
+                f.write("{broken")
+    with pytest.raises(RuntimeError, match="unparseable"):
+        store._compact_meta()
+
+
+def test_atomic_meta_write_leaves_no_torn_final_name(spark, tmp_path):
+    """_hadoop_write_text_atomic: the final name only ever appears
+    complete; the temp name never survives a successful write."""
+    from dude_spark.storage import _hadoop_write_text_atomic
+
+    path = str(tmp_path / "meta.json")
+    _hadoop_write_text_atomic(spark, path, '{"ok": true}')
+    with open(path) as f:
+        assert f.read() == '{"ok": true}'
+    assert [p for p in os.listdir(str(tmp_path)) if ".tmp-" in p] == []
