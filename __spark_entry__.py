@@ -69,7 +69,12 @@ from dude_spark.operators.pii import (
 from dude_spark.operators.shards import shard_assignment
 from dude_spark.operators.snapshot import snapshot_diff
 from dude_spark.operators.boilerplate import boilerplate_ngrams
-from dude_spark.operators.textdedup import chunk_dedup, ngram_jaccard_pairs
+from dude_spark.operators.textdedup import (
+    chunk_dedup,
+    containment_pairs,
+    dedup_lines,
+    ngram_jaccard_pairs,
+)
 from dude_spark.operators.verify import (
     prefilter_minhash,
     verify_hamming,
@@ -743,6 +748,56 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup(docs.unionByName(copies).unionByName(partial), chunk_tokens=10)
 
 
+def q_line_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal
+    (operators/textdedup.dedup_lines, the RefinedWeb/Dolma within-doc
+    dedup pass): first occurrence of each line kept, order preserved,
+    rewrite verified through md5 of the rebuilt text.  The corpus is
+    single-line, so every doc_id % 5 == 0 doc is restaged as six
+    lines with three planted duplicates (its own first 30 chars
+    repeated, plus a doubled boilerplate line) — identically on both
+    engines — and must come back n_lines=6 / n_kept=3; the rest are
+    pass-through identities (n_kept == n_lines)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    la = F.substring(F.col("text"), 1, 30)
+    lb = F.substring(F.col("text"), 31, 30)
+    multi = F.concat_ws(
+        "\n", la, lb, la, F.lit("boilerplate nav"), F.lit("boilerplate nav"), lb
+    )
+    staged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, multi).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_lines(staged)
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment pairs
+    (operators/textdedup.containment_pairs): src docs whose distinct
+    3-grams are >= 8/10 contained in dst — the quote-inside-article
+    near-dup Jaccard misses when lengths differ.  Planted live slice:
+    every doc_id % 101 == 0 doc with >= 20 tokens spawns a +500000
+    "quote" of its tokens 5..14, whose 8 grams are all contained in
+    the source (containment 1.0) while pair Jaccard stays far below
+    any threshold.  Integer-only filter, DuckDB twin is the literal
+    ordered-pair gram join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    quotes = docs.where(
+        (F.col("doc_id") % 101 == 0) & (F.size(toks) >= 20)
+    ).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.array_join(F.slice(toks, 5, 10), " ").alias("text"),
+    )
+    return containment_pairs(
+        docs.unionByName(quotes), threshold_num=8, threshold_den=10
+    )
+
+
 def q_top_docs_per_source(spark, sf_dir):
     """Exact top-3 longest docs per (lang, source)
     (functions/ranking.grouped_topk): salted two-level combinable
@@ -1241,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "event_pairs_range": q_event_pairs_range,
         "chunk_dedup": q_chunk_dedup,
+        "line_dedup": q_line_dedup,
+        "containment_pairs": q_containment_pairs,
         "top_docs_per_source": q_top_docs_per_source,
         "snapshot_diff": q_snapshot_diff,
         "dedup_assignments": q_dedup_assignments,
@@ -2057,6 +2114,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
                    coalesce(a.dedup_fp, md5('')) AS dedup_fp
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        # line_dedup: first-occurrence-per-line via min(ordinal) +
+        # ordered string_agg rebuild (oracle scale) vs Spark's in-row
+        # prefix-scan filter; the staged multi-line slice (doc_id%5)
+        # is built identically on both engines
+        "line_dedup": """
+            WITH staged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       substring(text, 1, 30) || chr(10)
+                       || substring(text, 31, 30) || chr(10)
+                       || substring(text, 1, 30) || chr(10)
+                       || 'boilerplate nav' || chr(10)
+                       || 'boilerplate nav' || chr(10)
+                       || substring(text, 31, 30)
+                     ELSE text END AS text
+              FROM documents WHERE text IS NOT NULL
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS ord
+              FROM staged
+            ),
+            f AS (
+              SELECT doc_id, line, min(ord) AS ord
+              FROM l GROUP BY doc_id, line
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY ord)) AS dedup_fp
+              FROM f GROUP BY doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   CAST(c.n_lines AS BIGINT) AS n_lines,
+                   CAST(a.n_kept AS BIGINT) AS n_kept,
+                   a.dedup_fp
+            FROM staged s JOIN cnt c USING (doc_id) JOIN agg a USING (doc_id)
+        """,
+        # containment_pairs: literal ordered-pair gram join with the
+        # integer filter inter*10 >= 8*src_grams; the +500000 quote
+        # slice (tokens 5..14 of every doc_id%101 doc) is planted
+        # identically on both engines
+        "containment_pairs": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000,
+                     array_to_string(
+                       (regexp_split_to_array(trim(text), '\\s+'))[5:14], ' ')
+              FROM documents
+              WHERE doc_id % 101 = 0
+                AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM base WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in range(1, len(t) - 1)]) AS gram
+                FROM toks WHERE len(t) >= 3
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS gsize FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT gs.doc_id AS src, gd.doc_id AS dst, count(*) AS inter
+              FROM grams gs
+              JOIN grams gd ON gs.gram = gd.gram AND gs.doc_id <> gd.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(i.src AS BIGINT) AS src, CAST(i.dst AS BIGINT) AS dst,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(s.gsize AS BIGINT) AS src_grams
+            FROM inter i JOIN sizes s ON s.doc_id = i.src
+            WHERE i.inter * 10 >= 8 * s.gsize
         """,
         "substring_pairs": """
             WITH g AS (

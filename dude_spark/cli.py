@@ -162,6 +162,26 @@ def _parser() -> argparse.ArgumentParser:
     pi.add_argument("--cpus", type=int, default=0)
     pi.add_argument("--local", action="store_true")
 
+    dl = sub.add_parser(
+        "dedup-lines",
+        help="remove repeated lines inside each document "
+             "(operators/textdedup.dedup_lines; text rewritten in "
+             "place, first occurrence kept, per-doc audit counts)",
+    )
+    dl.add_argument("--input", required=True, help="corpus parquet path")
+    dl.add_argument("--out", required=True,
+                    help="output dir: cleaned/ (input schema, text "
+                         "rewritten in place) + audit/ (id + "
+                         "n_lines/n_kept for every doc that lost "
+                         "lines)")
+    dl.add_argument("--id-col", default="image_id")
+    dl.add_argument("--text-col", default="caption")
+    dl.add_argument("--sep", default="\n",
+                    help="literal line separator (default: newline; "
+                         "pass a real character, e.g. $'\\t' in bash)")
+    dl.add_argument("--cpus", type=int, default=0)
+    dl.add_argument("--local", action="store_true")
+
     mx = sub.add_parser(
         "mix",
         help="rebalance a corpus to a target domain mixture by "
@@ -623,6 +643,43 @@ def main(argv: list[str] | None = None) -> int:
                 f"redacted {totals['emails'] or 0} emails, "
                 f"{totals['phones'] or 0} phones, {totals['ips'] or 0} IPs "
                 f"across {totals['docs']} docs -> {a.out}"
+            )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "dedup-lines":
+        spark = get_spark(
+            "dude_spark_dedup_lines",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.textdedup import dedup_lines, dedup_lines_text
+
+            docs = spark.read.parquet(a.input)
+            # in-place rewrite (full input schema) and the stats
+            # frame share one zero-shuffle expression — no id join
+            cleaned = docs.withColumn(
+                a.text_col, dedup_lines_text(F.col(a.text_col), a.sep)
+            )
+            cleaned.write.mode("overwrite").parquet(f"{a.out}/cleaned")
+            audit = dedup_lines(
+                docs, id_col=a.id_col, text_col=a.text_col, sep=a.sep
+            ).where(F.col("n_kept") < F.col("n_lines"))
+            audit.write.mode("overwrite").parquet(f"{a.out}/audit")
+            totals = (
+                spark.read.parquet(f"{a.out}/audit")
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum(F.col("n_lines") - F.col("n_kept")).alias("removed"),
+                )
+                .collect()[0]
+            )
+            print(
+                f"removed {totals['removed'] or 0} repeated line(s) "
+                f"across {totals['docs']} doc(s) -> {a.out}"
             )
             return 0
         finally:

@@ -1,11 +1,14 @@
-"""N-gram Jaccard near-dup detection over a document table.
+"""Exact text-dedup operators over a document table: n-gram Jaccard
+pairs, asymmetric n-gram containment pairs, chunk-granularity corpus
+dedup, and intra-document repeated-line removal.
 
-The exact (non-probabilistic) sibling of D1 MinHash-LSH for corpora
-where candidate volume allows full inverted-index joins: explode
-distinct word n-grams → self-join on gram → count intersections →
-integer-arithmetic Jaccard filter.  Same blocking-then-verify shape as
-the reference's group-then-compare (SURVEY.md §4 "Group-then-verify"),
-with the gram playing the bucket role.
+The pair operators are the exact (non-probabilistic) siblings of D1
+MinHash-LSH for corpora where candidate volume allows full
+inverted-index joins: explode distinct word n-grams → self-join on
+gram → count intersections → integer-arithmetic threshold filter.
+Same blocking-then-verify shape as the reference's group-then-compare
+(SURVEY.md §4 "Group-then-verify"), with the gram playing the bucket
+role.
 
 All-integer outputs (inter, union, a, b) so the DuckDB oracle hash in
 ``__spark_entry__`` matches bit-for-bit — Jaccard >= num/den is tested
@@ -28,6 +31,30 @@ from ..functions.text import tokens, word_ngrams
 from ..session import ensure_min_partitions
 
 
+def _doc_grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, gram) — one row per distinct word n-gram per document,
+    the inverted-index input shared by the jaccard and containment
+    pair operators (the two MUST tokenize identically or a pair's
+    counts diverge between them).
+
+    Spreads an under-split scan first (one row group = one task for
+    the tokenize/explode otherwise), then carries grams as xxhash64
+    LONGS: the inverted-index self-join — the widest shuffle — moves
+    8 bytes per gram instead of a ~n-word string.  Distinct-gram
+    semantics are applied on the STRINGS (array_distinct before
+    hashing); a 64-bit collision merging two grams of one pair shifts
+    its counts with probability ~|grams|²/2^64 — immaterial (the same
+    contract as verify_jaccard's hashed shingle sets)."""
+    return ensure_min_partitions(
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select(
+        "doc",
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    ).select("doc", F.xxhash64("g").alias("gram"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -44,20 +71,7 @@ def ngram_jaccard_pairs(
     BOTH intersection and union (consistent semantics) — the returned
     DataFrame's ``.dropped_grams`` attribute reports how many.
     """
-    # spread an under-split scan first (one row group = one task for
-    # the tokenize/explode otherwise), then carry grams as xxhash64
-    # LONGS: the inverted-index self-join — the operator's widest
-    # shuffle — moves 8 bytes per gram instead of a ~n-word string.
-    # Distinct-gram semantics are applied on the STRINGS (array_distinct
-    # before hashing); a 64-bit collision merging two grams of one pair
-    # shifts its counts with probability ~|grams|²/2^64 — immaterial
-    # (the same contract as verify_jaccard's hashed shingle sets).
-    grams = ensure_min_partitions(
-        docs.select(F.col(id_col).alias("doc"), F.col(text_col))
-    ).select(
-        "doc",
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
-    ).select("doc", F.xxhash64("g").alias("gram"))
+    grams = _doc_grams(docs, id_col, text_col, n)
     dropped = 0
     if max_gram_df is not None:
         df_counts = grams.groupBy("gram").agg(F.countDistinct("doc").alias("df"))
@@ -158,3 +172,129 @@ def chunk_dedup(
             F.coalesce(F.col("dedup_fp"), F.md5(F.lit(""))).alias("dedup_fp"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """(src, dst, inter, src_grams) — ORDERED pairs where at least
+    num/den of src's distinct word n-grams also occur in dst: the
+    asymmetric near-dup test Jaccard misses when lengths differ (a
+    tweet quoted inside an article scores containment ≈ 1 but
+    Jaccard ≈ |tweet|/|article| ≈ 0).  Emits both directions when
+    both clear the threshold (mutual containment ≈ exact dup).
+
+    All-integer filter — ``inter * den >= num * src_grams`` — so the
+    DuckDB oracle hash matches bit-for-bit, like the jaccard sibling
+    whose inverted-index shape (and ``max_gram_df`` hot-gram cut with
+    the ``.dropped_grams`` audit) this operator shares via
+    ``_doc_grams``.  Same scale contract too: at 10^12 docs the
+    candidate join explodes — use MinHash-LSH to propose candidates
+    and this operator's math (via verify) to confirm; standalone it
+    is the verification-scale tool.
+    """
+    grams = _doc_grams(docs, id_col, text_col, n)
+    dropped = 0
+    if max_gram_df is not None:
+        df_counts = grams.groupBy("gram").agg(F.countDistinct("doc").alias("df"))
+        hot = df_counts.where(F.col("df") > max_gram_df)
+        dropped = hot.count()
+        grams = grams.join(hot.select("gram"), "gram", "left_anti")
+    sizes = grams.groupBy("doc").agg(F.count("*").alias("gsize"))
+    left = grams.select(F.col("doc").alias("src"), "gram")
+    right = grams.select(F.col("doc").alias("dst"), "gram")
+    inter = (
+        left.join(right, "gram")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc").alias("src"), F.col("gsize").alias("src_grams")),
+            "src",
+        )
+        .where(F.col("inter") * threshold_den >= threshold_num * F.col("src_grams"))
+        .select("src", "dst", "inter", "src_grams")
+    )
+    out.dropped_grams = dropped  # type: ignore[attr-defined]
+    return out
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    text_out: str | None = None,
+) -> DataFrame:
+    """Intra-document repeated-line removal (the within-doc dedup
+    pass web-curation pipelines run BEFORE corpus-level dedup —
+    RefinedWeb/Dolma drop exact duplicate lines inside a page:
+    navigation chrome, repeated headers, share-bar text): keep each
+    distinct line's FIRST occurrence, preserve order, rebuild.
+
+    Returns (doc_id, n_lines, n_kept, dedup_fp) — the exact output
+    contract of ``chunk_dedup`` (dedup_fp = md5 of the rebuilt text,
+    the rewrite-oracle trick), so the two compose with the same
+    downstream audits; pass ``text_out`` to ALSO materialize the
+    rebuilt text under that column (the corpus-rewrite form the CLI
+    writes — kept out of the default projection so the oracle query
+    never ships full text through the compare).  NULL text →
+    n_lines 0 / md5('') / NULL rebuilt; empty text is one empty line
+    (kept).  Later duplicates of an empty line collapse too — that
+    is paragraph-gap normalization, and the contract.
+
+    Scale shape: ZERO shuffle — split / filter-with-index /
+    array_join are all JVM higher-order functions evaluated per row
+    inside whole-stage codegen, so the operator rides the scan like
+    the text-signal functions.  The first-occurrence test
+    (array_position over the line's prefix) is O(L²) in a document's
+    line count — at 10^3 lines that is ~10^6 8-byte-ish compares per
+    doc, noise next to tokenizing the same doc; a pathological 10^6-
+    line document wants the explode → min(pos) → rebuild shuffle form
+    instead (chunk_dedup's shape with doc_id in the key), which this
+    module would grow behind a ``max_lines`` switch if such corpora
+    show up.
+    """
+    lines, kept = _kept_lines(F.col(text_col), sep)
+    cols = [
+        F.col(id_col),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce(F.array_join(kept, sep), F.lit(""))).alias("dedup_fp"),
+    ]
+    if text_out is not None:
+        cols.append(F.array_join(kept, sep).alias(text_out))
+    return docs.select(*cols)
+
+
+def _kept_lines(text, sep: str):
+    """(lines, kept) column pair: the split array and its
+    first-occurrence filter — the single source of the line-dedup
+    semantics for both the stats operator and the in-place rewrite."""
+    import re as _re
+
+    lines = F.split(text, _re.escape(sep), -1)
+    kept = F.filter(
+        lines,
+        lambda x, i: F.array_position(F.slice(lines, 1, i + 1), x) == i + 1,
+    )
+    return lines, kept
+
+
+def dedup_lines_text(text, sep: str = "\n"):
+    """Rebuilt-text Column with repeated lines removed (first
+    occurrence kept, order preserved) — ``dedup_lines``'s rewrite as
+    a bare expression, for in-place corpus rewrites
+    (``df.withColumn(text_col, dedup_lines_text(...))``) that keep
+    the rest of the schema without an id join; NULL text stays NULL.
+    Zero shuffle: evaluates per row inside whole-stage codegen."""
+    _, kept = _kept_lines(text, sep)
+    return F.array_join(kept, sep)

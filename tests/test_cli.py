@@ -444,3 +444,36 @@ def test_cli_triage(spark, tmp_path, monkeypatch, capsys):
     assert cli.main(["triage", "--input", inp, "--out", out2,
                      "--assignments", asg, "--by", "nope"]) == 2
     assert "not in the corpus schema" in capsys.readouterr().err
+
+
+def test_cli_dedup_lines(spark, tmp_path, monkeypatch, capsys):
+    """dedup-lines subcommand: cleaned/ keeps the full input schema
+    with text rewritten in place (NULL text stays NULL), audit/ lists
+    only docs that lost lines, and the summary counts removals."""
+    inp = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            ("a", "nav\nbody one\nnav\nbody two", "s1"),
+            ("b", "x\ny\nz", "s1"),
+            ("c", None, "s2"),
+        ],
+        "image_id string, caption string, source string",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "out")
+    assert cli.main(["dedup-lines", "--input", inp, "--out", out]) == 0
+    assert "removed 1 repeated line(s) across 1 doc(s)" in capsys.readouterr().out
+
+    cleaned = {r["image_id"]: r for r in spark.read.parquet(f"{out}/cleaned").collect()}
+    assert set(cleaned["a"].asDict()) == {"image_id", "caption", "source"}
+    assert cleaned["a"]["caption"] == "nav\nbody one\nbody two"
+    assert cleaned["b"]["caption"] == "x\ny\nz"
+    assert cleaned["c"]["caption"] is None
+    assert cleaned["a"]["source"] == "s1"  # non-text columns survive
+
+    audit = spark.read.parquet(f"{out}/audit").collect()
+    assert [(r["image_id"], r["n_lines"], r["n_kept"]) for r in audit] == [
+        ("a", 4, 3)
+    ]
