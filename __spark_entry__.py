@@ -787,6 +787,13 @@ def q_containment_pairs(spark, sf_dir):
     ordered-pair gram join."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     toks = tokens(F.col("text"))
+    # +500000 keeps plant ids disjoint from real doc_ids at every
+    # tested SF (5,000 docs at sf0.1; the driver runs sf0.01) — the
+    # same offset convention as the chunk_dedup/snapshot_diff plants.
+    # A corpus with >= 500,000 densely-numbered docs would collide,
+    # and Spark (per-row array_distinct) vs DuckDB (cross-row
+    # DISTINCT) would diverge on the merged id — these planted
+    # queries are fixtures for the tested SFs, not operators.
     quotes = docs.where(
         (F.col("doc_id") % 101 == 0) & (F.size(toks) >= 20)
     ).select(

@@ -659,8 +659,19 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.textdedup import dedup_lines, dedup_lines_text
 
             docs = spark.read.parquet(a.input)
-            # in-place rewrite (full input schema) and the stats
-            # frame share one zero-shuffle expression — no id join
+            # validate cheap inputs BEFORE the corpus-wide rewrite: a
+            # typo'd column must fail in milliseconds, not after the
+            # full cleaned/ pass ran and left out/ half-populated
+            missing = [c for c in (a.id_col, a.text_col) if c not in docs.columns]
+            if missing:
+                print(f"error: column(s) {missing} not in the corpus "
+                      f"schema {docs.columns}", file=sys.stderr)
+                return 2
+            # the rewrite expression is single-sourced with the stats
+            # operator (dedup_lines_text / _kept_lines) and both
+            # outputs stay zero-shuffle — but they are two ACTIONS,
+            # each scanning the input once (the audit could only ride
+            # the cleaned pass by materializing stats columns into it)
             cleaned = docs.withColumn(
                 a.text_col, dedup_lines_text(F.col(a.text_col), a.sep)
             )

@@ -55,6 +55,24 @@ def _doc_grams(
     ).select("doc", F.xxhash64("g").alias("gram"))
 
 
+def _cut_hot_grams(
+    grams: DataFrame, max_gram_df: int | None
+) -> tuple[DataFrame, int]:
+    """Drop grams whose document frequency exceeds ``max_gram_df``
+    (stopword-phrase hot keys — the skew analogue of the candidates
+    bucket cap); returns (grams, n_dropped).  Single-sourced for the
+    jaccard and containment siblings so the cut's semantics (distinct
+    -doc df, the eager count, the left_anti) can never diverge
+    between them.  The count is one eager job — the cut is never
+    silent (SURVEY.md §2.2 rule)."""
+    if max_gram_df is None:
+        return grams, 0
+    df_counts = grams.groupBy("gram").agg(F.countDistinct("doc").alias("df"))
+    hot = df_counts.where(F.col("df") > max_gram_df)
+    dropped = hot.count()
+    return grams.join(hot.select("gram"), "gram", "left_anti"), dropped
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -71,13 +89,9 @@ def ngram_jaccard_pairs(
     BOTH intersection and union (consistent semantics) — the returned
     DataFrame's ``.dropped_grams`` attribute reports how many.
     """
-    grams = _doc_grams(docs, id_col, text_col, n)
-    dropped = 0
-    if max_gram_df is not None:
-        df_counts = grams.groupBy("gram").agg(F.countDistinct("doc").alias("df"))
-        hot = df_counts.where(F.col("df") > max_gram_df)
-        dropped = hot.count()
-        grams = grams.join(hot.select("gram"), "gram", "left_anti")
+    grams, dropped = _cut_hot_grams(
+        _doc_grams(docs, id_col, text_col, n), max_gram_df
+    )
     sizes = grams.groupBy("doc").agg(F.count("*").alias("gsize"))
     left = grams.select(F.col("doc").alias("a"), "gram")
     right = grams.select(F.col("doc").alias("b"), "gram")
@@ -192,20 +206,16 @@ def containment_pairs(
 
     All-integer filter — ``inter * den >= num * src_grams`` — so the
     DuckDB oracle hash matches bit-for-bit, like the jaccard sibling
-    whose inverted-index shape (and ``max_gram_df`` hot-gram cut with
-    the ``.dropped_grams`` audit) this operator shares via
-    ``_doc_grams``.  Same scale contract too: at 10^12 docs the
+    whose inverted index (``_doc_grams``) and ``max_gram_df``
+    hot-gram cut (``_cut_hot_grams``, with the ``.dropped_grams``
+    audit) this operator shares.  Same scale contract too: at 10^12 docs the
     candidate join explodes — use MinHash-LSH to propose candidates
     and this operator's math (via verify) to confirm; standalone it
     is the verification-scale tool.
     """
-    grams = _doc_grams(docs, id_col, text_col, n)
-    dropped = 0
-    if max_gram_df is not None:
-        df_counts = grams.groupBy("gram").agg(F.countDistinct("doc").alias("df"))
-        hot = df_counts.where(F.col("df") > max_gram_df)
-        dropped = hot.count()
-        grams = grams.join(hot.select("gram"), "gram", "left_anti")
+    grams, dropped = _cut_hot_grams(
+        _doc_grams(docs, id_col, text_col, n), max_gram_df
+    )
     sizes = grams.groupBy("doc").agg(F.count("*").alias("gsize"))
     left = grams.select(F.col("doc").alias("src"), "gram")
     right = grams.select(F.col("doc").alias("dst"), "gram")
@@ -254,14 +264,14 @@ def dedup_lines(
     Scale shape: ZERO shuffle — split / filter-with-index /
     array_join are all JVM higher-order functions evaluated per row
     inside whole-stage codegen, so the operator rides the scan like
-    the text-signal functions.  The first-occurrence test
-    (array_position over the line's prefix) is O(L²) in a document's
-    line count — at 10^3 lines that is ~10^6 8-byte-ish compares per
-    doc, noise next to tokenizing the same doc; a pathological 10^6-
-    line document wants the explode → min(pos) → rebuild shuffle form
-    instead (chunk_dedup's shape with doc_id in the key), which this
-    module would grow behind a ``max_lines`` switch if such corpora
-    show up.
+    the text-signal functions.  The first-occurrence test (one full-
+    array array_position per line, no prefix-array copies) is O(L²)
+    element compares in a document's line count — at 10^3 lines that
+    is ~10^6 cheap compares per doc, noise next to tokenizing the
+    same doc; a pathological 10^6-line document wants the explode →
+    min(pos) → rebuild shuffle form instead (chunk_dedup's shape with
+    doc_id in the key), which this module would grow behind a
+    ``max_lines`` switch if such corpora show up.
     """
     lines, kept = _kept_lines(F.col(text_col), sep)
     cols = [
@@ -278,13 +288,19 @@ def dedup_lines(
 def _kept_lines(text, sep: str):
     """(lines, kept) column pair: the split array and its
     first-occurrence filter — the single source of the line-dedup
-    semantics for both the stats operator and the in-place rewrite."""
+    semantics for both the stats operator and the in-place rewrite.
+
+    The filter keeps element i iff the FULL array's first occurrence
+    of its value is at position i+1 (1-based) — equivalent to a
+    prefix search, with no per-element prefix-array copies: one
+    array_position scan per line, O(L²) element compares worst-case
+    but zero allocation beyond the split itself."""
     import re as _re
 
     lines = F.split(text, _re.escape(sep), -1)
     kept = F.filter(
         lines,
-        lambda x, i: F.array_position(F.slice(lines, 1, i + 1), x) == i + 1,
+        lambda x, i: F.array_position(lines, x) == i + 1,
     )
     return lines, kept
 

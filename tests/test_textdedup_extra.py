@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import functions as F
-
 from dude_spark.operators.textdedup import (
     containment_pairs,
     dedup_lines,
