@@ -131,3 +131,63 @@ class TestContainmentPairs:
         pairs = out.collect()
         assert out.dropped_grams == 1
         assert pairs == []  # the only shared gram was the hot one
+
+
+def test_dedup_lines_seeded_random_brute_force(spark):
+    """200 seeded random line-lists (empty lines, dups, singletons)
+    must match a Python first-occurrence reference exactly — one
+    Spark job, adversarial beyond the fixture corpus."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["", "a", "b", "nav bar", "x y z", "header", "©", "line  two"]
+    rows = []
+    for i in range(200):
+        lines = [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        rows.append((i, "\n".join(lines) if lines else ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    for i, text in rows:
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = got[i]
+        assert r["n_lines"] == len(lines), (i, text)
+        assert r["n_kept"] == len(kept), (i, text)
+        assert r["dedup_fp"] == _md5("\n".join(kept)), (i, text)
+
+
+def test_containment_seeded_random_brute_force(spark):
+    """40 seeded random docs over a tiny vocabulary (lots of shared
+    grams) vs the literal ordered-pair definition."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 15))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num, den = 5, 10
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[j : j + 3]) for j in range(len(w) - 2)}
+
+    want = set()
+    for sid, s in rows:
+        for did, d in rows:
+            if sid == did:
+                continue
+            sg, dg = grams(s), grams(d)
+            if sg and len(sg & dg) * den >= num * len(sg):
+                want.add((sid, did, len(sg & dg), len(sg)))
+    got = {
+        tuple(r)
+        for r in containment_pairs(df, threshold_num=num, threshold_den=den).collect()
+    }
+    assert got == want and len(want) > 10  # non-vacuous (18 at this seed)
