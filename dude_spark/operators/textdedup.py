@@ -46,13 +46,23 @@ def _doc_grams(
     semantics are applied on the STRINGS (array_distinct before
     hashing); a 64-bit collision merging two grams of one pair shifts
     its counts with probability ~|grams|²/2^64 — immaterial (the same
-    contract as verify_jaccard's hashed shingle sets)."""
+    contract as verify_jaccard's hashed shingle sets).
+
+    Ends in ONE explicit hash(gram) exchange (duplication_profile's
+    ReusedExchange pattern, boilerplate.py:48-58): every consumer —
+    self-join left AND right, the per-doc size aggregate, the
+    hot-gram df count — reads those shuffle blocks instead of
+    re-running the scan→tokenize→explode subtree, which is the
+    dominant CPU of these operators and would otherwise execute once
+    per consumer (3× at minimum).  The gram clustering satisfies the
+    join and df-count requirements outright; the doc-keyed size agg
+    re-exchanges 8+8-byte rows, paid once."""
     return ensure_min_partitions(
         docs.select(F.col(id_col).alias("doc"), F.col(text_col))
     ).select(
         "doc",
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
-    ).select("doc", F.xxhash64("g").alias("gram"))
+    ).select("doc", F.xxhash64("g").alias("gram")).repartition(F.col("gram"))
 
 
 def _cut_hot_grams(
