@@ -189,6 +189,60 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-doc top terms by rational tf-idf (operators/keywords.
+    tfidf_topk): score = tf * ((n_docs * 1000) div df), all-integer so
+    the oracle hashes bit-for-bit (log idf would hinge on libm ulps).
+    The driver corpus has ~31 distinct tokens, so ties at equal score
+    are common and the term-ASC tie-break is exercised live; k=3 makes
+    rank boundaries live too.  The oracle replays the identical
+    tokenization (trim/lower/\\s+) and the identical integer ops with
+    a row_number window."""
+    from dude_spark.operators.keywords import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir).select("doc_id", "text"), k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        "score",
+        "rank",
+    )
+
+
+def q_rare_terms(spark, sf_dir):
+    """Hapax/rare-term ratio (operators/keywords.rare_term_ratio): the
+    per-mille of token occurrences whose term occurs in no other doc.
+    The organic corpus shares a ~31-token vocabulary, so every organic
+    doc scores 0 — two planted slices make the gate live at both ends:
+    doc_id<15 re-keyed +500000 as pure per-doc-unique gibberish (must
+    score exactly 1000) and doc_id in [15,30) re-keyed +600000 as the
+    organic text plus ONE unique token (a mid-band ratio that moves
+    with the doc's own length — a partial-junk mixture)."""
+    from dude_spark.operators.keywords import rare_term_ratio
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    gib = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
+        F.concat(
+            F.lit("qqgib"), sid, F.lit("x qqgib"), sid, F.lit("y qqgib"),
+            sid, F.lit("x"),
+        ).alias("text"),
+    )
+    mixed = docs.where((F.col("doc_id") >= 15) & (F.col("doc_id") < 30)).select(
+        (F.col("doc_id") + F.lit(600000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqsolo"), sid).alias("text"),
+    )
+    base = docs.unionByName(gib).unionByName(mixed)
+    return rare_term_ratio(base, max_df=1).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_terms",
+        "rare_x1000",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1279,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "doc_quality": q_doc_quality,
         "vocab_coverage": q_vocab_coverage,
+        "tfidf_terms": q_tfidf_terms,
+        "rare_terms": q_rare_terms,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -1539,6 +1595,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(in_vocab AS BIGINT) AS in_vocab,
                    CAST(in_vocab * 1000 // n_tokens AS BIGINT) AS cov_x1000
+            FROM per
+        """,
+        # tfidf_terms: identical tokenization + identical integer ops
+        # (rational idf via `//`); DuckDB's per-doc row_number IS the
+        # textbook formulation grouped_topk replaces at scale
+        "tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     tf.tf * ((SELECT n_docs FROM n) * 1000 // df.df)
+                       AS score
+              FROM tf JOIN df USING (term)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(score AS BIGINT) AS score,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id ORDER BY score DESC, term ASC
+                   ) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        # rare_terms: same planted slices (pure gibberish = 1000,
+        # organic-plus-one-unique-token = mid band, organic = 0) and
+        # the same all-integer per-mille
+        "rare_terms": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000,
+                     'qqgib' || CAST(doc_id AS VARCHAR) || 'x qqgib'
+                       || CAST(doc_id AS VARCHAR) || 'y qqgib'
+                       || CAST(doc_id AS VARCHAR) || 'x'
+              FROM documents WHERE doc_id < 15
+              UNION ALL
+              SELECT doc_id + 600000,
+                     text || ' qqsolo' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id >= 15 AND doc_id < 30
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS term
+              FROM base WHERE length(trim(text)) > 0
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            per AS (
+              SELECT tf.doc_id,
+                     sum(tf.tf) AS n_tokens,
+                     count(*) AS n_terms,
+                     sum(CASE WHEN df.df <= 1 THEN tf.tf ELSE 0 END) AS rare
+              FROM tf JOIN df USING (term)
+              GROUP BY tf.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_terms AS BIGINT) AS n_terms,
+                   CAST(rare * 1000 // n_tokens AS BIGINT) AS rare_x1000
             FROM per
         """,
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
