@@ -243,6 +243,33 @@ def q_rare_terms(spark, sf_dir):
     )
 
 
+def q_centroid_sim(spark, sf_dir):
+    """Per-group centroid cosine (functions/embedding.
+    centroid_similarity): each vector's integer per-mille cosine to
+    its label-group centroid — the outlier/mislabel signal.  The
+    whole contract is exact-integer by construction (quantize once,
+    integer centroid sums, one closed-form IEEE expression at the
+    end), so the oracle hashes bit-for-bit with no tolerance anywhere
+    despite being a genuinely float-shaped computation.  Planted
+    slice: vec_id < 10 re-keyed +700000 with the NEGATED embedding —
+    an anti-aligned member whose sim is forced deep negative, pinning
+    the outlier end of the gate."""
+    from dude_spark.functions.embedding import centroid_similarity
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding", "label")
+    planted = embs.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + F.lit(700000)).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.col("label"),
+    )
+    base = embs.unionByName(planted)
+    return centroid_similarity(base).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        "sim_x1000",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1335,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "tfidf_terms": q_tfidf_terms,
         "rare_terms": q_rare_terms,
+        "centroid_sim": q_centroid_sim,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -1668,6 +1696,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_terms AS BIGINT) AS n_terms,
                    CAST(rare * 1000 // n_tokens AS BIGINT) AS rare_x1000
             FROM per
+        """,
+        # centroid_sim: identical quantization (floor(double·1e4)),
+        # exact integer centroid sums (order-free), and the identical
+        # closed-form IEEE expression — sqrt/mul/div/casts are all
+        # correctly-rounded ops, so no tolerance is needed
+        "centroid_sim": """
+            WITH base AS (
+              SELECT vec_id, embedding, label FROM embeddings
+              UNION ALL
+              SELECT vec_id + 700000,
+                     list_transform(embedding, x -> -x), label
+              FROM embeddings WHERE vec_id < 10
+            ),
+            q AS (
+              SELECT vec_id, label,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000.0) AS BIGINT) AS qv,
+                     unnest(range(len(embedding))) AS idx
+              FROM base
+            ),
+            cent AS (
+              SELECT label, idx, CAST(sum(qv) AS BIGINT) AS s
+              FROM q GROUP BY 1, 2
+            ),
+            dots AS (
+              SELECT q.vec_id, q.label,
+                     CAST(sum(q.qv * c.s) AS BIGINT) AS dot,
+                     CAST(sum(q.qv * q.qv) AS BIGINT) AS na2
+              FROM q JOIN cent c ON q.label = c.label AND q.idx = c.idx
+              GROUP BY 1, 2
+            ),
+            ns AS (
+              SELECT label, CAST(sum(s * s) AS BIGINT) AS ns2
+              FROM cent GROUP BY 1
+            )
+            SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
+                   CAST(d.label AS BIGINT) AS label,
+                   CAST(CASE WHEN d.na2 = 0 OR n.ns2 = 0 THEN 0
+                        ELSE floor(CAST(1000 * d.dot AS DOUBLE)
+                               / (sqrt(CAST(d.na2 AS DOUBLE))
+                                  * sqrt(CAST(n.ns2 AS DOUBLE))))
+                        END AS BIGINT) AS sim_x1000
+            FROM dots d JOIN ns n USING (label)
         """,
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same

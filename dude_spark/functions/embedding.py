@@ -545,3 +545,112 @@ def _cosine_dup_pairs_lsh(
         .select("a", "b")
     )
     return verified
+
+
+# ------------------------------------------------- centroid similarity
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """(id, group, sim_x1000): cosine of each vector to its GROUP
+    centroid, floored to integer per-mille — the outlier/mislabel
+    signal ("this doc's embedding disagrees with the rest of its
+    source/domain/cluster") that drives pruning of misfiled docs and
+    per-domain contamination triage.
+
+    Integer-exact by construction, which is what makes the DuckDB
+    oracle (driver query ``centroid_sim``) bit-reproducible where a
+    float group-mean never would be:
+
+    * each component is quantized ONCE per row:
+      ``q_i = floor(double(v_i) * scale)`` — float→double is exact,
+      the product and floor are single IEEE ops, so every engine gets
+      the identical long;
+    * the group centroid is the exact INTEGER SUM vector of its
+      members' q — addition order cannot matter, unlike a double
+      mean, and cosine is scale-invariant so dividing by the group
+      count is deliberately skipped (it would only reintroduce
+      rationals);
+    * ``sim_x1000 = floor(double(1000·dot) / (sqrt(double(na2)) ·
+      sqrt(double(ns2))))`` where dot/na2/ns2 are exact longs —
+      sqrt, multiply, divide, and long→double casts are all
+      correctly-rounded IEEE-754 operations, so both engines compute
+      the identical double and the identical floor.  Degenerate
+      (zero-quantized) vectors or centroids get sim 0 by definition.
+
+    Note the member's own contribution is IN its centroid (the
+    classic self-bias; at curation group sizes ≥ 100 it shifts sim by
+    < 1/|g| — excluding it would cost a second join and break the
+    exact-integer sharing).
+
+    Scale shape at 10^12 rows: one posexplode → (group, dim)
+    combinable partial aggregate (map-side combine reduces each
+    partition to n_groups·dim rows before the exchange), centroid
+    assembly buffers exactly ``dim`` entries per group, and the
+    centroid table (n_groups·dim longs) broadcasts back — sized for
+    up to ~10^5 groups at dim 64; beyond that swap the broadcast for
+    a group-keyed shuffle join (same semantics, skew follows group
+    sizes).  Quantization overflow is LOUD, never silent: ANSI mode
+    errors on long overflow, and per-term bounds (|q| ≤ scale·|v|,
+    |S_i| ≤ |g|·scale·|v|) leave ~10^4 headroom at |g| = 10^9,
+    scale = 10^4, |v| ≤ 1.
+
+    Reference analogue: none — north-star LLM-pipeline scope.
+    """
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    rows = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        q.alias("_q"),
+    )
+    cent = (
+        rows.select("_grp", F.posexplode("_q").alias("_i", "_v"))
+        .groupBy("_grp", "_i")
+        .agg(F.sum("_v").alias("_s"))
+        .groupBy("_grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_s"))),
+                lambda e: e.getField("_s"),
+            ).alias("_cent")
+        )
+    )
+    zipped = F.zip_with(F.col("_q"), F.col("_cent"), lambda a, b: a * b)
+    dot = F.aggregate(zipped, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    na2 = F.aggregate(
+        F.col("_q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    ns2 = F.aggregate(
+        F.col("_cent"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    sim = F.when(
+        (F.col("_na2") == 0) | (F.col("_ns2") == 0), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
+            / (
+                F.sqrt(F.col("_na2").cast("double"))
+                * F.sqrt(F.col("_ns2").cast("double"))
+            )
+        ).cast("long")
+    )
+    return (
+        rows.join(F.broadcast(cent), "_grp")
+        .withColumn("_dot", dot)
+        .withColumn("_na2", na2)
+        .withColumn("_ns2", ns2)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_grp").alias(group_col),
+            sim.alias("sim_x1000"),
+        )
+    )

@@ -261,3 +261,105 @@ def test_round_half_up_matches_spark_round(spark):
         .collect()
     )
     assert got == pytest.approx([r["r"] for r in exp], abs=1e-15)
+
+
+# ------------------------------------------------- centroid similarity
+
+class TestCentroidSimilarity:
+    def _df(self, spark, rows):
+        pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+        return spark.createDataFrame(pdf).select(
+            "vec_id", F.col("embedding").cast("array<float>"), "label"
+        )
+
+    def test_matches_python_replay_seeded(self, spark):
+        import math
+
+        rng = np.random.RandomState(42)
+        rows = [
+            (i, rng.uniform(-0.6, 0.6, 16).astype(np.float32).tolist(),
+             int(i % 3))
+            for i in range(90)
+        ]
+        from dude_spark.functions.embedding import centroid_similarity
+
+        got = {
+            r["vec_id"]: r["sim_x1000"]
+            for r in centroid_similarity(self._df(spark, rows)).collect()
+        }
+        q = {
+            vid: [math.floor(float(np.float32(x)) * 10000.0) for x in vec]
+            for vid, vec, _ in rows
+        }
+        cent: dict[int, list[int]] = {}
+        for vid, _, g in rows:
+            c = cent.setdefault(g, [0] * 16)
+            cent[g] = [a + b for a, b in zip(c, q[vid])]
+        want = {}
+        for vid, _, g in rows:
+            s = cent[g]
+            dot = sum(a * b for a, b in zip(q[vid], s))
+            na2 = sum(a * a for a in q[vid])
+            ns2 = sum(b * b for b in s)
+            want[vid] = (
+                0 if na2 == 0 or ns2 == 0
+                else math.floor(
+                    float(1000 * dot) / (math.sqrt(float(na2)) * math.sqrt(float(ns2)))
+                )
+            )
+        assert got == want
+
+    def test_negated_member_is_group_minimum(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.uniform(0.1, 0.5, 8).astype(np.float32)
+        rows = [
+            (i, (base + rng.uniform(-0.05, 0.05, 8).astype(np.float32)).tolist(), 0)
+            for i in range(20)
+        ]
+        rows.append((99, (-base).tolist(), 0))
+        from dude_spark.functions.embedding import centroid_similarity
+
+        got = {
+            r["vec_id"]: r["sim_x1000"]
+            for r in centroid_similarity(self._df(spark, rows)).collect()
+        }
+        assert got[99] == min(got.values()) and got[99] < 0
+        assert all(v > 800 for k, v in got.items() if k != 99)
+
+    def test_zero_vector_sim_zero(self, spark):
+        rows = [
+            (1, [0.0] * 4, 0),
+            (2, [0.5, 0.5, 0.0, 0.0], 0),
+        ]
+        from dude_spark.functions.embedding import centroid_similarity
+
+        got = {
+            r["vec_id"]: r["sim_x1000"]
+            for r in centroid_similarity(self._df(spark, rows)).collect()
+        }
+        assert got[1] == 0 and got[2] > 900
+
+    def test_null_embedding_excluded_and_scale_validated(self, spark):
+        from dude_spark.functions.embedding import centroid_similarity
+
+        pdf = pd.DataFrame(
+            {"vec_id": [1, 2], "embedding": [[0.1, 0.2], None], "label": [0, 0]}
+        )
+        df = spark.createDataFrame(pdf).select(
+            "vec_id", F.col("embedding").cast("array<float>"), "label"
+        )
+        assert [r["vec_id"] for r in centroid_similarity(df).collect()] == [1]
+        with pytest.raises(ValueError, match="scale"):
+            centroid_similarity(df, scale=0)
+
+    def test_centroid_join_is_broadcast(self, spark):
+        from dude_spark.functions.embedding import centroid_similarity
+
+        rows = [(i, [0.1, 0.2], int(i % 2)) for i in range(8)]
+        plan = (
+            centroid_similarity(self._df(spark, rows))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
