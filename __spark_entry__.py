@@ -270,6 +270,24 @@ def q_centroid_sim(spark, sf_dir):
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Full-corpus distributed k-means (functions/clustering.
+    kmeans_clusters): every row's final cluster and integer per-mille
+    cosine to its centroid after 3 Lloyd rounds from the md5-ordered
+    seed init, k=8.  The oracle (_kmeans_sql) replays the ENTIRE
+    trajectory in SQL — an iterative float algorithm made
+    hash-gateable by the exact-integer/closed-form-IEEE contract.  No
+    planted slice is needed: any drift anywhere in any round moves
+    assignments and sims and flips the hash."""
+    from dude_spark.functions.clustering import kmeans_clusters
+
+    return kmeans_clusters(_embs(spark, sf_dir), k=8, iters=3).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cluster",
+        "sim_x1000",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1363,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "rare_terms": q_rare_terms,
         "centroid_sim": q_centroid_sim,
+        "kmeans_clusters": q_kmeans_clusters,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -1441,6 +1460,92 @@ pairs AS (
 # exact cosine near-dup pairs over the embeddings table — shared CTE
 # prefix for the embedding_dup_pairs and semantic_dedup oracles (ends
 # after the epairs CTE so consumers append their own SELECT)
+def _kmeans_sql(k: int, iters: int) -> str:
+    """DuckDB replay of the ENTIRE distributed k-means trajectory
+    (functions/clustering.py) — init, every Lloyd round, final
+    assignment — as one unrolled CTE chain.  Possible only because
+    the operator's trajectory is exact-integer with closed-form IEEE
+    renormalization: every sum here is over integers (order-free),
+    every float expression mirrors the numpy ops token-for-token
+    (int→double casts, sqrt, one divide), so the hash matches
+    bit-for-bit with no tolerance on an ITERATIVE float-shaped
+    algorithm.  HUGEINT carries Σ S_i² (the Python side uses
+    bigints)."""
+    ctes = ["""
+q AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+qn AS MATERIALIZED (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS na2
+       FROM q GROUP BY 1),
+u AS MATERIALIZED (
+  SELECT q.vec_id, q.idx,
+         CASE WHEN n.na2 = 0 THEN 0
+              ELSE CAST(floor((CAST(q.qv AS DOUBLE) * 1000000.0)
+                              / sqrt(CAST(n.na2 AS DOUBLE))) AS BIGINT)
+         END AS uv
+  FROM q JOIN qn n USING (vec_id)
+),
+un AS MATERIALIZED (SELECT vec_id, CAST(sum(uv * uv) AS BIGINT) AS nu2
+       FROM u GROUP BY 1),
+seeds AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+  FROM embeddings QUALIFY c < {k}
+),
+c0 AS MATERIALIZED (SELECT s.c, u.idx, u.uv AS val FROM seeds s JOIN u USING (vec_id))
+""".replace("{k}", str(k))]
+    for t in range(iters + 1):
+        ctes.append(f"""
+n{t} AS MATERIALIZED (SELECT c, CAST(sum(val * val) AS BIGINT) AS ns2
+         FROM c{t} GROUP BY c),
+d{t} AS MATERIALIZED (SELECT u.vec_id, cc.c, CAST(sum(u.uv * cc.val) AS BIGINT) AS dot
+         FROM u JOIN c{t} cc USING (idx) GROUP BY 1, 2),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, c, dot FROM (
+    SELECT d.vec_id, d.c, d.dot,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY CASE WHEN n.ns2 = 0 THEN NULL
+                      ELSE CAST(d.dot AS DOUBLE)
+                           / sqrt(CAST(n.ns2 AS DOUBLE)) END
+                      DESC NULLS LAST,
+                      d.c ASC) AS rn
+    FROM d{t} d JOIN n{t} n USING (c)
+  ) WHERE rn = 1
+)""")
+        if t < iters:
+            ctes.append(f"""
+s{t} AS MATERIALIZED (SELECT a.c, u.idx, CAST(sum(u.uv) AS BIGINT) AS sv
+         FROM a{t} a JOIN u USING (vec_id) GROUP BY 1, 2),
+sn{t} AS MATERIALIZED (SELECT c, sum(CAST(sv AS HUGEINT) * sv) AS sns2
+          FROM s{t} GROUP BY c),
+c{t + 1} AS MATERIALIZED (
+  SELECT s.c, s.idx,
+         CAST(floor((CAST(s.sv AS DOUBLE) * 1000000.0)
+                    / sqrt(CAST(n.sns2 AS DOUBLE))) AS BIGINT) AS val
+  FROM s{t} s JOIN sn{t} n USING (c) WHERE n.sns2 > 0
+  UNION ALL
+  SELECT c.c, c.idx, c.val FROM c{t} c
+  WHERE c.c NOT IN (SELECT c FROM sn{t} WHERE sns2 > 0)
+)""")
+    final = f"""
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.c AS BIGINT) AS cluster,
+       CAST(CASE WHEN un.nu2 = 0 OR n.ns2 = 0 THEN 0
+            ELSE floor(CAST(1000 * a.dot AS DOUBLE)
+                   / (sqrt(CAST(un.nu2 AS DOUBLE))
+                      * sqrt(CAST(n.ns2 AS DOUBLE))))
+            END AS BIGINT) AS sim_x1000
+FROM a{iters} a JOIN un USING (vec_id) JOIN n{iters} n USING (c)
+"""
+    return "WITH " + ",".join(ctes) + final
+
+
 _EMB_PAIRS_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
@@ -1740,6 +1845,9 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS sim_x1000
             FROM dots d JOIN ns n USING (label)
         """,
+        # kmeans_clusters: full-trajectory replay, generated with the
+        # same (k, iters) as the driver query
+        "kmeans_clusters": _kmeans_sql(k=8, iters=3),
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same
         # multiset, same (count, len) tie-break, structurally equal.

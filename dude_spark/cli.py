@@ -323,6 +323,24 @@ def _parser() -> argparse.ArgumentParser:
     se.add_argument("--cpus", type=int, default=0)
     se.add_argument("--local", action="store_true")
 
+    km = sub.add_parser(
+        "cluster",
+        help="full-corpus distributed k-means over an embedding "
+             "column: (id, cluster, sim_x1000) with a "
+             "bit-deterministic integer-quantized trajectory "
+             "(functions/clustering.kmeans_clusters)",
+    )
+    km.add_argument("--input", required=True, help="embeddings parquet path")
+    km.add_argument("--out", required=True,
+                    help="assignments output dir (id, cluster, sim_x1000)")
+    km.add_argument("--k", type=int, required=True, help="number of clusters")
+    km.add_argument("--iters", type=int, default=5,
+                    help="Lloyd update rounds (each costs one corpus scan)")
+    km.add_argument("--id-col", default="vec_id")
+    km.add_argument("--vec-col", default="embedding")
+    km.add_argument("--cpus", type=int, default=0)
+    km.add_argument("--local", action="store_true")
+
     dn = sub.add_parser(
         "dedup-new",
         help="incremental batch dedup: duplicate pairs of a NEW batch "
@@ -769,6 +787,41 @@ def main(argv: list[str] | None = None) -> int:
             n = sel.count()
             used = sel.agg(F.max("cum_tokens")).first()[0] or 0
             print(f"kept {n} docs, {used}/{a.budget} tokens -> {a.out}")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "cluster":
+        if a.k <= 0:
+            raise ConfigError(f"--k must be positive, got {a.k}")
+        if a.iters < 0:
+            raise ConfigError(f"--iters must be >= 0, got {a.iters}")
+        spark = get_spark(
+            "dude_spark_cluster",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .functions.clustering import kmeans_clusters
+
+            embs = spark.read.parquet(a.input)
+            out = kmeans_clusters(
+                embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,
+                iters=a.iters,
+            )
+            out.write.mode("overwrite").parquet(a.out)
+            sizes = (
+                spark.read.parquet(a.out)
+                .groupBy("cluster").count().orderBy("cluster").collect()
+            )
+            total = sum(r["count"] for r in sizes)
+            print(
+                f"assigned {total} rows to {len(sizes)} clusters "
+                f"(k={a.k}, iters={a.iters}) -> {a.out}"
+            )
+            for r in sizes:
+                print(f"  cluster {r['cluster']}: {r['count']}")
             return 0
         finally:
             spark.stop()

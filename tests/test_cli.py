@@ -477,3 +477,44 @@ def test_cli_dedup_lines(spark, tmp_path, monkeypatch, capsys):
     assert [(r["image_id"], r["n_lines"], r["n_kept"]) for r in audit] == [
         ("a", 4, 3)
     ]
+
+
+def test_cli_cluster(spark, tmp_path, monkeypatch, capsys):
+    """cluster subcommand: k-means assignments written with the
+    expected schema and every row assigned; bad --k/--iters refused."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    inp = str(tmp_path / "embs")
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame({
+        "vec_id": list(range(60)),
+        "embedding": [
+            rng.uniform(-0.5, 0.5, 8).astype("float32").tolist()
+            for _ in range(60)
+        ],
+    })
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "assign")
+    assert cli.main(["cluster", "--input", inp, "--out", out,
+                     "--k", "3", "--iters", "2"]) == 0
+    text = capsys.readouterr().out
+    assert "assigned 60 rows to 3 clusters" in text
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 60
+    assert set(rows[0].asDict()) == {"vec_id", "cluster", "sim_x1000"}
+    assert {r["cluster"] for r in rows} == {0, 1, 2}
+
+    with pytest.raises(ConfigError, match="--k"):
+        cli.main(["cluster", "--input", inp, "--out", out, "--k", "0"])
+    with pytest.raises(ConfigError, match="--iters"):
+        cli.main(["cluster", "--input", inp, "--out", out,
+                  "--k", "2", "--iters", "-1"])
