@@ -288,6 +288,33 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup end-to-end (functions/clustering.semdedup): k-means
+    the embeddings (k=8, 2 Lloyd rounds), pair ONLY within clusters
+    through the exhaustive salted grid, keep pairs with integer
+    per-mille cosine >= 950, connect components, min-id
+    representative.  Planted slice: vec_id < 10 re-keyed +800000 with
+    the IDENTICAL embedding — same u vector, so each copy provably
+    lands in its original's cluster and pairs at sim 1000ish; the 10
+    planted components are live by construction (organic pairs at
+    >= 950 may add more).  The oracle replays k-means, the
+    within-cluster pair cosine, and the recursive closure — the
+    strongest gate in the file: an error ANYWHERE in the three-stage
+    composition flips it."""
+    from dude_spark.functions.clustering import semdedup
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = embs.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + F.lit(800000)).alias("vec_id"), "embedding"
+    )
+    base = embs.unionByName(planted)
+    return semdedup(base, k=8, iters=2, threshold_x1000=950).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        "keep",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1382,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": q_rare_terms,
         "centroid_sim": q_centroid_sim,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup_prune": q_semdedup_prune,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -1457,10 +1485,7 @@ pairs AS (
 )
 """
 
-# exact cosine near-dup pairs over the embeddings table — shared CTE
-# prefix for the embedding_dup_pairs and semantic_dedup oracles (ends
-# after the epairs CTE so consumers append their own SELECT)
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_sql(k: int, iters: int, source: str = "embeddings") -> str:
     """DuckDB replay of the ENTIRE distributed k-means trajectory
     (functions/clustering.py) — init, every Lloyd round, final
     assignment — as one unrolled CTE chain.  Possible only because
@@ -1477,7 +1502,7 @@ q AS MATERIALIZED (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
               AS BIGINT) AS qv,
          unnest(range(len(embedding))) AS idx
-  FROM embeddings
+  FROM {src}
 ),
 qn AS MATERIALIZED (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS na2
        FROM q GROUP BY 1),
@@ -1495,10 +1520,10 @@ seeds AS MATERIALIZED (
   SELECT vec_id,
          row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
-  FROM embeddings QUALIFY c < {k}
+  FROM {src} QUALIFY c < {k}
 ),
 c0 AS MATERIALIZED (SELECT s.c, u.idx, u.uv AS val FROM seeds s JOIN u USING (vec_id))
-""".replace("{k}", str(k))]
+""".replace("{k}", str(k)).replace("{src}", source)]
     for t in range(iters + 1):
         ctes.append(f"""
 n{t} AS MATERIALIZED (SELECT c, CAST(sum(val * val) AS BIGINT) AS ns2
@@ -1546,6 +1571,64 @@ FROM a{iters} a JOIN un USING (vec_id) JOIN n{iters} n USING (c)
     return "WITH " + ",".join(ctes) + final
 
 
+def _semdedup_sql(
+    k: int, iters: int, thr: int, source: str = "embeddings"
+) -> str:
+    """SemDeDup oracle: the full k-means trajectory (same core CTEs as
+    _kmeans_sql over ``source``), then within-cluster exact-integer
+    pair cosine >= thr, recursive transitive closure, min-id
+    representative — the dedup_assignments closure pattern over pairs
+    the k-means stage scoped."""
+    core = _kmeans_sql(k, iters, source)
+    core = core[: core.rindex("\nSELECT ")]  # drop the final SELECT
+    T = iters
+    return (
+        "WITH RECURSIVE "
+        + core.removeprefix("WITH ")
+        + f""",
+p AS MATERIALIZED (
+  SELECT a1.vec_id AS a, a2.vec_id AS b
+  FROM a{T} a1 JOIN a{T} a2
+    ON a1.c = a2.c AND a1.vec_id < a2.vec_id
+),
+pd AS MATERIALIZED (
+  SELECT p.a, p.b, CAST(sum(ua.uv * ub.uv) AS BIGINT) AS dot
+  FROM p
+  JOIN u ua ON ua.vec_id = p.a
+  JOIN u ub ON ub.vec_id = p.b AND ua.idx = ub.idx
+  GROUP BY 1, 2
+),
+sp AS MATERIALIZED (
+  SELECT pd.a, pd.b
+  FROM pd
+  JOIN un na ON na.vec_id = pd.a
+  JOIN un nb ON nb.vec_id = pd.b
+  WHERE na.nu2 > 0 AND nb.nu2 > 0
+    AND floor(CAST(1000 * pd.dot AS DOUBLE)
+              / (sqrt(CAST(na.nu2 AS DOUBLE))
+                 * sqrt(CAST(nb.nu2 AS DOUBLE)))) >= {thr}
+),
+und AS (SELECT a, b FROM sp UNION SELECT b AS a, a AS b FROM sp),
+reach(src, dst) AS (
+  SELECT a AS src, b AS dst FROM und
+  UNION
+  SELECT r.src, u2.b AS dst FROM reach r JOIN und u2 ON r.dst = u2.a
+),
+assigns AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS rep_id
+  FROM reach GROUP BY src
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rep_id AS BIGINT) AS rep_id,
+       CAST(vec_id = rep_id AS BIGINT) AS keep
+FROM assigns
+"""
+    )
+
+
+# exact cosine near-dup pairs over the embeddings table — shared CTE
+# prefix for the embedding_dup_pairs and semantic_dedup oracles (ends
+# after the epairs CTE so consumers append their own SELECT)
 _EMB_PAIRS_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
@@ -1848,6 +1931,17 @@ def oracle_sql() -> dict[str, str]:
         # kmeans_clusters: full-trajectory replay, generated with the
         # same (k, iters) as the driver query
         "kmeans_clusters": _kmeans_sql(k=8, iters=3),
+        # semdedup_prune: k-means + within-cluster pair cosine +
+        # recursive closure, all replayed over the planted source
+        "semdedup_prune": _semdedup_sql(
+            k=8, iters=2, thr=950,
+            source=(
+                "(SELECT vec_id, embedding FROM embeddings"
+                " UNION ALL"
+                " SELECT vec_id + 800000, embedding FROM embeddings"
+                " WHERE vec_id < 10)"
+            ),
+        ),
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same
         # multiset, same (count, len) tie-break, structurally equal.

@@ -195,7 +195,12 @@ def kmeans_fit(
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     u = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    return _fit_on_u(u, k, iters)
 
+
+def _fit_on_u(u: DataFrame, k: int, iters: int) -> np.ndarray:
+    """Lloyd rounds over a prepared (checkpointed) u-frame — shared by
+    kmeans_fit and semdedup so the quantization pass runs once."""
     seed_rows = (
         u.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(k)
@@ -258,3 +263,96 @@ def kmeans_clusters(
             [], f"{id_col} long, cluster long, sim_x1000 long"
         )
     return kmeans_assign(corpus, cent, id_col, vec_col)
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    threshold_x1000: int = 950,
+    cluster_cap: int = 512,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end at scale: k-means the
+    corpus, generate candidate pairs ONLY within clusters, keep pairs
+    whose integer per-mille cosine ≥ ``threshold_x1000``, connect
+    components, keep each component's min-id representative.
+
+    Returns (id, rep_id, keep) — one row per vector that appears in at
+    least one qualifying pair (vectors in no pair are implicitly kept,
+    the dedup_assignments convention); ``keep`` = 1 on the min-id
+    representative.
+
+    Why this composition is the 10^12-row shape: the cluster equi-join
+    bounds candidate generation to Σ|cluster|² instead of N² — k is
+    the knob (SemDeDup's own recipe: k ≈ N/10^4) — and a hot cluster
+    never meets one task: pair generation routes through
+    ``pairs_from_buckets(overcap_mode="exhaustive")``, the salted
+    block grid that spreads a b²-pair bucket over b²/cap² cells with
+    ~2·cap rows per task.  Pair similarity reuses the exact-integer u
+    vectors (one codegen join, no Python), with the same closed-form
+    IEEE per-mille as the rest of this module — so the ENTIRE
+    pipeline, k-means rounds included, replays bit-exactly in the
+    driver query's DuckDB oracle (``semdedup_prune``).
+
+    The assignment stage is localCheckpointed before pair generation:
+    pairs_from_buckets is EAGER (a skew-probe action at call time) and
+    would otherwise re-run the assignment UDF chain per action.
+    """
+    from ..operators.candidates import pairs_from_buckets
+    from ..operators.components import connected_components
+
+    if not 0 <= threshold_x1000 <= 1000:
+        raise ValueError(
+            f"threshold_x1000 must be in [0, 1000], got {threshold_x1000}"
+        )
+    u = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    cent = _fit_on_u(u, k, iters)
+    if cent.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, rep_id long, keep long"
+        )
+    ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
+    assign = _assign_udf(cent, ns2, with_sim=False)
+    assigned = u.select(
+        F.col("_id").alias("image_id"), assign(F.col("_u")).alias("bucket")
+    ).localCheckpoint(eager=True)
+
+    pairs, _overcap = pairs_from_buckets(
+        assigned, bucket_cap=cluster_cap, overcap_mode="exhaustive"
+    )
+    ua = u.select(
+        F.col("_id").alias("a"), F.col("_u").alias("_ua"),
+        F.col("_nu2").alias("_na"),
+    )
+    ub = u.select(
+        F.col("_id").alias("b"), F.col("_u").alias("_ub"),
+        F.col("_nu2").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.floor(
+        (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
+        / (
+            F.sqrt(F.col("_na").cast("double"))
+            * F.sqrt(F.col("_nb").cast("double"))
+        )
+    ).cast("long")
+    strong = (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn("_dot", dot)
+        .where(sim >= F.lit(int(threshold_x1000)))
+        .select("a", "b")
+    )
+    assigns = connected_components(strong)
+    return assigns.select(
+        F.col("image_id").alias(id_col),
+        F.col("cluster_id").alias("rep_id"),
+        (F.col("image_id") == F.col("cluster_id")).cast("long").alias("keep"),
+    )

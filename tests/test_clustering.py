@@ -184,3 +184,44 @@ class TestKmeans:
 
 def _replay_clusters_only(rows, k, iters):
     return {vid: c for vid, (c, _) in _replay(rows, k, iters).items()}
+
+
+class TestSemDedup:
+    def test_planted_copies_pruned(self, spark):
+        rng = np.random.RandomState(13)
+        rows = [
+            (i, rng.uniform(-0.5, 0.5, 8).astype(np.float32).tolist())
+            for i in range(60)
+        ]
+        rows += [(1000 + i, rows[i][1]) for i in range(5)]  # exact copies
+        from dude_spark.functions.clustering import semdedup
+
+        out = {
+            r["vec_id"]: (r["rep_id"], r["keep"])
+            for r in semdedup(
+                _df(spark, rows), k=4, iters=2, threshold_x1000=990
+            ).collect()
+        }
+        for i in range(5):
+            assert out[1000 + i] == (i, 0)
+            assert out[i] == (i, 1)
+
+    def test_below_threshold_pairs_excluded(self, spark):
+        # two orthogonal-ish groups, no near-dups: empty result
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        from dude_spark.functions.clustering import semdedup
+
+        assert (
+            semdedup(_df(spark, rows), k=2, iters=1, threshold_x1000=900)
+            .count() == 0
+        )
+
+    def test_threshold_validation(self, spark):
+        from dude_spark.functions.clustering import semdedup
+
+        with pytest.raises(ValueError, match="threshold_x1000"):
+            semdedup(_df(spark, [(1, [0.1])]), k=1, threshold_x1000=1500)
