@@ -28,11 +28,12 @@ for perplexity (CCNet, Wenzek et al. 2020).
 Scale shape (the point at 10^12 docs):
 
 * ONE tokenize → (doc, term) count aggregate — the canonical word-count
-  shuffle, map-side combinable.  The result is explicitly
-  ``repartition(term)``-ed so every term-keyed consumer — the df
-  aggregate AND the tf⋈df score join — reads that single exchange's
-  blocks (the ``_doc_grams`` ReusedExchange pattern,
-  textdedup.py:34-66) instead of re-running scan→tokenize→explode.
+  shuffle, map-side combinable.  The result is term-repartitioned and
+  LAZILY localCheckpointed so every term-keyed consumer — the df
+  aggregate AND the tf⋈df score join — reads one materialization
+  instead of re-running scan→tokenize→explode (the consumers prune
+  different columns, which defeats plain ReusedExchange — the
+  duplication_profile lesson, boilerplate.py).
 * df needs no countDistinct: the tf frame is already unique per
   (doc, term), so document frequency is a plain combinable count.
 * Terms ride the shuffles as STRINGS, unlike the pair operators' hashed
@@ -68,14 +69,21 @@ def _term_stats(
 
     tf counts token OCCURRENCES per (doc, term); df counts DOCUMENTS
     per term (a plain count over the per-doc-unique tf frame).  The tf
-    frame is repartitioned by term so the df aggregate and the score
-    join both reuse one exchange.
+    frame is LAZILY localCheckpointed (the duplication_profile
+    pattern, boilerplate.py): its consumers — the df aggregate, the
+    score join's probe side, and the n_docs scalar — prune DIFFERENT
+    column sets, so Catalyst pushes distinct projections into the
+    exchange subtree and ReusedExchange never fires (measured: five
+    scan→tokenize→explode executions of the same subtree without the
+    checkpoint, one with).  Lazy, so building the frame costs nothing
+    until the query's own first action materializes it once.
     """
     tf = (
         _tokens(docs, text_col, F.col(id_col).alias("doc"))
         .groupBy("doc", "token")
         .agg(F.count("*").cast("long").alias("tf"))
         .repartition(F.col("token"))
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n_docs = tf.select(F.countDistinct("doc").alias("n_docs"))
