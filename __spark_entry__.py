@@ -315,6 +315,32 @@ def q_semdedup_prune(spark, sf_dir):
     )
 
 
+def q_semdedup_new(spark, sf_dir):
+    """Incremental SemDeDup (functions/clustering.semdedup_new):
+    semantic dup pairs of a NEW batch against the ingested corpus —
+    within-new + new-vs-known, never within-known; centroids fit on
+    the KNOWN side only (a 10^9-row ingest doesn't retrain per
+    batch).  New batch = vec_id < 50 re-keyed +900000 with identical
+    embeddings (a re-crawled slice): 50 identity cross pairs live by
+    construction.  cluster_cap is set high so the min-rep cut never
+    fires here — the cut's semantics are pytest-gated on the shared
+    pairs_vs_known kernel; this oracle gates the
+    fit/assign/pair/cosine composition."""
+    from dude_spark.functions.clustering import semdedup_new
+
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    new = embs.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(900000)).alias("vec_id"), "embedding"
+    )
+    out = semdedup_new(
+        embs, new, k=8, iters=2, threshold_x1000=950, cluster_cap=100000
+    )
+    a, b = F.col("a").cast("long"), F.col("b").cast("long")
+    return out.select(
+        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+    ).orderBy("a", "b")
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1410,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_sim": q_centroid_sim,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup_prune": q_semdedup_prune,
+        "semdedup_new_pairs": q_semdedup_new,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -1622,6 +1649,90 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rep_id AS BIGINT) AS rep_id,
        CAST(vec_id = rep_id AS BIGINT) AS keep
 FROM assigns
+"""
+    )
+
+
+def _semdedup_new_sql(k: int, iters: int, thr: int, new_src: str) -> str:
+    """semdedup_new oracle: k-means fit on the KNOWN embeddings table
+    (the _kmeans_sql core), assignment of the NEW rows (``new_src``)
+    against the FINAL centroids, then cross (known×new, same cluster)
+    plus within-new pairs filtered by the exact-integer per-mille
+    cosine — never within-known.  The new side replays the identical
+    quantization chain with its own CTE suffix."""
+    core = _kmeans_sql(k, iters)
+    core = core[: core.rindex("\nSELECT ")]  # drop the final SELECT
+    T = iters
+    return (
+        core
+        + f""",
+nb0 AS MATERIALIZED (SELECT vec_id, embedding FROM {new_src}),
+nq AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS qv,
+         unnest(range(len(embedding))) AS idx
+  FROM nb0
+),
+nqn AS MATERIALIZED (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS na2
+        FROM nq GROUP BY 1),
+nu AS MATERIALIZED (
+  SELECT nq.vec_id, nq.idx,
+         CASE WHEN n.na2 = 0 THEN 0
+              ELSE CAST(floor((CAST(nq.qv AS DOUBLE) * 1000000.0)
+                              / sqrt(CAST(n.na2 AS DOUBLE))) AS BIGINT)
+         END AS uv
+  FROM nq JOIN nqn n USING (vec_id)
+),
+nun AS MATERIALIZED (SELECT vec_id, CAST(sum(uv * uv) AS BIGINT) AS nu2
+        FROM nu GROUP BY 1),
+nd AS MATERIALIZED (
+  SELECT nu.vec_id, cc.c, CAST(sum(nu.uv * cc.val) AS BIGINT) AS dot
+  FROM nu JOIN c{T} cc USING (idx) GROUP BY 1, 2
+),
+na AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT d.vec_id, d.c,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY CASE WHEN n.ns2 = 0 THEN NULL
+                      ELSE CAST(d.dot AS DOUBLE)
+                           / sqrt(CAST(n.ns2 AS DOUBLE)) END
+                      DESC NULLS LAST,
+                      d.c ASC) AS rn
+    FROM nd d JOIN n{T} n USING (c)
+  ) WHERE rn = 1
+),
+cand AS MATERIALIZED (
+  SELECT kk.vec_id AS a, nn.vec_id AS b
+  FROM a{T} kk JOIN na nn ON kk.c = nn.c
+  UNION ALL
+  SELECT n1.vec_id AS a, n2.vec_id AS b
+  FROM na n1 JOIN na n2 ON n1.c = n2.c AND n1.vec_id < n2.vec_id
+),
+uall AS MATERIALIZED (
+  SELECT vec_id, idx, uv FROM u
+  UNION ALL SELECT vec_id, idx, uv FROM nu
+),
+unall AS MATERIALIZED (
+  SELECT vec_id, nu2 FROM un UNION ALL SELECT vec_id, nu2 FROM nun
+),
+cpd AS MATERIALIZED (
+  SELECT cand.a, cand.b, CAST(sum(ua.uv * ub.uv) AS BIGINT) AS dot
+  FROM cand
+  JOIN uall ua ON ua.vec_id = cand.a
+  JOIN uall ub ON ub.vec_id = cand.b AND ua.idx = ub.idx
+  GROUP BY 1, 2
+)
+SELECT CAST(least(cpd.a, cpd.b) AS BIGINT) AS a,
+       CAST(greatest(cpd.a, cpd.b) AS BIGINT) AS b
+FROM cpd
+JOIN unall za ON za.vec_id = cpd.a
+JOIN unall zb ON zb.vec_id = cpd.b
+WHERE za.nu2 > 0 AND zb.nu2 > 0
+  AND floor(CAST(1000 * cpd.dot AS DOUBLE)
+            / (sqrt(CAST(za.nu2 AS DOUBLE))
+               * sqrt(CAST(zb.nu2 AS DOUBLE)))) >= {thr}
 """
     )
 
@@ -1940,6 +2051,15 @@ def oracle_sql() -> dict[str, str]:
                 " UNION ALL"
                 " SELECT vec_id + 800000, embedding FROM embeddings"
                 " WHERE vec_id < 10)"
+            ),
+        ),
+        # semdedup_new_pairs: k-means on the known side + new-side
+        # assignment + cross/within-new pair cosine, replayed end to end
+        "semdedup_new_pairs": _semdedup_new_sql(
+            k=8, iters=2, thr=950,
+            new_src=(
+                "(SELECT vec_id + 900000 AS vec_id, embedding"
+                " FROM embeddings WHERE vec_id < 50)"
             ),
         ),
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);

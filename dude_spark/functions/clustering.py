@@ -356,3 +356,95 @@ def semdedup(
         F.col("cluster_id").alias("rep_id"),
         (F.col("image_id") == F.col("cluster_id")).cast("long").alias("keep"),
     )
+
+
+def semdedup_new(
+    corpus: DataFrame,
+    new: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    threshold_x1000: int = 950,
+    cluster_cap: int = 512,
+) -> DataFrame:
+    """Incremental SemDeDup: semantic dup pairs of a NEW embedding
+    batch against an already-ingested corpus — within-new and
+    new-vs-known pairs, NEVER within-known (the known side is already
+    semantically deduplicated by contract).  The embedding twin of
+    ``cross_corpus_pairs`` ("dedupe this month's crawl against
+    everything ingested, without re-pairing the old side").
+
+    Returns (a, b): a = known id for cross pairs (b = new id), both
+    new with a < b for within-new pairs; every pair has integer
+    per-mille cosine ≥ ``threshold_x1000``.
+
+    Composition: centroids fit on the KNOWN side (the stable corpus
+    geometry — a 10^9-row ingest should not re-train on every batch;
+    assignment of new rows against frozen centroids is one scan), both
+    sides assign to clusters, and the cluster id plays the bucket
+    role: new-vs-known goes through ``pairs_vs_known`` (known side
+    restricted to the batch's clusters then min-rep-capped —
+    O(batch) output however big the corpus; cut recorded, never
+    silent), within-new through the exhaustive salted grid.  Pair
+    cosine is the same closed-form exact-integer expression as
+    ``semdedup``, so the driver query's DuckDB oracle replays the
+    whole composition (``semdedup_new_pairs``).
+    """
+    from ..operators.candidates import pairs_from_buckets, pairs_vs_known
+
+    if not 0 <= threshold_x1000 <= 1000:
+        raise ValueError(
+            f"threshold_x1000 must be in [0, 1000], got {threshold_x1000}"
+        )
+    u_known = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    cent = _fit_on_u(u_known, k, iters)
+    if cent.size == 0:
+        return corpus.sparkSession.createDataFrame([], "a long, b long")
+    ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
+    assign = _assign_udf(cent, ns2, with_sim=False)
+    u_new = _u_frame(new, id_col, vec_col).localCheckpoint(eager=True)
+    kb = u_known.select(
+        F.col("_id").alias("image_id"), assign(F.col("_u")).alias("bucket")
+    ).localCheckpoint(eager=True)
+    nb = u_new.select(
+        F.col("_id").alias("image_id"), assign(F.col("_u")).alias("bucket")
+    ).localCheckpoint(eager=True)
+
+    cross, _overcap = pairs_vs_known(
+        nb, kb, bucket_cap=cluster_cap, context="semdedup_new cross join"
+    )
+    within, _oc2 = pairs_from_buckets(
+        nb, bucket_cap=cluster_cap, overcap_mode="exhaustive"
+    )
+    pairs = cross.select("a", "b").unionByName(within.select("a", "b"))
+
+    u_all = u_known.unionByName(u_new)
+    ua = u_all.select(
+        F.col("_id").alias("a"), F.col("_u").alias("_ua"),
+        F.col("_nu2").alias("_na"),
+    )
+    ub = u_all.select(
+        F.col("_id").alias("b"), F.col("_u").alias("_ub"),
+        F.col("_nu2").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.floor(
+        (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
+        / (
+            F.sqrt(F.col("_na").cast("double"))
+            * F.sqrt(F.col("_nb").cast("double"))
+        )
+    ).cast("long")
+    return (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn("_dot", dot)
+        .where(sim >= F.lit(int(threshold_x1000)))
+        .select("a", "b")
+    )

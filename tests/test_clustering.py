@@ -225,3 +225,56 @@ class TestSemDedup:
 
         with pytest.raises(ValueError, match="threshold_x1000"):
             semdedup(_df(spark, [(1, [0.1])]), k=1, threshold_x1000=1500)
+
+
+class TestSemDedupNew:
+    def test_cross_and_within_new_never_within_known(self, spark):
+        rng = np.random.RandomState(31)
+        known = [
+            (i, rng.uniform(-0.5, 0.5, 8).astype(np.float32).tolist())
+            for i in range(40)
+        ]
+        # two identical rows in the KNOWN side: must NOT pair
+        known.append((40, known[0][1]))
+        # new: one re-crawl of known[3], one fresh pair of identical twins
+        twin = rng.uniform(-0.5, 0.5, 8).astype(np.float32).tolist()
+        new = [(500, known[3][1]), (501, twin), (502, twin)]
+        from dude_spark.functions.clustering import semdedup_new
+
+        pairs = {
+            (r["a"], r["b"])
+            for r in semdedup_new(
+                _df(spark, known), _df(spark, new), k=3, iters=2,
+                threshold_x1000=990, cluster_cap=100000,
+            ).collect()
+        }
+        assert (3, 500) in pairs        # cross: known id first
+        assert (501, 502) in pairs      # within-new
+        assert (0, 40) not in pairs and (40, 0) not in pairs  # within-known
+
+    def test_known_side_min_rep_cut_records(self, spark):
+        # one hot cluster: every known row identical => over-cap bucket
+        vec = [0.3, 0.2, 0.1, 0.4]
+        known = [(i, vec) for i in range(30)]
+        new = [(900, vec)]
+        from dude_spark.functions.clustering import semdedup_new
+
+        pairs = {
+            (r["a"], r["b"])
+            for r in semdedup_new(
+                _df(spark, known), _df(spark, new), k=1, iters=1,
+                threshold_x1000=990, cluster_cap=8,
+            ).collect()
+        }
+        # capped: new row pairs only with the bucket's min known id
+        assert pairs == {(0, 900)}
+
+    def test_empty_new_batch(self, spark):
+        rows = [(i, [0.1 * (i + 1), 0.2]) for i in range(5)]
+        from dude_spark.functions.clustering import semdedup_new
+
+        df = _df(spark, rows)
+        assert (
+            semdedup_new(df, df.where(F.lit(False)), k=2, iters=1).count()
+            == 0
+        )
