@@ -341,6 +341,30 @@ def _parser() -> argparse.ArgumentParser:
     km.add_argument("--cpus", type=int, default=0)
     km.add_argument("--local", action="store_true")
 
+    sd = sub.add_parser(
+        "semdedup",
+        help="semantic dedup over an embedding column: k-means then "
+             "within-cluster cosine pairs -> keep min-id reps; with "
+             "--new, incremental pairs of a new batch vs the corpus "
+             "(functions/clustering.semdedup / semdedup_new)",
+    )
+    sd.add_argument("--input", required=True,
+                    help="embeddings parquet (the corpus / known side)")
+    sd.add_argument("--new", default=None,
+                    help="new-batch embeddings parquet: emit within-new "
+                         "+ new-vs-known PAIRS instead of keep/remove "
+                         "assignments (centroids fit on --input only)")
+    sd.add_argument("--out", required=True, help="output dir")
+    sd.add_argument("--k", type=int, required=True)
+    sd.add_argument("--iters", type=int, default=5)
+    sd.add_argument("--threshold", type=int, default=950,
+                    help="integer per-mille cosine threshold (0-1000)")
+    sd.add_argument("--cluster-cap", type=int, default=512)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--cpus", type=int, default=0)
+    sd.add_argument("--local", action="store_true")
+
     dn = sub.add_parser(
         "dedup-new",
         help="incremental batch dedup: duplicate pairs of a NEW batch "
@@ -822,6 +846,54 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in sizes:
                 print(f"  cluster {r['cluster']}: {r['count']}")
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "semdedup":
+        if a.k <= 0:
+            raise ConfigError(f"--k must be positive, got {a.k}")
+        if not 0 <= a.threshold <= 1000:
+            raise ConfigError(
+                f"--threshold must be in [0, 1000], got {a.threshold}"
+            )
+        spark = get_spark(
+            "dude_spark_semdedup",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .functions.clustering import semdedup, semdedup_new
+
+            embs = spark.read.parquet(a.input)
+            if a.new is not None:
+                out = semdedup_new(
+                    embs, spark.read.parquet(a.new), k=a.k,
+                    id_col=a.id_col, vec_col=a.vec_col, iters=a.iters,
+                    threshold_x1000=a.threshold, cluster_cap=a.cluster_cap,
+                )
+                out.write.mode("overwrite").parquet(a.out)
+                n = spark.read.parquet(a.out).count()
+                print(
+                    f"{n} semantic dup pair(s) of the new batch "
+                    f"(threshold {a.threshold}/1000) -> {a.out}"
+                )
+            else:
+                out = semdedup(
+                    embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,
+                    iters=a.iters, threshold_x1000=a.threshold,
+                    cluster_cap=a.cluster_cap,
+                )
+                out.write.mode("overwrite").parquet(a.out)
+                res = spark.read.parquet(a.out)
+                n = res.count()
+                from pyspark.sql import functions as F
+
+                kept = res.where(F.col("keep") == 1).count()
+                print(
+                    f"{n} vector(s) in semantic dup groups, {kept} "
+                    f"representative(s) kept, {n - kept} prunable "
+                    f"-> {a.out}"
+                )
             return 0
         finally:
             spark.stop()

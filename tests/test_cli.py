@@ -518,3 +518,55 @@ def test_cli_cluster(spark, tmp_path, monkeypatch, capsys):
     with pytest.raises(ConfigError, match="--iters"):
         cli.main(["cluster", "--input", inp, "--out", out,
                   "--k", "2", "--iters", "-1"])
+
+
+def test_cli_semdedup_modes(spark, tmp_path, monkeypatch, capsys):
+    """semdedup subcommand: batch mode emits keep/remove assignments,
+    --new mode emits cross pairs only; bad threshold refused."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    rng = np.random.RandomState(44)
+    vecs = [rng.uniform(-0.5, 0.5, 8).astype("float32").tolist()
+            for _ in range(30)]
+    inp = str(tmp_path / "embs")
+    pdf = pd.DataFrame({
+        "vec_id": list(range(30)) + [100, 101],
+        "embedding": vecs + [vecs[0], vecs[1]],  # two exact copies
+    })
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "assign")
+    assert cli.main(["semdedup", "--input", inp, "--out", out,
+                     "--k", "3", "--iters", "2",
+                     "--threshold", "990"]) == 0
+    assert "prunable" in capsys.readouterr().out
+    got = {r["vec_id"]: (r["rep_id"], r["keep"])
+           for r in spark.read.parquet(out).collect()}
+    assert got[100] == (0, 0) and got[0] == (0, 1)
+    assert got[101] == (1, 0) and got[1] == (1, 1)
+
+    newp = str(tmp_path / "new")
+    spark.createDataFrame(
+        pd.DataFrame({"vec_id": [500], "embedding": [vecs[2]]})
+    ).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    ).write.parquet(newp)
+    out2 = str(tmp_path / "pairs")
+    assert cli.main(["semdedup", "--input", inp, "--new", newp,
+                     "--out", out2, "--k", "3", "--iters", "2",
+                     "--threshold", "990"]) == 0
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(out2).collect()}
+    assert (2, 500) in pairs
+    assert all(b >= 500 for _, b in pairs)  # never within-known
+
+    with pytest.raises(ConfigError, match="--threshold"):
+        cli.main(["semdedup", "--input", inp, "--out", out,
+                  "--k", "2", "--threshold", "2000"])
