@@ -341,6 +341,27 @@ def q_semdedup_new(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_source_quantiles(spark, sf_dir):
+    """Per-source exact length quantiles (functions/ranking.
+    grouped_quantiles): the per-domain cutoff table ("drop each
+    source's bottom length decile") a single global threshold can't
+    express.  Rows reduce to a (source, n_chars) histogram before any
+    window, so the window partitions are distinct values, never rows;
+    thresholds are the all-integer discrete lower quantile, replayed
+    identically by the oracle's cumulative-histogram SQL."""
+    from dude_spark.functions.ranking import grouped_quantiles
+
+    return grouped_quantiles(
+        _docs(spark, sf_dir), ["source"], "n_chars", (100, 500, 900)
+    ).select(
+        "source",
+        "n_rows",
+        "p100",
+        "p500",
+        "p900",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1437,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup_prune": q_semdedup_prune,
         "semdedup_new_pairs": q_semdedup_new,
+        "source_quantiles": q_source_quantiles,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -2062,6 +2084,31 @@ def oracle_sql() -> dict[str, str]:
                 " FROM embeddings WHERE vec_id < 50)"
             ),
         ),
+        # source_quantiles: same histogram -> cumulative -> smallest
+        # value crossing q*n, all integer
+        "source_quantiles": """
+            WITH h AS (
+              SELECT source, n_chars AS v, count(*) AS c
+              FROM documents GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT source, v, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM h
+            ),
+            tot AS (SELECT source, max(cum) AS n FROM cum GROUP BY 1)
+            SELECT cum.source,
+                   CAST(max(n) AS BIGINT) AS n_rows,
+                   CAST(min(CASE WHEN cum * 1000 >= 100 * n THEN v END)
+                        AS BIGINT) AS p100,
+                   CAST(min(CASE WHEN cum * 1000 >= 500 * n THEN v END)
+                        AS BIGINT) AS p500,
+                   CAST(min(CASE WHEN cum * 1000 >= 900 * n THEN v END)
+                        AS BIGINT) AS p900
+            FROM cum JOIN tot USING (source)
+            GROUP BY cum.source
+        """,
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same
         # multiset, same (count, len) tie-break, structurally equal.

@@ -31,7 +31,7 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -230,4 +230,70 @@ def grouped_topk(
     return stage2.select(
         F.col("_p._row.*"),
         (F.col("_rank0") + 1).cast("long").alias("rank"),
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles_x1000: Sequence[int] = (100, 500, 900),
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Exact per-group quantile THRESHOLDS from a value histogram —
+    one row per group: ``(group…, n_rows, p100, p500, p900, …)`` where
+    ``p{q}`` is the smallest value v in the group with
+    ``count(rows ≤ v) · 1000 ≥ q · n_rows`` (the discrete lower
+    quantile; all-integer, so the DuckDB oracle hashes bit-for-bit).
+
+    The curation use: per-domain cutoffs — "drop each source's bottom
+    length decile", "cap quality at each language's p90" — where one
+    GLOBAL threshold (length_deciles) misclassifies whole domains
+    whose distributions sit above or below the corpus norm.
+
+    Scale shape: rows reduce to a (group, value) HISTOGRAM first — one
+    combinable count aggregate, so the window that follows runs over
+    DISTINCT VALUES per group, never rows (10^9 docs with a 1-5000
+    char-length range = ≤5000 window rows per group).  The group total
+    is max(cum) — no second aggregate pass over rows.  Contract: the
+    value should be integer-binned (lengths, per-milles, token counts
+    — every signal this repo emits); quantize continuous scores first
+    or the histogram degenerates toward row count.  NULL values are
+    excluded from both counts and thresholds.
+    """
+    qs = [int(q) for q in quantiles_x1000]
+    if not qs or any(not 0 < q <= 1000 for q in qs):
+        raise ValueError(
+            f"quantiles_x1000 must be in (0, 1000], got {quantiles_x1000}"
+        )
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"duplicate quantiles in {quantiles_x1000}")
+    group = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*group, v)
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        # group total = max cum, from the SAME partition the cum window
+        # already built — no second aggregate pass over the histogram
+        "_n",
+        F.max("_cum").over(Window.partitionBy(*group_cols)),
+    )
+    return cum.groupBy(*group).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(1000) >= F.lit(q) * F.col("_n"), v
+                )
+            ).cast("long").alias(f"{out_prefix}{q}")
+            for q in qs
+        ],
     )

@@ -70,3 +70,60 @@ def test_ntile_exact_plan_has_no_single_partition_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" in wplan
+
+
+class TestGroupedQuantiles:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, v long")
+
+    def test_matches_brute_force_seeded(self, spark):
+        import random
+
+        from dude_spark.functions.ranking import grouped_quantiles
+
+        rng = random.Random(42)
+        rows = [
+            (f"g{rng.randrange(4)}", rng.randrange(50)) for _ in range(300)
+        ]
+        got = {
+            r["g"]: (r["n_rows"], r["p100"], r["p500"], r["p900"])
+            for r in grouped_quantiles(
+                self._df(spark, rows), ["g"], "v"
+            ).collect()
+        }
+        want = {}
+        by_g: dict[str, list[int]] = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vs in by_g.items():
+            vs.sort()
+            n = len(vs)
+            thr = lambda q: min(
+                v for i, v in enumerate(vs) if (i + 1) * 1000 >= q * n
+            )
+            want[g] = (n, thr(100), thr(500), thr(900))
+        assert got == want
+
+    def test_constant_group_and_null_exclusion(self, spark):
+        from dude_spark.functions.ranking import grouped_quantiles
+
+        rows = [("a", 7), ("a", 7), ("a", 7), ("a", None), ("b", 1)]
+        got = {
+            r["g"]: tuple(r)[1:]
+            for r in grouped_quantiles(
+                self._df(spark, rows), ["g"], "v", (500, 1000)
+            ).collect()
+        }
+        assert got["a"] == (3, 7, 7)  # NULL excluded from n_rows
+        assert got["b"] == (1, 1, 1)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from dude_spark.functions.ranking import grouped_quantiles
+
+        df = self._df(spark, [("a", 1)])
+        with pytest.raises(ValueError, match="quantiles_x1000"):
+            grouped_quantiles(df, ["g"], "v", (0,))
+        with pytest.raises(ValueError, match="duplicate"):
+            grouped_quantiles(df, ["g"], "v", (500, 500))
