@@ -81,12 +81,22 @@ def _parser() -> argparse.ArgumentParser:
     st.add_argument("--schema", default="image_id string, bytes binary",
                     help="input schema DDL (file streams need one)")
     st.add_argument("--detector",
-                    choices=("exact", "minhash", "simhash", "suffix"),
+                    choices=("exact", "minhash", "simhash", "suffix",
+                             "embedding"),
                     default="exact",
                     help="exact sha2 buckets; MinHash-LSH near-dup "
                          "candidates + exact-Jaccard verify; SimHash "
-                         "caption-channel + exact Hamming verify; or "
-                         "suffix winnowing + exact shared-L-gram verify")
+                         "caption-channel + exact Hamming verify; "
+                         "suffix winnowing + exact shared-L-gram verify; "
+                         "or embedding semantic dedup against frozen "
+                         "k-means centroids (--centroids)")
+    st.add_argument("--centroids", default=None,
+                    help="embedding detector: .npy centroid matrix from "
+                         "'cluster --save-centroids' (frozen — the "
+                         "matrix hash is pinned in the state config id)")
+    st.add_argument("--sem-threshold", type=int, default=950,
+                    help="embedding detector: integer per-mille cosine "
+                         "threshold")
     st.add_argument("--minhash-threshold", type=float, default=None)
     st.add_argument("--min-match-len", type=int, default=None,
                     help="suffix detector: substring-overlap threshold "
@@ -338,6 +348,9 @@ def _parser() -> argparse.ArgumentParser:
                     help="Lloyd update rounds (each costs one corpus scan)")
     km.add_argument("--id-col", default="vec_id")
     km.add_argument("--vec-col", default="embedding")
+    km.add_argument("--save-centroids", default=None,
+                    help="also save the final int64 centroid matrix as "
+                         ".npy (feeds 'stream --detector embedding')")
     km.add_argument("--cpus", type=int, default=0)
     km.add_argument("--local", action="store_true")
 
@@ -459,7 +472,9 @@ def _stream_config_id(detector: str, det_cfg) -> str:
     import json as _json
 
     sub: dict = {"detector": detector}
-    if det_cfg is not None:
+    if isinstance(det_cfg, dict):
+        sub.update(det_cfg)
+    elif det_cfg is not None:
         sub.update(dataclasses.asdict(det_cfg))
     blob = _json.dumps(sub, sort_keys=True).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
@@ -511,7 +526,37 @@ def main(argv: list[str] | None = None) -> int:
         try:
             kw = {}
             det_cfg = None
-            if a.detector in ("minhash", "simhash", "suffix"):
+            if a.detector == "embedding":
+                if a.centroids is None:
+                    raise ConfigError(
+                        "--detector embedding requires --centroids "
+                        "(.npy from 'cluster --save-centroids')"
+                    )
+                import hashlib as _hl
+
+                import numpy as _np
+
+                from .streaming import embedding_ingest
+
+                cent = _np.load(a.centroids)
+                bucket_fn, verify_fn, state_cols = embedding_ingest(
+                    cent, threshold_x1000=a.sem_threshold
+                )
+                # frozen-centroid pin: moving centroids re-keys the
+                # persisted bucket state exactly like a shard-count
+                # change — refuse on restart via the config id
+                det_cfg = {
+                    "threshold_x1000": a.sem_threshold,
+                    "centroids_sha256": _hl.sha256(
+                        _np.ascontiguousarray(cent).tobytes()
+                    ).hexdigest()[:16],
+                }
+                kw = dict(
+                    bucket_fn=bucket_fn,
+                    verify_fn=verify_fn,
+                    state_cols=state_cols,
+                )
+            elif a.detector in ("minhash", "simhash", "suffix"):
                 if a.detector == "minhash":
                     from .streaming import minhash_ingest
 
@@ -830,10 +875,24 @@ def main(argv: list[str] | None = None) -> int:
             from .functions.clustering import kmeans_clusters
 
             embs = spark.read.parquet(a.input)
-            out = kmeans_clusters(
-                embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,
-                iters=a.iters,
-            )
+            if a.save_centroids is not None:
+                import numpy as _np
+
+                from .functions.clustering import kmeans_assign, kmeans_fit
+
+                cent = kmeans_fit(
+                    embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,
+                    iters=a.iters,
+                )
+                _np.save(a.save_centroids, cent)
+                out = kmeans_assign(
+                    embs, cent, id_col=a.id_col, vec_col=a.vec_col
+                )
+            else:
+                out = kmeans_clusters(
+                    embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,
+                    iters=a.iters,
+                )
             out.write.mode("overwrite").parquet(a.out)
             sizes = (
                 spark.read.parquet(a.out)

@@ -265,6 +265,45 @@ def kmeans_clusters(
     return kmeans_assign(corpus, cent, id_col, vec_col)
 
 
+def verify_pairs_cosine(
+    pairs: DataFrame, u: DataFrame, threshold_x1000: int
+) -> DataFrame:
+    """Filter candidate (a, b) pairs to integer per-mille cosine ≥
+    ``threshold_x1000`` over a prepared u-frame — the closed-form
+    exact-integer expression every caller (semdedup, semdedup_new,
+    the streaming embedding preset) must share so their oracles and
+    state contracts can never diverge.  One codegen join per side, no
+    Python in the scoring loop; zero-norm members never qualify."""
+    ua = u.select(
+        F.col("_id").alias("a"), F.col("_u").alias("_ua"),
+        F.col("_nu2").alias("_na"),
+    )
+    ub = u.select(
+        F.col("_id").alias("b"), F.col("_u").alias("_ub"),
+        F.col("_nu2").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = F.floor(
+        (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
+        / (
+            F.sqrt(F.col("_na").cast("double"))
+            * F.sqrt(F.col("_nb").cast("double"))
+        )
+    ).cast("long")
+    return (
+        pairs.join(ua, "a")
+        .join(ub, "b")
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn("_dot", dot)
+        .where(sim >= F.lit(int(threshold_x1000)))
+        .select("a", "b")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     k: int,
@@ -322,34 +361,7 @@ def semdedup(
     pairs, _overcap = pairs_from_buckets(
         assigned, bucket_cap=cluster_cap, overcap_mode="exhaustive"
     )
-    ua = u.select(
-        F.col("_id").alias("a"), F.col("_u").alias("_ua"),
-        F.col("_nu2").alias("_na"),
-    )
-    ub = u.select(
-        F.col("_id").alias("b"), F.col("_u").alias("_ub"),
-        F.col("_nu2").alias("_nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sim = F.floor(
-        (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
-        / (
-            F.sqrt(F.col("_na").cast("double"))
-            * F.sqrt(F.col("_nb").cast("double"))
-        )
-    ).cast("long")
-    strong = (
-        pairs.join(ua, "a")
-        .join(ub, "b")
-        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
-        .withColumn("_dot", dot)
-        .where(sim >= F.lit(int(threshold_x1000)))
-        .select("a", "b")
-    )
+    strong = verify_pairs_cosine(pairs, u, threshold_x1000)
     assigns = connected_components(strong)
     return assigns.select(
         F.col("image_id").alias(id_col),
@@ -418,33 +430,6 @@ def semdedup_new(
         nb, bucket_cap=cluster_cap, overcap_mode="exhaustive"
     )
     pairs = cross.select("a", "b").unionByName(within.select("a", "b"))
-
-    u_all = u_known.unionByName(u_new)
-    ua = u_all.select(
-        F.col("_id").alias("a"), F.col("_u").alias("_ua"),
-        F.col("_nu2").alias("_na"),
-    )
-    ub = u_all.select(
-        F.col("_id").alias("b"), F.col("_u").alias("_ub"),
-        F.col("_nu2").alias("_nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_ua"), F.col("_ub"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sim = F.floor(
-        (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
-        / (
-            F.sqrt(F.col("_na").cast("double"))
-            * F.sqrt(F.col("_nb").cast("double"))
-        )
-    ).cast("long")
-    return (
-        pairs.join(ua, "a")
-        .join(ub, "b")
-        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
-        .withColumn("_dot", dot)
-        .where(sim >= F.lit(int(threshold_x1000)))
-        .select("a", "b")
+    return verify_pairs_cosine(
+        pairs, u_known.unionByName(u_new), threshold_x1000
     )

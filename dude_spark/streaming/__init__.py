@@ -4,6 +4,7 @@ from .components import (  # noqa: F401
     update_assignments,
 )
 from .ingest import (  # noqa: F401
+    embedding_ingest,
     minhash_ingest,
     simhash_ingest,
     start_incremental_dedup,

@@ -194,6 +194,74 @@ def minhash_ingest(
     return bucket_fn, verify_fn, ("caption",)
 
 
+def embedding_ingest(
+    centroids, threshold_x1000: int = 950
+) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:
+    """Semantic-dedup-at-ingest preset: SemDeDup through the same
+    foreachBatch state machinery as D0–D3, completing detector
+    symmetry for the embedding channel.
+
+    ``centroids`` is a FROZEN k-means centroid matrix (int64 k×dim,
+    from ``functions.clustering.kmeans_fit`` on a bootstrap corpus) —
+    a stream must not retrain per micro-batch, both for cost (one fit
+    scans the corpus per Lloyd round) and for STATE VALIDITY: bucket
+    ids persisted in the signature state are cluster ids, so moving
+    centroids would silently re-key history exactly like changing
+    n_state_shards (the state_config_id failure class — pin the
+    centroid matrix's hash in the stream's config id).
+
+    bucket_fn assigns each row's embedding to its nearest frozen
+    centroid (the semdedup cluster-as-bucket role); verify_fn
+    recomputes the exact-integer per-mille cosine for just the pair
+    members via the shared ``verify_pairs_cosine`` kernel — the SAME
+    closed-form expression the batch operators and their DuckDB
+    oracles use, so batch and stream can never disagree on what
+    "semantic duplicate" means.  State persists the raw ``embedding``
+    column (detector-agnostic rows state, the simhash_ingest
+    convention): verify cost is O(|pairs|), never O(corpus).
+    """
+    import numpy as np
+
+    from ..functions.clustering import (
+        _assign_udf,
+        _u_frame,
+        verify_pairs_cosine,
+    )
+
+    if not 0 <= threshold_x1000 <= 1000:
+        raise ValueError(
+            f"threshold_x1000 must be in [0, 1000], got {threshold_x1000}"
+        )
+    cent = np.asarray(centroids, dtype=np.int64)
+    if cent.ndim != 2 or not cent.size:
+        raise ValueError(
+            f"centroids must be a non-empty k x dim matrix, got {cent.shape}"
+        )
+    ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
+    assign = _assign_udf(cent, ns2, with_sim=False)
+
+    def bucket_fn(batch: DataFrame) -> DataFrame:
+        u = _u_frame(batch, "image_id", "embedding")
+        return u.select(
+            F.col("_id").alias("image_id"),
+            assign(F.col("_u")).cast("string").alias("bucket"),
+        )
+
+    def verify_fn(pairs: DataFrame, rows: DataFrame) -> DataFrame:
+        keys = (
+            pairs.select(F.col("a").alias("image_id"))
+            .unionByName(pairs.select(F.col("b").alias("image_id")))
+            .distinct()
+        )
+        members = rows.join(keys, "image_id", "leftsemi")
+        u = _u_frame(
+            members.select("image_id", "embedding"), "image_id", "embedding"
+        )
+        return verify_pairs_cosine(pairs, u, threshold_x1000)
+
+    return bucket_fn, verify_fn, ("embedding",)
+
+
 def simhash_ingest(
     cfg: SimHashConfig | None = None,
 ) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:

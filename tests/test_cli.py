@@ -570,3 +570,49 @@ def test_cli_semdedup_modes(spark, tmp_path, monkeypatch, capsys):
     with pytest.raises(ConfigError, match="--threshold"):
         cli.main(["semdedup", "--input", inp, "--out", out,
                   "--k", "2", "--threshold", "2000"])
+
+
+def test_cli_stream_embedding_detector(spark, tmp_path, monkeypatch, capsys):
+    """stream --detector embedding: centroids from cluster
+    --save-centroids feed the semantic preset; identical embeddings
+    pair cross-epoch; missing --centroids refused."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    rng = np.random.RandomState(55)
+    vecs = [rng.uniform(-0.5, 0.5, 8).astype("float32").tolist()
+            for _ in range(20)]
+    boot = str(tmp_path / "boot")
+    pdf = pd.DataFrame({"vec_id": list(range(20)), "embedding": vecs})
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    ).write.parquet(boot)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    cent_path = str(tmp_path / "cent.npy")
+    assert cli.main(["cluster", "--input", boot, "--out",
+                     str(tmp_path / "assign"), "--k", "3", "--iters", "1",
+                     "--save-centroids", cent_path]) == 0
+    assert np.load(cent_path).shape == (3, 8)
+    capsys.readouterr()
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, embedding array<float>"
+    spark.createDataFrame(
+        [("x1", vecs[0]), ("x2", vecs[0]), ("y", vecs[1])], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    assert cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                     "--schema", schema, "--detector", "embedding",
+                     "--centroids", cent_path,
+                     "--sem-threshold", "990"]) == 0
+    pairs = {(r["a"], r["b"])
+             for r in spark.read.parquet(f"{state_dir}/pairs").collect()}
+    assert pairs == {("x1", "x2")}
+
+    with pytest.raises(ConfigError, match="--centroids"):
+        cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                  "--schema", schema, "--detector", "embedding"])

@@ -629,3 +629,71 @@ def test_stream_detector_pin_refuses_config_swap(spark, tmp_path):
             spark, input_dir, state_dir, schema,
             state_config_id="exact|v3",
         )
+
+
+def test_incremental_dedup_stream_embedding(spark, tmp_path):
+    """Semantic-dedup-at-ingest: the embedding preset wired through
+    foreachBatch with FROZEN centroids — identical embeddings pair
+    cross-epoch and within-batch, sub-threshold neighbors don't, and a
+    restart re-emits nothing."""
+    import numpy as np
+
+    from dude_spark.functions.clustering import kmeans_fit
+    from dude_spark.streaming import embedding_ingest
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, embedding array<float>"
+    rng = np.random.RandomState(17)
+    vecs = {
+        c: rng.uniform(-0.5, 0.5, 8).astype("float32").tolist()
+        for c in "abcdef"
+    }
+
+    def write(rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+
+    # bootstrap centroids on a seed corpus (frozen thereafter)
+    boot = spark.createDataFrame(
+        [(f"s{i}", rng.uniform(-0.5, 0.5, 8).astype("float32").tolist())
+         for i in range(24)],
+        schema,
+    )
+    cent = kmeans_fit(boot, k=3, id_col="image_id", vec_col="embedding",
+                      iters=2)
+    bucket_fn, verify_fn, state_cols = embedding_ingest(
+        cent, threshold_x1000=990
+    )
+    assert state_cols == ("embedding",)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn, state_cols=state_cols,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    # epoch 1: a1~a2 identical within batch, b unrelated
+    write([("a1", vecs["a"]), ("a2", vecs["a"]), ("b", vecs["b"])])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a1", "a2")}
+
+    # epoch 2: a3 duplicates KNOWN a1/a2 cross-epoch; c/d unrelated
+    write([("a3", vecs["a"]), ("c", vecs["c"]), ("d", vecs["d"])])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a1", "a2"), ("a1", "a3"), ("a2", "a3")}
+
+    # restart with no new files: nothing re-emitted
+    drain()
+    again = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert again == pairs
+
+    # validation surface
+    with pytest.raises(ValueError, match="threshold_x1000"):
+        embedding_ingest(cent, threshold_x1000=5000)
+    with pytest.raises(ValueError, match="centroids"):
+        embedding_ingest(np.empty((0, 0)), threshold_x1000=900)
