@@ -362,6 +362,51 @@ def q_source_quantiles(spark, sf_dir):
     )
 
 
+def q_novelty_scores(spark, sf_dir):
+    """Corpus novelty vs a reference (operators/decontam.
+    novelty_scores): the acquisition-triage inverse of contamination.
+    New batch = three planted slices against the documents table as
+    reference — verbatim re-keys (+1000000, novelty must be exactly
+    0), organic text with a unique appended tail (+1100000, mid-band
+    moving with doc length), and fully synthetic docs (+1200000, must
+    score exactly 1000).  Spark probes xxhash64 gram keys; the oracle
+    joins the gram STRINGS, so a hash-key defect cannot hide."""
+    from dude_spark.operators.decontam import novelty_scores
+
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    verbatim = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    tailed = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(1100000)).cast("string").alias("image_id"),
+        F.concat(
+            F.col("text"), F.lit(" zznovel"), sid,
+            F.lit(" tail of fresh words"),
+        ).alias("caption"),
+    )
+    fresh = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(1200000)).cast("string").alias("image_id"),
+        F.concat(
+            F.lit("qqfresh document "), sid,
+            F.lit(" sharing absolutely nothing with the reference "
+                  "corpus gram space whatsoever"),
+        ).alias("caption"),
+    )
+    new = verbatim.unionByName(tailed).unionByName(fresh)
+    ref = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    return novelty_scores(new, ref).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        "novel",
+        "novel_x1000",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1459,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "semdedup_new_pairs": q_semdedup_new,
         "source_quantiles": q_source_quantiles,
+        "novelty_scores": q_novelty_scores,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -2108,6 +2154,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS p900
             FROM cum JOIN tot USING (source)
             GROUP BY cum.source
+        """,
+        # novelty_scores: oracle joins gram STRINGS where Spark probes
+        # xxhash64 keys; same planted three-slice new batch
+        "novelty_scores": """
+            WITH newdocs AS (
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1100000,
+                     text || ' zznovel' || CAST(doc_id AS VARCHAR)
+                       || ' tail of fresh words'
+              FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + 1200000,
+                     'qqfresh document ' || CAST(doc_id AS VARCHAR)
+                       || ' sharing absolutely nothing with the'
+                       || ' reference corpus gram space whatsoever'
+              FROM documents WHERE doc_id < 20
+            ),
+            ng AS (
+              SELECT DISTINCT doc_id,
+                     substring(text, CAST(i AS INT), 32) AS gram
+              FROM newdocs, unnest(range(1, length(text) - 30)) AS t(i)
+              WHERE length(text) >= 32
+            ),
+            rg AS (
+              SELECT DISTINCT substring(text, CAST(i AS INT), 32) AS gram
+              FROM documents, unnest(range(1, length(text) - 30)) AS t(i)
+              WHERE length(text) >= 32
+            )
+            SELECT ng.doc_id AS doc_id,
+                   count(*) AS n_grams,
+                   count(*) - count(rg.gram) AS novel,
+                   CAST((count(*) - count(rg.gram)) * 1000 // count(*)
+                        AS BIGINT) AS novel_x1000
+            FROM ng LEFT JOIN rg USING (gram)
+            GROUP BY ng.doc_id
         """,
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same

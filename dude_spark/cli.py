@@ -903,8 +903,10 @@ def main(argv: list[str] | None = None) -> int:
                 f"assigned {total} rows to {len(sizes)} clusters "
                 f"(k={a.k}, iters={a.iters}) -> {a.out}"
             )
-            for r in sizes:
+            for r in sizes[:20]:
                 print(f"  cluster {r['cluster']}: {r['count']}")
+            if len(sizes) > 20:
+                print(f"  ... {len(sizes) - 20} more cluster(s)")
             return 0
         finally:
             spark.stop()

@@ -233,7 +233,15 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cluster, sim_x1000) against a fixed centroid matrix."""
+    """(id, cluster, sim_x1000) against a fixed centroid matrix.
+    An empty matrix yields zero rows (id type follows the corpus —
+    never a hardcoded long that would break string-id callers)."""
+    if cent.size == 0:
+        return corpus.where(F.lit(False)).select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("sim_x1000"),
+        )
     ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
     assign = _assign_udf(cent, ns2, with_sim=True)
     u = _u_frame(corpus, id_col, vec_col)
@@ -256,13 +264,10 @@ def kmeans_clusters(
 ) -> DataFrame:
     """Fit on the full corpus, then assign every row against the final
     centroids: (id, cluster, sim_x1000)."""
-    cent = kmeans_fit(corpus, k, id_col, vec_col, iters)
-    if cent.size == 0:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], f"{id_col} long, cluster long, sim_x1000 long"
-        )
-    return kmeans_assign(corpus, cent, id_col, vec_col)
+    return kmeans_assign(
+        corpus, kmeans_fit(corpus, k, id_col, vec_col, iters),
+        id_col, vec_col,
+    )
 
 
 def verify_pairs_cosine(
@@ -349,8 +354,10 @@ def semdedup(
     u = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
     cent = _fit_on_u(u, k, iters)
     if cent.size == 0:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{id_col} long, rep_id long, keep long"
+        return corpus.where(F.lit(False)).select(
+            F.col(id_col),
+            F.col(id_col).alias("rep_id"),
+            F.lit(0).cast("long").alias("keep"),
         )
     ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
     assign = _assign_udf(cent, ns2, with_sim=False)
@@ -412,7 +419,9 @@ def semdedup_new(
     u_known = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
     cent = _fit_on_u(u_known, k, iters)
     if cent.size == 0:
-        return corpus.sparkSession.createDataFrame([], "a long, b long")
+        return corpus.where(F.lit(False)).select(
+            F.col(id_col).alias("a"), F.col(id_col).alias("b")
+        )
     ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
     assign = _assign_udf(cent, ns2, with_sim=False)
     u_new = _u_frame(new, id_col, vec_col).localCheckpoint(eager=True)

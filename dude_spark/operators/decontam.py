@@ -204,3 +204,58 @@ def decontaminate(
         "left_anti",
     )
     return clean, flagged
+
+
+def novelty_scores(
+    new: DataFrame, reference: DataFrame, gram_len: int = 32
+) -> DataFrame:
+    """Per-document NOVELTY fraction of a new batch against a reference
+    corpus — (doc_id, n_grams, novel, novel_x1000) where ``novel``
+    counts the new doc's distinct character ``gram_len``-grams that
+    appear NOWHERE in the reference.  The inverse question of
+    :func:`contamination_scores`: contamination asks "how much of this
+    doc is the benchmark's", novelty asks "how much of this crawl adds
+    anything" — the acquisition-triage signal (a crawl scoring ~0 is
+    re-ingestion; a source scoring ~1000 against everything ingested
+    is genuinely new supply).  Docs shorter than ``gram_len`` have no
+    grams and are absent.
+
+    Integer contract as everywhere: ``novel * 1000 div n_grams``.
+
+    Scale shape — the mirror image of contamination_scores: THERE the
+    benchmark is tiny by contract and broadcasts; HERE the reference
+    is the accumulated corpus (10^12 docs), so nothing broadcasts —
+    the reference reduces to its distinct gram-hash set (map-side
+    combinable distinct) and the join is gram-hash-keyed on 8-byte
+    xxhash64 keys, the inverted-index shuffle shape every pair
+    operator in this repo already rides.  A hash collision can only
+    UNDERCOUNT novelty by marking a truly-novel gram as seen
+    (~1e-8 at 10^9 distinct grams — the contamination_scores
+    contract); the DuckDB oracle joins gram STRINGS, so a hash-key
+    defect cannot hide.
+    """
+    if gram_len <= 0:
+        raise ValueError(f"gram_len must be positive, got {gram_len}")
+    c = new.select(
+        F.col("image_id").alias("doc_id"),
+        F.explode(_gram_array(F.col("caption"), gram_len)).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    r = (
+        reference.select(
+            F.explode(_gram_array(F.col("caption"), gram_len)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        c.join(r, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            (F.count("*") - F.count("hit")).cast("long").alias("novel"),
+        )
+        .withColumn(
+            "novel_x1000", F.expr("novel * 1000 div n_grams").cast("long")
+        )
+    )

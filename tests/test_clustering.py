@@ -278,3 +278,34 @@ class TestSemDedupNew:
             semdedup_new(df, df.where(F.lit(False)), k=2, iters=1).count()
             == 0
         )
+
+
+def test_empty_paths_keep_caller_id_type(spark):
+    """Empty corpus / empty centroid matrix: zero rows with the
+    CALLER's id type (string here), never a hardcoded long; the
+    kmeans_assign empty-matrix guard covers the CLI --save-centroids
+    path that bypasses kmeans_clusters."""
+    import numpy as np
+    import pandas as pd
+
+    from dude_spark.functions.clustering import (
+        kmeans_assign,
+        kmeans_clusters,
+        semdedup,
+        semdedup_new,
+    )
+
+    pdf = pd.DataFrame({"vec_id": ["x"], "embedding": [[0.1, 0.2]]})
+    df = (
+        spark.createDataFrame(pdf)
+        .select("vec_id", F.col("embedding").cast("array<float>"))
+        .where(F.lit(False))
+    )
+    for out, idc in [
+        (kmeans_clusters(df, k=2, iters=1), "vec_id"),
+        (kmeans_assign(df, np.empty((0, 0), dtype=np.int64)), "vec_id"),
+        (semdedup(df, k=2, iters=1), "vec_id"),
+        (semdedup_new(df, df, k=2, iters=1), "a"),
+    ]:
+        assert out.count() == 0
+        assert out.schema[idc].dataType.simpleString() == "string", out.schema

@@ -154,3 +154,65 @@ def test_contamination_scores_plan_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestNoveltyScores:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "image_id string, caption string")
+
+    def test_verbatim_zero_fresh_thousand_mixed_between(self, spark):
+        from dude_spark.operators.decontam import novelty_scores
+
+        base = "the quick brown fox jumps over the lazy sleeping dog today"
+        ref = self._df(spark, [("r1", base), ("r2", base + " again and again")])
+        new = self._df(spark, [
+            ("n1", base),                                     # verbatim
+            ("n2", "qqfresh utterly novel text never seen in reference"),
+            ("n3", base + " with a novel unique closing tail here"),
+        ])
+        got = {r["doc_id"]: r for r in novelty_scores(new, ref).collect()}
+        assert got["n1"]["novel_x1000"] == 0
+        assert got["n2"]["novel_x1000"] == 1000
+        assert 0 < got["n3"]["novel_x1000"] < 1000
+        assert got["n3"]["n_grams"] > got["n3"]["novel"] > 0
+
+    def test_short_docs_absent_and_validation(self, spark):
+        import pytest
+
+        from dude_spark.operators.decontam import novelty_scores
+
+        ref = self._df(spark, [("r", "x" * 64)])
+        new = self._df(spark, [("s", "too short"), ("l", "y" * 64)])
+        got = [r["doc_id"] for r in novelty_scores(new, ref).collect()]
+        assert got == ["l"]
+        with pytest.raises(ValueError, match="gram_len"):
+            novelty_scores(new, ref, gram_len=0)
+
+    def test_brute_force_seeded(self, spark):
+        import random
+
+        from dude_spark.operators.decontam import novelty_scores
+
+        rng = random.Random(7)
+        alpha = "abcdef "
+        mk = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+        ref_rows = [(f"r{i}", mk(80)) for i in range(10)]
+        new_rows = [(f"n{i}", mk(70)) for i in range(10)]
+        G = 8
+        got = {
+            r["doc_id"]: (r["n_grams"], r["novel"], r["novel_x1000"])
+            for r in novelty_scores(
+                self._df(spark, new_rows), self._df(spark, ref_rows), G
+            ).collect()
+        }
+        ref_grams = {
+            t[i: i + G]
+            for _, t in ref_rows
+            for i in range(len(t) - G + 1)
+        }
+        want = {}
+        for d, t in new_rows:
+            grams = {t[i: i + G] for i in range(len(t) - G + 1)}
+            nov = sum(1 for g in grams if g not in ref_grams)
+            want[d] = (len(grams), nov, nov * 1000 // len(grams))
+        assert got == want
