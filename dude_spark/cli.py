@@ -417,6 +417,23 @@ def _parser() -> argparse.ArgumentParser:
     dn.add_argument("--cpus", type=int, default=0)
     dn.add_argument("--local", action="store_true")
 
+    nv = sub.add_parser(
+        "novelty",
+        help="per-doc novelty of a new batch vs a reference corpus "
+             "(distinct grams appearing nowhere in the reference; "
+             "operators/decontam.novelty_scores)",
+    )
+    nv.add_argument("--new", required=True, help="new-batch parquet path")
+    nv.add_argument("--reference", required=True,
+                    help="reference corpus parquet path (never broadcast)")
+    nv.add_argument("--out", required=True,
+                    help="output dir (doc_id, n_grams, novel, novel_x1000)")
+    nv.add_argument("--id-col", default="image_id")
+    nv.add_argument("--text-col", default="caption")
+    nv.add_argument("--gram-len", type=int, default=32)
+    nv.add_argument("--cpus", type=int, default=0)
+    nv.add_argument("--local", action="store_true")
+
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
@@ -955,6 +972,41 @@ def main(argv: list[str] | None = None) -> int:
                     f"representative(s) kept, {n - kept} prunable "
                     f"-> {a.out}"
                 )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "novelty":
+        spark = get_spark(
+            "dude_spark_novelty",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.decontam import novelty_scores
+
+            def load(path):
+                df = spark.read.parquet(path)
+                return df.select(
+                    F.col(a.id_col).alias("image_id"),
+                    F.col(a.text_col).alias("caption"),
+                )
+
+            out = novelty_scores(
+                load(a.new), load(a.reference), gram_len=a.gram_len
+            )
+            out.write.mode("overwrite").parquet(a.out)
+            res = spark.read.parquet(a.out)
+            n = res.count()
+            stats = res.agg(
+                F.sum("novel").alias("nv"), F.sum("n_grams").alias("ng")
+            ).first()
+            pm = (stats["nv"] or 0) * 1000 // max(stats["ng"] or 0, 1)
+            print(
+                f"scored {n} doc(s); corpus-level novelty "
+                f"{pm}/1000 -> {a.out}"
+            )
             return 0
         finally:
             spark.stop()

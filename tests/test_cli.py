@@ -616,3 +616,28 @@ def test_cli_stream_embedding_detector(spark, tmp_path, monkeypatch, capsys):
     with pytest.raises(ConfigError, match="--centroids"):
         cli.main(["stream", "--input", input_dir, "--state", state_dir,
                   "--schema", schema, "--detector", "embedding"])
+
+
+def test_cli_novelty(spark, tmp_path, monkeypatch, capsys):
+    """novelty subcommand: verbatim batch scores 0, fresh batch 1000."""
+    ref = str(tmp_path / "ref")
+    base = "the quick brown fox jumps over the lazy sleeping dog today yes"
+    spark.createDataFrame(
+        [("r1", base), ("r2", base + " twice")],
+        "image_id string, caption string",
+    ).write.parquet(ref)
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [("n1", base), ("n2", "qqfresh utterly novel text never in the reference corpus")],
+        "image_id string, caption string",
+    ).write.parquet(new)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "nv")
+    assert cli.main(["novelty", "--new", new, "--reference", ref,
+                     "--out", out]) == 0
+    assert "corpus-level novelty" in capsys.readouterr().out
+    got = {r["doc_id"]: r["novel_x1000"]
+           for r in spark.read.parquet(out).collect()}
+    assert got == {"n1": 0, "n2": 1000}
