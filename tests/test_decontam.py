@@ -216,3 +216,28 @@ class TestNoveltyScores:
             nov = sum(1 for g in grams if g not in ref_grams)
             want[d] = (len(grams), nov, nov * 1000 // len(grams))
         assert got == want
+
+    def test_novelty_monotone_in_reference(self, spark):
+        """Growing the reference can only LOWER each doc's novelty —
+        the invariant that makes the score stable triage as a corpus
+        accumulates (a bigger reference never makes a crawl look
+        newer)."""
+        import random
+
+        from dude_spark.operators.decontam import novelty_scores
+
+        rng = random.Random(99)
+        mk = lambda n: "".join(rng.choice("abcde ") for _ in range(n))
+        new = self._df(spark, [(f"n{i}", mk(60)) for i in range(8)])
+        small_rows = [(f"r{i}", mk(60)) for i in range(4)]
+        big_rows = small_rows + [(f"r{i+10}", mk(60)) for i in range(6)]
+        lo = {
+            r["doc_id"]: r["novel"]
+            for r in novelty_scores(new, self._df(spark, big_rows), 6).collect()
+        }
+        hi = {
+            r["doc_id"]: r["novel"]
+            for r in novelty_scores(new, self._df(spark, small_rows), 6).collect()
+        }
+        assert set(lo) == set(hi)
+        assert all(lo[d] <= hi[d] for d in hi)

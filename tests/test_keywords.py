@@ -124,3 +124,32 @@ class TestRareTermRatio:
     def test_max_df_validation(self, spark):
         with pytest.raises(ValueError, match="max_df"):
             rare_term_ratio(_docs(spark, [("d1", "a")]), max_df=0)
+
+    def test_rare_ratio_monotone_under_corpus_append(self, spark):
+        """Appending documents can only raise term dfs, so an existing
+        doc's rare share never INCREASES — re-scoring after ingest
+        moves every doc one-directionally (the weighted_sample
+        monotonicity convention, applied to the hapax signal)."""
+        import random
+
+        rng = random.Random(5)
+        vocab = [f"w{i}" for i in range(30)]
+        base = [
+            (f"d{i}", " ".join(rng.choices(vocab, k=rng.randrange(3, 12))))
+            for i in range(25)
+        ]
+        extra = base + [
+            (f"x{i}", " ".join(rng.choices(vocab, k=rng.randrange(3, 12))))
+            for i in range(15)
+        ]
+        before = {
+            r["doc_id"]: r["rare_x1000"]
+            for r in rare_term_ratio(_docs(spark, base)).collect()
+        }
+        after = {
+            r["doc_id"]: r["rare_x1000"]
+            for r in rare_term_ratio(_docs(spark, extra)).collect()
+            if r["doc_id"].startswith("d")
+        }
+        assert set(after) == set(before)
+        assert all(after[d] <= before[d] for d in before)
