@@ -166,3 +166,26 @@ def phash64(pixels: np.ndarray, grid: int = 8) -> int:
 def phash64_batch(pixel_list: list[np.ndarray]) -> np.ndarray:
     """Vectorized-per-batch phash for pandas UDF use."""
     return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
+
+
+def pyramid_phash64(pixels: np.ndarray, grid: int = 2) -> list[int]:
+    """[phash(full), phash(tile_0), …, phash(tile_{grid²-1})] — the
+    full-image hash plus one per grid×grid tile (row-major, floor
+    split; trailing remainder rows/cols fold into the last tile so
+    every pixel is covered).  One shared hash space is the point:
+    an image that IS another's tile (an exact crop) collides
+    full-vs-tile, a tile-aligned collage collides tile-vs-tile, an
+    exact duplicate collides full-vs-full.  Images smaller than the
+    grid emit only the full hash (zero-area tiles have no content).
+    Deterministic like phash64 — no Python hash()."""
+    out = [phash64(pixels)]
+    h, w = pixels.shape[:2]
+    if h < grid or w < grid:
+        return out
+    hb, wb = h // grid, w // grid
+    for i in range(grid):
+        for j in range(grid):
+            y1 = (i + 1) * hb if i < grid - 1 else h
+            x1 = (j + 1) * wb if j < grid - 1 else w
+            out.append(phash64(pixels[i * hb: y1, j * wb: x1]))
+    return out

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..imagecodec import CodecError, decode, encode, phash64
 
@@ -285,3 +286,72 @@ def sample_video_frames(videos: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return videos.select("video_id", "bytes").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+TILE_FEATURES_SCHEMA = "image_id string, ok boolean, keys array<long>"
+
+
+def extract_tile_features(images: DataFrame, grid: int = 2) -> DataFrame:
+    """(image_id, ok, keys array<long>): the pyramid tile-phash key set
+    — phash of the full image plus one per grid×grid tile, one shared
+    hash space (imagecodec.pyramid_phash64).  Undecodable rows come
+    back ok=false with null keys (skip-and-count, never a job
+    failure)."""
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+
+    from ..imagecodec import pyramid_phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    pix, _ = decode(bytes(r.bytes) if r.bytes is not None else b"")
+                    rows.append((r.image_id, True, pyramid_phash64(pix, grid)))
+                except CodecError:
+                    rows.append((r.image_id, False, None))
+            yield pd.DataFrame(rows, columns=["image_id", "ok", "keys"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, TILE_FEATURES_SCHEMA
+    )
+
+
+def tile_phash_pairs(
+    images: DataFrame, grid: int = 2, bucket_cap: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, overcap): distinct (a, b) image pairs sharing at least
+    one pyramid tile-phash key — exact duplicates (full≡full),
+    tile-aligned collage reuse (tile≡tile), and exact tile crops
+    (full≡tile) in ONE candidate pass.
+
+    The multi-resolution trick: a cropped-out tile IS the full image
+    of the crop, so hashing fulls and tiles into one key space makes
+    containment a plain equality join — no sliding-window image
+    search.  The contract is EXACT key equality (deterministic pixel
+    regions: re-encoded lossless copies, collages assembled from the
+    same sources); for Hamming-tolerant near-dup matching compose the
+    full-image channel with detector D2's pigeonhole machinery
+    instead.
+
+    Scale shape: one decode pass (mapInPandas, skip-and-count),
+    localCheckpointed before the EAGER pairs_from_buckets probe so
+    the Python decode chain never re-runs; candidates ride
+    ``pairs_from_buckets(exhaustive)`` — degenerate constant tiles
+    (all-black borders hash to the same key in every image) are
+    exactly the hot-bucket skew the salted grid caps, recorded in
+    ``overcap``, never silent.
+    """
+    feats = (
+        extract_tile_features(images, grid)
+        .where(F.col("ok"))
+        .select("image_id", F.explode("keys").alias("bucket"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from .candidates import pairs_from_buckets
+
+    return pairs_from_buckets(
+        feats, bucket_cap=bucket_cap, overcap_mode="exhaustive"
+    )

@@ -367,3 +367,84 @@ def test_image_quality_cascade_precedence(spark):
     )
     (row,) = image_quality(df).collect()
     assert row["quality"] == "too_small"
+
+
+class TestTilePhash:
+    def _img_df(self, spark, items):
+        """items: (image_id, pixels or None-for-garbage)"""
+        from dude_spark.imagecodec import encode
+
+        rows = []
+        for iid, pix in items:
+            data = b"\x00garbage" if pix is None else encode(pix, "png")
+            rows.append((iid, bytearray(data)))
+        return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    def test_crop_collage_and_dup_all_pair(self, spark):
+        rng = np.random.RandomState(8)
+        A = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+        B = A[:32, :32].copy()              # exact tile crop of A
+        C = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+        C[32:, 32:] = A[32:, 32:]           # tile-aligned collage reuse
+        D = A.copy()                        # exact duplicate
+        E = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)  # unrelated
+        from dude_spark.operators.multimodal import tile_phash_pairs
+
+        df = self._img_df(
+            spark, [("a", A), ("b", B), ("c", C), ("d", D), ("e", E)]
+        )
+        pairs, overcap = tile_phash_pairs(df)
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        assert ("a", "b") in got     # full(B) == tile0(A)
+        assert ("a", "c") in got     # tile3(C) == tile3(A)
+        assert ("a", "d") in got     # full == full
+        assert not any("e" in p for p in got)
+
+    def test_degenerate_rows_skip_and_count(self, spark):
+        rng = np.random.RandomState(9)
+        A = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        from dude_spark.operators.multimodal import (
+            extract_tile_features,
+            tile_phash_pairs,
+        )
+
+        df = self._img_df(spark, [("a", A), ("bad", None)])
+        feats = extract_tile_features(df).collect()
+        by_id = {r["image_id"]: r for r in feats}
+        assert by_id["a"]["ok"] and len(by_id["a"]["keys"]) == 5
+        assert not by_id["bad"]["ok"] and by_id["bad"]["keys"] is None
+        pairs, _ = tile_phash_pairs(df)
+        assert pairs.count() == 0  # bad row excluded, no crash
+
+    def test_constant_tile_hot_bucket_capped_and_recorded(self, spark):
+        # every image shares an all-black tile -> one hot bucket
+        rng = np.random.RandomState(10)
+        items = []
+        for i in range(12):
+            p = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            p[:16, :16] = 0
+            items.append((f"i{i}", p))
+        from dude_spark.operators.multimodal import tile_phash_pairs
+
+        pairs, overcap = tile_phash_pairs(
+            self._img_df(spark, items), bucket_cap=4
+        )
+        oc = overcap.collect()
+        assert oc and max(r["bucket_size"] for r in oc) == 12
+        # exhaustive grid still emits every pair through the hot key
+        assert pairs.count() == 12 * 11 // 2
+
+    def test_small_image_emits_full_hash_only(self, spark):
+        from dude_spark.operators.multimodal import extract_tile_features
+
+        one = np.full((1, 1, 3), 7, dtype=np.uint8)
+        out = extract_tile_features(self._img_df(spark, [("t", one)])).collect()
+        assert len(out[0]["keys"]) == 1
+
+    def test_grid_validation(self, spark):
+        import pytest as _pytest
+
+        from dude_spark.operators.multimodal import extract_tile_features
+
+        with _pytest.raises(ValueError, match="grid"):
+            extract_tile_features(self._img_df(spark, []), grid=0)
