@@ -417,6 +417,21 @@ def _parser() -> argparse.ArgumentParser:
     dn.add_argument("--cpus", type=int, default=0)
     dn.add_argument("--local", action="store_true")
 
+    tp = sub.add_parser(
+        "tilephash",
+        help="crop/collage-robust image dup candidates: pyramid "
+             "tile-phash equality pairs "
+             "(operators/multimodal.tile_phash_pairs)",
+    )
+    tp.add_argument("--input", required=True,
+                    help="images parquet (image_id, bytes)")
+    tp.add_argument("--out", required=True,
+                    help="output dir: pairs/ + overcap/ (hot-key audit)")
+    tp.add_argument("--grid", type=int, default=2)
+    tp.add_argument("--bucket-cap", type=int, default=64)
+    tp.add_argument("--cpus", type=int, default=0)
+    tp.add_argument("--local", action="store_true")
+
     nv = sub.add_parser(
         "novelty",
         help="per-doc novelty of a new batch vs a reference corpus "
@@ -972,6 +987,32 @@ def main(argv: list[str] | None = None) -> int:
                     f"representative(s) kept, {n - kept} prunable "
                     f"-> {a.out}"
                 )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "tilephash":
+        if a.grid < 1:
+            raise ConfigError(f"--grid must be >= 1, got {a.grid}")
+        spark = get_spark(
+            "dude_spark_tilephash",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .operators.multimodal import tile_phash_pairs
+
+            pairs, overcap = tile_phash_pairs(
+                spark.read.parquet(a.input),
+                grid=a.grid, bucket_cap=a.bucket_cap,
+            )
+            pairs.write.mode("overwrite").parquet(f"{a.out}/pairs")
+            overcap.write.mode("overwrite").parquet(f"{a.out}/overcap")
+            n = spark.read.parquet(f"{a.out}/pairs").count()
+            oc = spark.read.parquet(f"{a.out}/overcap").count()
+            print(
+                f"{n} tile-phash pair(s), {oc} hot key(s) capped "
+                f"-> {a.out}"
+            )
             return 0
         finally:
             spark.stop()

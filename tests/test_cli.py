@@ -641,3 +641,33 @@ def test_cli_novelty(spark, tmp_path, monkeypatch, capsys):
     got = {r["doc_id"]: r["novel_x1000"]
            for r in spark.read.parquet(out).collect()}
     assert got == {"n1": 0, "n2": 1000}
+
+
+def test_cli_tilephash(spark, tmp_path, monkeypatch, capsys):
+    """tilephash subcommand: crop pair found, audit dirs written."""
+    import numpy as np
+    import pytest
+
+    from dude_spark.config import ConfigError
+    from dude_spark.imagecodec import encode
+
+    rng = np.random.RandomState(12)
+    A = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    inp = str(tmp_path / "imgs")
+    spark.createDataFrame(
+        [("a", bytearray(encode(A, "png"))),
+         ("b", bytearray(encode(A[:32, :32].copy(), "png")))],
+        "image_id string, bytes binary",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "tp")
+    assert cli.main(["tilephash", "--input", inp, "--out", out]) == 0
+    assert "tile-phash pair(s)" in capsys.readouterr().out
+    pairs = {(r["a"], r["b"])
+             for r in spark.read.parquet(f"{out}/pairs").collect()}
+    assert pairs == {("a", "b")}
+
+    with pytest.raises(ConfigError, match="--grid"):
+        cli.main(["tilephash", "--input", inp, "--out", out, "--grid", "0"])
