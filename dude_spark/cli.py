@@ -82,14 +82,16 @@ def _parser() -> argparse.ArgumentParser:
                     help="input schema DDL (file streams need one)")
     st.add_argument("--detector",
                     choices=("exact", "minhash", "simhash", "suffix",
-                             "embedding"),
+                             "embedding", "tilephash"),
                     default="exact",
                     help="exact sha2 buckets; MinHash-LSH near-dup "
                          "candidates + exact-Jaccard verify; SimHash "
                          "caption-channel + exact Hamming verify; "
                          "suffix winnowing + exact shared-L-gram verify; "
-                         "or embedding semantic dedup against frozen "
-                         "k-means centroids (--centroids)")
+                         "embedding semantic dedup against frozen "
+                         "k-means centroids (--centroids); or tilephash "
+                         "pyramid tile-phash (crop/collage-robust image "
+                         "dedup, exact key equality)")
     st.add_argument("--centroids", default=None,
                     help="embedding detector: .npy centroid matrix from "
                          "'cluster --save-centroids' (frozen — the "
@@ -558,7 +560,13 @@ def main(argv: list[str] | None = None) -> int:
         try:
             kw = {}
             det_cfg = None
-            if a.detector == "embedding":
+            if a.detector == "tilephash":
+                from .streaming import tilephash_ingest
+
+                bucket_fn, verify_fn, state_cols = tilephash_ingest()
+                det_cfg = {"grid": 2}
+                kw = dict(bucket_fn=bucket_fn, state_cols=state_cols)
+            elif a.detector == "embedding":
                 if a.centroids is None:
                     raise ConfigError(
                         "--detector embedding requires --centroids "

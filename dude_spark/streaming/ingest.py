@@ -262,6 +262,37 @@ def embedding_ingest(
     return bucket_fn, verify_fn, ("embedding",)
 
 
+def tilephash_ingest(
+    grid: int = 2,
+) -> tuple[BucketFn, None, tuple[str, ...]]:
+    """Pyramid tile-phash preset: crop/collage-robust image dedup at
+    ingest.  A re-upload that is an exact tile crop or a tile-aligned
+    collage of a KNOWN image pairs as it streams in.
+
+    Buckets are the pyramid keys themselves
+    (multimodal.extract_tile_features → explode — one image emits
+    1 + grid² bucket rows, the multi-bucket shape minhash's band keys
+    already exercise).  No verify_fn: a shared key IS the match
+    contract (exact phash equality, the D0-style exact preset shape),
+    so no rows state is kept — state_cols is empty and the state
+    store holds only 8-byte keys, never image bytes.
+    """
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+
+    def bucket_fn(batch: DataFrame) -> DataFrame:
+        from ..operators.multimodal import extract_tile_features
+
+        return (
+            extract_tile_features(batch, grid)
+            .where(F.col("ok"))
+            .select("image_id", F.explode("keys").alias("bucket"))
+            .distinct()
+        )
+
+    return bucket_fn, None, ()
+
+
 def simhash_ingest(
     cfg: SimHashConfig | None = None,
 ) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:

@@ -671,3 +671,27 @@ def test_cli_tilephash(spark, tmp_path, monkeypatch, capsys):
 
     with pytest.raises(ConfigError, match="--grid"):
         cli.main(["tilephash", "--input", inp, "--out", out, "--grid", "0"])
+
+
+def test_cli_stream_tilephash_detector(spark, tmp_path, monkeypatch):
+    """stream --detector tilephash: crop of an in-batch image pairs."""
+    import numpy as np
+
+    from dude_spark.imagecodec import encode
+
+    rng = np.random.RandomState(66)
+    A = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", bytearray(encode(A, "png"))),
+         ("crop", bytearray(encode(A[:32, :32].copy(), "png")))],
+        "image_id string, bytes binary",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    assert cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                     "--detector", "tilephash"]) == 0
+    pairs = {(r["a"], r["b"])
+             for r in spark.read.parquet(f"{state_dir}/pairs").collect()}
+    assert pairs == {("a", "crop")}

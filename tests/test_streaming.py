@@ -697,3 +697,52 @@ def test_incremental_dedup_stream_embedding(spark, tmp_path):
         embedding_ingest(cent, threshold_x1000=5000)
     with pytest.raises(ValueError, match="centroids"):
         embedding_ingest(np.empty((0, 0)), threshold_x1000=900)
+
+
+def test_incremental_dedup_stream_tilephash(spark, tmp_path):
+    """Pyramid tile-phash at ingest: a crop of a KNOWN image pairs
+    cross-epoch through the pyramid key buckets; no rows state is
+    kept (exact-equality contract, no verify)."""
+    import numpy as np
+
+    from dude_spark.imagecodec import encode
+    from dude_spark.streaming import start_incremental_dedup, tilephash_ingest
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary"
+    rng = np.random.RandomState(23)
+    A = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    E = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    bucket_fn, verify_fn, state_cols = tilephash_ingest()
+    assert verify_fn is None and state_cols == ()
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, bytearray(encode(p, "png"))) for i, p in rows], schema
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, state_cols=state_cols,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    write([("a", A), ("e", E)])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    assert spark.read.parquet(pairs_path).count() == 0
+
+    # epoch 2: crop of KNOWN a, plus an unrelated image
+    F2 = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+    write([("crop", A[:32, :32].copy()), ("f", F2)])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "crop")}
+    # no rows state dir: nothing to verify against, nothing stored
+    assert not os.path.exists(os.path.join(state_dir, "rows"))
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="grid"):
+        tilephash_ingest(grid=0)
