@@ -407,6 +407,38 @@ def q_novelty_scores(spark, sf_dir):
     )
 
 
+def q_common_line_strip(spark, sf_dir):
+    """Cross-document duplicate-line removal (operators/boilerplate.
+    strip_common_lines): docs with doc_id % 3 == 0 are staged with a
+    shared nav line above and a shared footer line below their text —
+    at min_df=5 both plants are hot in every SF and must strip, while
+    organic single-line texts go hot only where the corpus genuinely
+    repeats them ≥ 5× (the planted exact-dup groups — the operator
+    demonstrating itself on the corpus's own duplication).  Rewrite
+    oracle: md5 of the rebuilt text, DuckDB joining line STRINGS
+    where Spark anti-joins xxhash64 keys."""
+    from dude_spark.operators.boilerplate import strip_common_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("qqnav shared menu line\n"),
+                F.col("text"),
+                F.lit("\nqqfooter legal line"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_common_lines(staged, min_df=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_removed",
+        "strip_fp",
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters (functions/text.repetition_signals):
     per-mille of chars under the top 2-gram and under duplicated
@@ -1505,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_new_pairs": q_semdedup_new,
         "source_quantiles": q_source_quantiles,
         "novelty_scores": q_novelty_scores,
+        "common_line_strip": q_common_line_strip,
         "repetition": q_repetition,
         "filter_reasons": q_filter_reasons,
         "boilerplate_ngrams": q_boilerplate,
@@ -2190,6 +2223,49 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS novel_x1000
             FROM ng LEFT JOIN rg USING (gram)
             GROUP BY ng.doc_id
+        """,
+        # common_line_strip: DuckDB joins line STRINGS where Spark
+        # anti-joins xxhash64 keys; same staged nav/footer plants
+        "common_line_strip": """
+            WITH staged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       'qqnav shared menu line' || chr(10) || text
+                       || chr(10) || 'qqfooter legal line'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       AS ord
+              FROM staged
+            ),
+            hot AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT doc_id) AS df
+                FROM l WHERE trim(line) <> '' GROUP BY line
+              ) WHERE df >= 5
+            ),
+            kept AS (
+              SELECT l.doc_id, l.line, l.ord FROM l
+              WHERE l.line NOT IN (SELECT line FROM hot)
+            ),
+            reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY ord)) AS fp
+              FROM kept GROUP BY doc_id
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(c.n_lines, 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(c.n_lines, 0) - coalesce(r.n_kept, 0)
+                        AS BIGINT) AS n_removed,
+                   coalesce(r.fp, md5('')) AS strip_fp
+            FROM staged s
+            LEFT JOIN cnt c USING (doc_id)
+            LEFT JOIN reb r USING (doc_id)
         """,
         # repetition: DuckDB groups by the true gram (unnest + GROUP BY);
         # Spark folds adjacency runs of the sorted gram array — same

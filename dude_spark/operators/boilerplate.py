@@ -298,3 +298,101 @@ def duplication_profile(
             .alias("dup_x1000"),
         )
     )
+
+
+def strip_common_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    sep: str = "\n",
+    text_out: str | None = None,
+) -> DataFrame:
+    """Cross-document duplicate-LINE removal — the CCNet/RefinedWeb
+    nav-chrome pass at line granularity: drop every line occurring in
+    >= ``min_df`` DISTINCT documents (cookie banners, menus, footers,
+    share-bar text), keep everything else in original order, rebuild.
+    Completes the line family: ``textdedup.dedup_lines`` removes
+    repeats WITHIN a doc, this removes lines repeated ACROSS docs;
+    ``boilerplate_ngrams`` is the token-window sibling for corpora
+    without line structure.
+
+    Returns (id, n_lines, n_removed, strip_fp) with strip_fp = md5 of
+    the rebuilt text — the chunk_dedup/dedup_lines rewrite-oracle
+    contract; ``text_out`` additionally materializes the rebuilt text.
+    Blank/whitespace-only lines are NEVER hot (they would cross any
+    df threshold instantly and collapse all formatting); a doc whose
+    every line is hot rebuilds to '' (md5('')); NULL text → n_lines 0,
+    md5(''), NULL rebuilt.
+
+    Scale shape: df detection is one 8-byte-key combine shuffle over
+    per-doc-distinct line hashes (countDistinct doc — the _hot_hashes
+    double-ingest rationale); the hot set joins back broadcast-or-
+    shuffle via ``_hot_join_side``; the rewrite is the chunk_dedup
+    explode → left_anti → per-doc rebuild, whose aggregation buffer
+    is bounded by each doc's own line count.  Hash-collision
+    contract as everywhere: a 64-bit collision can only remove one
+    innocent line (~|lines|²/2^64); the driver oracle joins line
+    STRINGS, so a hash-key defect cannot hide.
+    """
+    import re as _re
+
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    lines = ensure_min_partitions(base).select(
+        "_id",
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_lh", F.xxhash64("_line"))
+    hot = (
+        lines.where(F.trim(F.col("_line")) != "")
+        .select("_id", "_lh")
+        .distinct()
+        .groupBy("_lh")
+        .agg(F.countDistinct("_id").cast("long").alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_lh")
+    )
+    kept = lines.join(_hot_join_side(hot), "_lh", "left_anti")
+    stats = lines.groupBy("_id").agg(F.count("*").cast("long").alias("n_lines"))
+    reb = kept.groupBy("_id").agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda e: e.getField("_line"),
+            ),
+            sep,
+        ).alias("_rebuilt"),
+    )
+    out = (
+        base.select("_id")
+        .join(stats, "_id", "left")
+        .join(reb, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.md5(
+                F.when(
+                    F.coalesce(F.col("n_lines"), F.lit(0)) == 0, F.lit("")
+                ).otherwise(F.coalesce(F.col("_rebuilt"), F.lit("")))
+            ).alias("strip_fp"),
+            *(
+                [
+                    F.when(
+                        F.coalesce(F.col("n_lines"), F.lit(0)) > 0,
+                        F.coalesce(F.col("_rebuilt"), F.lit("")),
+                    ).alias(text_out)
+                ]
+                if text_out is not None
+                else []
+            ),
+        )
+    )
+    return out

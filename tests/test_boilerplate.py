@@ -220,3 +220,85 @@ def test_duplication_profile_plan_and_validation(spark):
         duplication_profile(docs, n=0)
     with pytest.raises(ValueError):
         duplication_profile(docs, min_df=1)
+
+
+class TestStripCommonLines:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_chrome_stripped_content_kept(self, spark):
+        from dude_spark.operators.boilerplate import strip_common_lines
+
+        rows = [(f"d{i}", f"NAV\nbody {i}\nFOOTER") for i in range(6)]
+        rows += [("solo", "original\nlines"), ("nul", None),
+                 ("allhot", "NAV\nFOOTER"), ("empty", "")]
+        out = {
+            r["doc_id"]: r
+            for r in strip_common_lines(
+                self._df(spark, rows), min_df=5, text_out="clean"
+            ).collect()
+        }
+        assert out["d0"]["clean"] == "body 0" and out["d0"]["n_removed"] == 2
+        assert out["solo"]["n_removed"] == 0
+        assert out["nul"]["n_lines"] == 0 and out["nul"]["clean"] is None
+        assert out["allhot"]["clean"] == "" and out["allhot"]["n_removed"] == 2
+        # empty text = one empty line, blank lines never hot
+        assert out["empty"]["n_lines"] == 1 and out["empty"]["n_removed"] == 0
+
+    def test_blank_lines_never_hot(self, spark):
+        from dude_spark.operators.boilerplate import strip_common_lines
+
+        rows = [(f"d{i}", f"para {i} one\n\npara {i} two") for i in range(9)]
+        out = strip_common_lines(self._df(spark, rows), min_df=3).collect()
+        assert all(r["n_removed"] == 0 for r in out)
+
+    def test_repeat_within_one_doc_counts_once(self, spark):
+        from dude_spark.operators.boilerplate import strip_common_lines
+
+        # 'x' appears 3x in ONE doc: df=1, never hot at min_df=2
+        rows = [("a", "x\nx\nx"), ("b", "y\nz")]
+        out = {
+            r["doc_id"]: r["n_removed"]
+            for r in strip_common_lines(self._df(spark, rows), min_df=2).collect()
+        }
+        assert out == {"a": 0, "b": 0}
+
+    def test_brute_force_seeded(self, spark):
+        import hashlib
+        import random
+
+        from dude_spark.operators.boilerplate import strip_common_lines
+
+        rng = random.Random(33)
+        pool = [f"line{i}" for i in range(12)]
+        rows = [
+            (f"d{i}", "\n".join(rng.choices(pool, k=rng.randrange(1, 8))))
+            for i in range(30)
+        ]
+        got = {
+            tuple(r)
+            for r in strip_common_lines(self._df(spark, rows), min_df=4).collect()
+        }
+        df_count: dict[str, set] = {}
+        for d, t in rows:
+            for ln in set(t.split("\n")):
+                if ln.strip():
+                    df_count.setdefault(ln, set()).add(d)
+        hot = {ln for ln, ds in df_count.items() if len(ds) >= 4}
+        want = set()
+        for d, t in rows:
+            lines = t.split("\n")
+            kept = [ln for ln in lines if ln not in hot]
+            want.add((
+                d, len(lines), len(lines) - len(kept),
+                hashlib.md5("\n".join(kept).encode()).hexdigest(),
+            ))
+        assert got == want
+
+    def test_min_df_validation(self, spark):
+        import pytest as _pt
+
+        from dude_spark.operators.boilerplate import strip_common_lines
+
+        with _pt.raises(ValueError, match="min_df"):
+            strip_common_lines(self._df(spark, [("a", "x")]), min_df=1)
