@@ -419,6 +419,26 @@ def _parser() -> argparse.ArgumentParser:
     dn.add_argument("--cpus", type=int, default=0)
     dn.add_argument("--local", action="store_true")
 
+    sl = sub.add_parser(
+        "strip-lines",
+        help="remove lines repeated across >= --min-df documents "
+             "(nav chrome, banners, footers; "
+             "operators/boilerplate.strip_common_lines)",
+    )
+    sl.add_argument("--input", required=True, help="corpus parquet path")
+    sl.add_argument("--out", required=True,
+                    help="output dir: cleaned/ (input schema, text "
+                         "rewritten in place) + audit/ (per-doc "
+                         "n_lines/n_removed for docs that lost lines)")
+    sl.add_argument("--min-df", type=int, default=5,
+                    help="a line is boilerplate when it occurs in at "
+                         "least this many distinct docs")
+    sl.add_argument("--id-col", default="image_id")
+    sl.add_argument("--text-col", default="caption")
+    sl.add_argument("--sep", default="\n")
+    sl.add_argument("--cpus", type=int, default=0)
+    sl.add_argument("--local", action="store_true")
+
     tp = sub.add_parser(
         "tilephash",
         help="crop/collage-robust image dup candidates: pyramid "
@@ -995,6 +1015,58 @@ def main(argv: list[str] | None = None) -> int:
                     f"representative(s) kept, {n - kept} prunable "
                     f"-> {a.out}"
                 )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "strip-lines":
+        if a.min_df < 2:
+            raise ConfigError(f"--min-df must be >= 2, got {a.min_df}")
+        spark = get_spark(
+            "dude_spark_strip_lines",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from pyspark.sql import functions as F
+
+            from .operators.boilerplate import strip_common_lines
+
+            docs = spark.read.parquet(a.input)
+            missing = [c for c in (a.id_col, a.text_col) if c not in docs.columns]
+            if missing:
+                print(f"error: column(s) {missing} not in the corpus "
+                      f"schema {docs.columns}", file=sys.stderr)
+                return 2
+            sep = a.sep.replace("\\n", "\n").replace("\\t", "\t")
+            res = strip_common_lines(
+                docs, id_col=a.id_col, text_col=a.text_col,
+                min_df=a.min_df, sep=sep, text_out="__clean",
+            )
+            cleaned = docs.drop(a.text_col).join(
+                res.select(
+                    F.col(a.id_col),
+                    F.col("__clean").alias(a.text_col),
+                ),
+                a.id_col,
+            )
+            cleaned.select(*docs.columns).write.mode("overwrite").parquet(
+                f"{a.out}/cleaned"
+            )
+            audit = res.where(F.col("n_removed") > 0).select(
+                a.id_col, "n_lines", "n_removed"
+            )
+            audit.write.mode("overwrite").parquet(f"{a.out}/audit")
+            totals = (
+                spark.read.parquet(f"{a.out}/audit")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("n_removed").alias("removed"))
+                .collect()[0]
+            )
+            print(
+                f"stripped {totals['removed'] or 0} boilerplate "
+                f"line(s) across {totals['docs']} doc(s) "
+                f"(min_df={a.min_df}) -> {a.out}"
+            )
             return 0
         finally:
             spark.stop()

@@ -695,3 +695,37 @@ def test_cli_stream_tilephash_detector(spark, tmp_path, monkeypatch):
     pairs = {(r["a"], r["b"])
              for r in spark.read.parquet(f"{state_dir}/pairs").collect()}
     assert pairs == {("a", "crop")}
+
+
+def test_cli_strip_lines(spark, tmp_path, monkeypatch, capsys):
+    """strip-lines subcommand: shared chrome stripped in place, audit
+    only covers touched docs, schema preserved."""
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    inp = str(tmp_path / "corpus")
+    rows = [(f"d{i}", f"NAV\nbody {i}\nFOOTER", "s1") for i in range(6)]
+    rows.append(("solo", "original\ncontent", "s2"))
+    spark.createDataFrame(
+        rows, "image_id string, caption string, source string"
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "sl")
+    assert cli.main(["strip-lines", "--input", inp, "--out", out,
+                     "--min-df", "5"]) == 0
+    assert "stripped 12 boilerplate line(s) across 6 doc(s)" \
+        in capsys.readouterr().out
+    cleaned = {r["image_id"]: r
+               for r in spark.read.parquet(f"{out}/cleaned").collect()}
+    assert cleaned["d0"]["caption"] == "body 0"
+    assert cleaned["solo"]["caption"] == "original\ncontent"
+    assert cleaned["d0"]["source"] == "s1"  # non-text columns survive
+    audit = spark.read.parquet(f"{out}/audit").collect()
+    assert {r["image_id"] for r in audit} == {f"d{i}" for i in range(6)}
+
+    with pytest.raises(ConfigError, match="--min-df"):
+        cli.main(["strip-lines", "--input", inp, "--out", out,
+                  "--min-df", "1"])
