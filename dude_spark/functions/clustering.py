@@ -242,9 +242,16 @@ def kmeans_assign(
             F.lit(0).cast("long").alias("cluster"),
             F.lit(0).cast("long").alias("sim_x1000"),
         )
+    return _assign_on_u(_u_frame(corpus, id_col, vec_col), cent, id_col)
+
+
+def _assign_on_u(u: DataFrame, cent: np.ndarray, id_col: str) -> DataFrame:
+    """kmeans_assign over a PREPARED u-frame — kmeans_clusters shares
+    the checkpointed u between fit and final assignment instead of
+    re-running the scan + quantization chain (measured: one of five
+    corpus passes, removed)."""
     ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
     assign = _assign_udf(cent, ns2, with_sim=True)
-    u = _u_frame(corpus, id_col, vec_col)
     return u.select(
         F.col("_id").alias(id_col),
         assign(F.struct("_u", "_nu2")).alias("_a"),
@@ -263,11 +270,21 @@ def kmeans_clusters(
     iters: int = 5,
 ) -> DataFrame:
     """Fit on the full corpus, then assign every row against the final
-    centroids: (id, cluster, sim_x1000)."""
-    return kmeans_assign(
-        corpus, kmeans_fit(corpus, k, id_col, vec_col, iters),
-        id_col, vec_col,
-    )
+    centroids: (id, cluster, sim_x1000).  One u-frame, checkpointed
+    once, shared by the fit rounds AND the final assignment."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    u = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    cent = _fit_on_u(u, k, iters)
+    if cent.size == 0:
+        return corpus.where(F.lit(False)).select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("cluster"),
+            F.lit(0).cast("long").alias("sim_x1000"),
+        )
+    return _assign_on_u(u, cent, id_col)
 
 
 def verify_pairs_cosine(
