@@ -2122,19 +2122,19 @@ def oracle_sql() -> dict[str, str]:
             ),
             dots AS (
               SELECT q.vec_id, q.label,
-                     CAST(sum(q.qv * c.s) AS BIGINT) AS dot,
+                     sum(CAST(q.qv AS HUGEINT) * c.s) AS dot,
                      CAST(sum(q.qv * q.qv) AS BIGINT) AS na2
               FROM q JOIN cent c ON q.label = c.label AND q.idx = c.idx
               GROUP BY 1, 2
             ),
             ns AS (
-              SELECT label, CAST(sum(s * s) AS BIGINT) AS ns2
+              SELECT label, sum(CAST(s AS HUGEINT) * s) AS ns2
               FROM cent GROUP BY 1
             )
             SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
                    CAST(d.label AS BIGINT) AS label,
                    CAST(CASE WHEN d.na2 = 0 OR n.ns2 = 0 THEN 0
-                        ELSE floor(CAST(1000 * d.dot AS DOUBLE)
+                        ELSE floor((CAST(d.dot AS DOUBLE) * 1000.0)
                                / (sqrt(CAST(d.na2 AS DOUBLE))
                                   * sqrt(CAST(n.ns2 AS DOUBLE))))
                         END AS BIGINT) AS sim_x1000

@@ -374,7 +374,7 @@ def _parser() -> argparse.ArgumentParser:
     sd.add_argument("--iters", type=int, default=5)
     sd.add_argument("--threshold", type=int, default=950,
                     help="integer per-mille cosine threshold (0-1000)")
-    sd.add_argument("--cluster-cap", type=int, default=512)
+    sd.add_argument("--cluster-cap", type=int, default=10_000)
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--cpus", type=int, default=0)
@@ -938,16 +938,24 @@ def main(argv: list[str] | None = None) -> int:
             if a.save_centroids is not None:
                 import numpy as _np
 
-                from .functions.clustering import kmeans_assign, kmeans_fit
+                from .functions.clustering import (
+                    _assign_on_u,
+                    _fit_on_u,
+                    _u_frame,
+                )
 
-                cent = kmeans_fit(
-                    embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,
-                    iters=a.iters,
+                # one u-frame shared by fit AND assignment — the
+                # kmeans_clusters fast path, not two corpus passes
+                u = _u_frame(embs, a.id_col, a.vec_col).localCheckpoint(
+                    eager=True
                 )
+                cent = _fit_on_u(u, a.k, a.iters)
+                if cent.size == 0:
+                    raise ConfigError(
+                        f"--input {a.input} has no usable embeddings"
+                    )
                 _np.save(a.save_centroids, cent)
-                out = kmeans_assign(
-                    embs, cent, id_col=a.id_col, vec_col=a.vec_col
-                )
+                out = _assign_on_u(u, cent, a.id_col)
             else:
                 out = kmeans_clusters(
                     embs, k=a.k, id_col=a.id_col, vec_col=a.vec_col,

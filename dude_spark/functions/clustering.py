@@ -402,7 +402,7 @@ def semdedup_new(
     vec_col: str = "embedding",
     iters: int = 5,
     threshold_x1000: int = 950,
-    cluster_cap: int = 512,
+    cluster_cap: int = 10_000,
 ) -> DataFrame:
     """Incremental SemDeDup: semantic dup pairs of a NEW embedding
     batch against an already-ingested corpus — within-new and
@@ -420,12 +420,32 @@ def semdedup_new(
     assignment of new rows against frozen centroids is one scan), both
     sides assign to clusters, and the cluster id plays the bucket
     role: new-vs-known goes through ``pairs_vs_known`` (known side
-    restricted to the batch's clusters then min-rep-capped —
-    O(batch) output however big the corpus; cut recorded, never
-    silent), within-new through the exhaustive salted grid.  Pair
-    cosine is the same closed-form exact-integer expression as
-    ``semdedup``, so the driver query's DuckDB oracle replays the
-    whole composition (``semdedup_new_pairs``).
+    restricted to the batch's clusters), within-new through the
+    exhaustive salted grid.  Pair cosine is the same closed-form
+    exact-integer expression as ``semdedup``, so the driver query's
+    DuckDB oracle replays the whole composition
+    (``semdedup_new_pairs``).
+
+    Over-cap semantics — read before lowering ``cluster_cap``: a
+    cluster whose KNOWN membership exceeds the cap joins new members
+    against its min-id anchor ONLY, and because the cosine verify
+    then runs against the anchor alone, a true duplicate of a
+    NON-anchor member in such a cluster is NOT recovered (unlike the
+    exact-bucket case, where the anchor pair always survives and CC
+    restores connectivity).  The cap is a blowup valve for the
+    cross-join volume (Σ |new_c|·|known_c|), not a free lunch — the
+    default matches SemDeDup's own cluster-size recipe (k ≈ N/10^4 →
+    ~10^4 members), so it only fires when clustering is much coarser
+    than the recipe; raise ``k`` or the cap when it does.  The cut is
+    attached, never silent: the returned frame carries
+    ``.overcap_known`` (the collected pairs_vs_known cut rows) and
+    ``.overcap_within`` (the within-new grid's task-spread records,
+    which lose nothing).
+
+    An EMPTY known corpus (no rows, or no non-null embeddings) is
+    refused loudly: returning zero pairs would silently skip the
+    promised within-new dedup — run ``semdedup`` on the batch
+    instead for a first ingest.
     """
     from ..operators.candidates import pairs_from_buckets, pairs_vs_known
 
@@ -436,8 +456,10 @@ def semdedup_new(
     u_known = _u_frame(corpus, id_col, vec_col).localCheckpoint(eager=True)
     cent = _fit_on_u(u_known, k, iters)
     if cent.size == 0:
-        return corpus.where(F.lit(False)).select(
-            F.col(id_col).alias("a"), F.col(id_col).alias("b")
+        raise ValueError(
+            "semdedup_new: the known corpus has no usable embeddings — "
+            "nothing to fit centroids on or dedupe against; run "
+            "semdedup on the new batch instead for a first ingest"
         )
     ns2 = [int((row.astype(object) ** 2).sum()) for row in cent]
     assign = _assign_udf(cent, ns2, with_sim=False)
@@ -449,13 +471,16 @@ def semdedup_new(
         F.col("_id").alias("image_id"), assign(F.col("_u")).alias("bucket")
     ).localCheckpoint(eager=True)
 
-    cross, _overcap = pairs_vs_known(
+    cross, overcap_known = pairs_vs_known(
         nb, kb, bucket_cap=cluster_cap, context="semdedup_new cross join"
     )
-    within, _oc2 = pairs_from_buckets(
+    within, overcap_within = pairs_from_buckets(
         nb, bucket_cap=cluster_cap, overcap_mode="exhaustive"
     )
     pairs = cross.select("a", "b").unionByName(within.select("a", "b"))
-    return verify_pairs_cosine(
+    out = verify_pairs_cosine(
         pairs, u_known.unionByName(u_new), threshold_x1000
     )
+    out.overcap_known = overcap_known  # type: ignore[attr-defined]
+    out.overcap_within = overcap_within  # type: ignore[attr-defined]
+    return out

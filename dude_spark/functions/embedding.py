@@ -624,19 +624,35 @@ def centroid_similarity(
             ).alias("_cent")
         )
     )
-    zipped = F.zip_with(F.col("_q"), F.col("_cent"), lambda a, b: a * b)
-    dot = F.aggregate(zipped, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # dot and ns2 accumulate in decimal(38,0): centroid components
+    # reach |g|*scale*|v| and SQUARING one (or multiplying q against
+    # one) overflows int64 once a group passes ~3e5 members at the
+    # default scale — the DuckDB twin carries the same sums in
+    # HUGEINT, and decimal->double / hugeint->double casts are both
+    # correctly rounded, so the bit-exact contract is preserved.
+    # na2 stays long: q_i <= scale*|v|, so sum(q_i^2) <= dim*(scale*|v|)^2
+    # — independent of group size, and ANSI mode makes an extreme
+    # scale*|v| overflow loud, never silent.
+    dec = "decimal(38,0)"
+    zipped = F.zip_with(
+        F.col("_q"),
+        F.col("_cent"),
+        lambda a, b: a.cast(dec) * b.cast(dec),
+    )
+    dot = F.aggregate(zipped, F.lit(0).cast(dec), lambda acc, x: acc + x)
     na2 = F.aggregate(
         F.col("_q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
     ns2 = F.aggregate(
-        F.col("_cent"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        F.col("_cent"),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x.cast(dec) * x.cast(dec),
     )
     sim = F.when(
         (F.col("_na2") == 0) | (F.col("_ns2") == 0), F.lit(0).cast("long")
     ).otherwise(
         F.floor(
-            (F.lit(1000).cast("long") * F.col("_dot")).cast("double")
+            (F.col("_dot").cast("double") * F.lit(1000.0))
             / (
                 F.sqrt(F.col("_na2").cast("double"))
                 * F.sqrt(F.col("_ns2").cast("double"))

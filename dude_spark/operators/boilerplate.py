@@ -340,12 +340,18 @@ def strip_common_lines(
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
     base = docs.select(F.col(id_col).alias("_id"), F.col(text_col))
+    # lazy checkpoints (the boilerplate_ngrams rationale, measured
+    # there at 2.5x): `lines` feeds THREE consumers (the df detection
+    # chain, the per-doc stats aggregate, the anti-join's probe side)
+    # and `hot` is consumed by _hot_join_side's EAGER size probe AND
+    # the join itself — without pinning, each consumer re-runs the
+    # scan -> split -> explode (and the detection shuffle) from scratch
     lines = ensure_min_partitions(base).select(
         "_id",
         F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
             "_pos", "_line"
         ),
-    ).withColumn("_lh", F.xxhash64("_line"))
+    ).withColumn("_lh", F.xxhash64("_line")).localCheckpoint(eager=False)
     hot = (
         lines.where(F.trim(F.col("_line")) != "")
         .select("_id", "_lh")
@@ -354,6 +360,7 @@ def strip_common_lines(
         .agg(F.countDistinct("_id").cast("long").alias("_df"))
         .where(F.col("_df") >= min_df)
         .select("_lh")
+        .localCheckpoint(eager=False)
     )
     kept = lines.join(_hot_join_side(hot), "_lh", "left_anti")
     stats = lines.groupBy("_id").agg(F.count("*").cast("long").alias("n_lines"))

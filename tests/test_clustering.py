@@ -269,6 +269,20 @@ class TestSemDedupNew:
         # capped: new row pairs only with the bucket's min known id
         assert pairs == {(0, 900)}
 
+    def test_overcap_audit_attached(self, spark):
+        vec = [0.3, 0.2, 0.1, 0.4]
+        known = [(i, vec) for i in range(30)]
+        new = [(900, vec)]
+        from dude_spark.functions.clustering import semdedup_new
+
+        out = semdedup_new(
+            _df(spark, known), _df(spark, new), k=1, iters=1,
+            threshold_x1000=990, cluster_cap=8,
+        )
+        out.collect()
+        assert out.overcap_known and out.overcap_known[0]["bucket_size"] == 30
+        assert hasattr(out, "overcap_within")
+
     def test_empty_new_batch(self, spark):
         rows = [(i, [0.1 * (i + 1), 0.2]) for i in range(5)]
         from dude_spark.functions.clustering import semdedup_new
@@ -305,7 +319,12 @@ def test_empty_paths_keep_caller_id_type(spark):
         (kmeans_clusters(df, k=2, iters=1), "vec_id"),
         (kmeans_assign(df, np.empty((0, 0), dtype=np.int64)), "vec_id"),
         (semdedup(df, k=2, iters=1), "vec_id"),
-        (semdedup_new(df, df, k=2, iters=1), "a"),
     ]:
         assert out.count() == 0
         assert out.schema[idc].dataType.simpleString() == "string", out.schema
+    # an empty KNOWN corpus is refused loudly: silently returning zero
+    # pairs would skip the promised within-new dedup
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no usable embeddings"):
+        semdedup_new(df, df, k=2, iters=1)

@@ -363,3 +363,44 @@ class TestCentroidSimilarity:
             .toString()
         )
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    def test_huge_group_sums_use_wide_accumulators(self, spark):
+        """Overflow regime for the centroid sums: at scale=1e9 a
+        30-member group's centroid components square past int64
+        (S_i^2 ~ 2e20) — the decimal accumulators (HUGEINT in the
+        oracle twin) must still match the Python-bigint replay
+        exactly instead of raising ANSI overflow."""
+        import math
+
+        rng = np.random.RandomState(41)
+        SC = 1_000_000_000
+        rows = [
+            (i, rng.uniform(0.2, 0.5, 8).astype(np.float32).tolist(), 0)
+            for i in range(30)
+        ]
+        from dude_spark.functions.embedding import centroid_similarity
+
+        got = {
+            r["vec_id"]: r["sim_x1000"]
+            for r in centroid_similarity(
+                self._df(spark, rows), scale=SC
+            ).collect()
+        }
+        q = {
+            vid: [math.floor(float(np.float32(x)) * SC) for x in vec]
+            for vid, vec, _ in rows
+        }
+        S = [0] * 8
+        for vid in q:
+            S = [a + b for a, b in zip(S, q[vid])]
+        ns2 = sum(v * v for v in S)
+        assert ns2 > 2**63  # the regime this test exists for
+        want = {}
+        for vid in q:
+            dot = sum(a * b for a, b in zip(q[vid], S))
+            na2 = sum(a * a for a in q[vid])
+            want[vid] = math.floor(
+                (float(dot) * 1000.0)
+                / (math.sqrt(float(na2)) * math.sqrt(float(ns2)))
+            )
+        assert got == want
