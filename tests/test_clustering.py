@@ -328,3 +328,34 @@ def test_empty_paths_keep_caller_id_type(spark):
 
     with _pt.raises(ValueError, match="no usable embeddings"):
         semdedup_new(df, df, k=2, iters=1)
+
+
+def test_semdedup_output_composes_with_report_surface(spark):
+    """semdedup's (id, rep_id, keep) frame is assignment-shaped: renamed
+    to the components contract it drives the SAME nested-groups report
+    operators as the batch detectors — semantic dedup plugs into the
+    product reporting path with no adapter code."""
+    import numpy as np
+
+    from dude_spark.functions.clustering import semdedup
+    from dude_spark.operators.report import group_results
+
+    rng = np.random.RandomState(77)
+    rows = [
+        (i, rng.uniform(-0.5, 0.5, 8).astype(np.float32).tolist())
+        for i in range(40)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # exact copies
+    out = semdedup(_df(spark, rows), k=3, iters=2, threshold_x1000=990)
+    assigns = out.select(
+        F.col("vec_id").cast("string").alias("image_id"),
+        F.col("rep_id").cast("string").alias("cluster_id"),
+    )
+    groups = group_results(assigns).collect()
+    by_rep = {r["cluster_id"]: r for r in groups}
+    assert set(by_rep) == {"0", "1", "2"}
+    for i in range(3):
+        g = by_rep[str(i)]
+        assert g["group_size"] == 2
+        member_ids = {m["image_id"] for m in g["members"]}
+        assert member_ids == {str(i), str(100 + i)}
