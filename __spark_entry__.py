@@ -1523,7 +1523,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver-coverage rotation (SURVEY.md REGISTRY_ORDER).
+
+    The driver evaluates the first 50 entries in dict order.  Queries are
+    therefore ordered least-recently-driver-checked first: the 8 queries
+    that CORRECTNESS_r04 dropped (led by contam_scores/cross_dedup_pairs,
+    never driver-checked before round 5) lead, then the 50 r04-covered
+    queries in their prior relative order.  Future rounds: rotate again —
+    move whichever tail entries missed the latest CORRECTNESS artifact to
+    the front.
+    """
     return {
+        # --- never driver-checked before round 5 ---
+        "contam_scores": q_contam_scores,
+        "cross_dedup_pairs": q_cross_dedup,
+        # --- covered in r03 but dropped by the r04 50-query window ---
+        "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
+        "decontam_pairs": q_decontam_pairs,
+        "hamming_pairs": q_hamming_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "ann_topk": q_ann_topk,
+        # --- r04-covered queries, prior relative order ---
         "exact_dup_groups": q_exact_dup_groups,
         "doc_fingerprint": q_doc_fingerprint,
         "token_stats": q_token_stats,
@@ -1574,14 +1595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_lsh_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "substring_pairs": q_substring_pairs,
-        "decontam_pairs": q_decontam_pairs,
-        "contam_scores": q_contam_scores,
-        "cross_dedup_pairs": q_cross_dedup,
-        "hamming_pairs": q_hamming_pairs,
-        "semantic_dedup": q_semantic_dedup,
-        "ann_topk": q_ann_topk,
     }
 
 
