@@ -2124,8 +2124,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (
               SELECT vec_id, label,
-                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
-                                * 10000.0) AS BIGINT) AS qv,
+                     CAST(floor(unnest(list_transform(embedding,
+                            x -> CASE WHEN isnan(CAST(x AS DOUBLE))
+                                      THEN 0.0
+                                      ELSE CAST(x AS DOUBLE) END
+                                 * 10000.0))) AS BIGINT) AS qv,
                      unnest(range(len(embedding))) AS idx
               FROM base
             ),

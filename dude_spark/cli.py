@@ -103,6 +103,10 @@ def _parser() -> argparse.ArgumentParser:
     st.add_argument("--min-match-len", type=int, default=None,
                     help="suffix detector: substring-overlap threshold "
                          "(chars, default SuffixConfig's)")
+    st.add_argument("--tile-grid", type=int, default=2,
+                    help="tilephash detector: pyramid grid (must match "
+                         "any batch run being resumed — pinned in the "
+                         "state config id)")
     st.add_argument("--bucket-cap", type=int, default=64)
     st.add_argument("--overcap-mode", choices=("star", "exhaustive"),
                     default="star",
@@ -583,8 +587,14 @@ def main(argv: list[str] | None = None) -> int:
             if a.detector == "tilephash":
                 from .streaming import tilephash_ingest
 
-                bucket_fn, verify_fn, state_cols = tilephash_ingest()
-                det_cfg = {"grid": 2}
+                if a.tile_grid < 1:
+                    raise ConfigError(
+                        f"--tile-grid must be >= 1, got {a.tile_grid}"
+                    )
+                bucket_fn, verify_fn, state_cols = tilephash_ingest(
+                    grid=a.tile_grid
+                )
+                det_cfg = {"grid": a.tile_grid}
                 kw = dict(bucket_fn=bucket_fn, state_cols=state_cols)
             elif a.detector == "embedding":
                 if a.centroids is None:

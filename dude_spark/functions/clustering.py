@@ -446,6 +446,15 @@ def semdedup_new(
     refused loudly: returning zero pairs would silently skip the
     promised within-new dedup — run ``semdedup`` on the batch
     instead for a first ingest.
+
+    Disjoint-id CONTRACT, validated loudly: the known and new id
+    namespaces must not overlap.  An id on both sides would carry
+    duplicate ``_id`` rows through the unioned u-frame and fan out the
+    cosine-verify joins into duplicated, ambiguous pairs — so the
+    overlap is probed (one bounded ``limit(1)`` semi-join on the
+    already-checkpointed 8-byte-key assignment frames, O(min side)
+    work, no wide shuffle) and refused with the offending id named.
+    Re-key one side (e.g. offset new ids) before calling.
     """
     from ..operators.candidates import pairs_from_buckets, pairs_vs_known
 
@@ -470,6 +479,24 @@ def semdedup_new(
     nb = u_new.select(
         F.col("_id").alias("image_id"), assign(F.col("_u")).alias("bucket")
     ).localCheckpoint(eager=True)
+
+    # disjoint-id contract (see docstring): bounded limit(1) probe on
+    # the checkpointed 8-byte-key frames — an overlap would fan out the
+    # verify joins below into duplicated, ambiguous pairs.
+    clash = (
+        nb.select("image_id")
+        .join(kb.select("image_id"), "image_id", "left_semi")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            "semdedup_new: id namespaces of the known corpus and the "
+            f"new batch overlap (e.g. id {clash[0]['image_id']!r}) — "
+            "the union of the two u-frames would duplicate _id rows "
+            "and fan out the cosine-verify joins; re-key one side "
+            "before calling"
+        )
 
     cross, overcap_known = pairs_vs_known(
         nb, kb, bucket_cap=cluster_cap, context="semdedup_new cross join"

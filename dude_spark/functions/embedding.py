@@ -587,6 +587,22 @@ def centroid_similarity(
     < 1/|g| — excluding it would cost a second join and break the
     exact-integer sharing).
 
+    Degenerate inputs — rows CAN vanish or score NULL, by design:
+
+    * NULL vector → row dropped (the ``isNotNull`` filter);
+    * NULL group key → row dropped silently: the centroid broadcast
+      is an equi-join on the group column and NULL never matches.
+      Filter NULL groups out (or coalesce to a sentinel group)
+      upstream if they must be scored;
+    * mixed embedding lengths within a group → the shorter side of
+      ``zip_with`` null-pads, the dot aggregate goes NULL, and the
+      row's ``sim_x1000`` is NULL rather than a plausible-looking
+      wrong number — a loud-by-NULL signal that the group mixes
+      encoder dims; fix the upstream encoder fanout instead of
+      filtering here;
+    * NaN components quantize to 0 (see the nanvl note at the
+      quantize step).
+
     Scale shape at 10^12 rows: one posexplode → (group, dim)
     combinable partial aggregate (map-side combine reduces each
     partition to n_groups·dim rows before the exchange), centroid
@@ -603,9 +619,15 @@ def centroid_similarity(
     """
     if scale <= 0:
         raise ValueError(f"scale must be positive, got {scale}")
+    # NaN components quantize to 0 (nanvl), matching the module-wide
+    # "failed encoder must not poison ANSI casts" convention
+    # (clustering.quantized) — floor(NaN) would error the whole job
+    # under ANSI mode.  The DuckDB oracle mirrors with isnan().
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+        lambda x: F.floor(
+            F.nanvl(x.cast("double"), F.lit(0.0)) * F.lit(float(scale))
+        ).cast("long"),
     )
     rows = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),

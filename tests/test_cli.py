@@ -697,6 +697,37 @@ def test_cli_stream_tilephash_detector(spark, tmp_path, monkeypatch):
     assert pairs == {("a", "crop")}
 
 
+def test_cli_stream_tile_grid_flag(spark, tmp_path, monkeypatch):
+    """stream --tile-grid is plumbed into tilephash_ingest AND the
+    pinned detector config: a grid-3 stream state refuses a later
+    default-grid resume (config-id mismatch), and --tile-grid 0 is
+    rejected up front."""
+    import numpy as np
+    import pytest
+
+    from dude_spark.config import ConfigError
+    from dude_spark.imagecodec import encode
+
+    rng = np.random.RandomState(67)
+    A = rng.randint(0, 256, (96, 96, 3)).astype(np.uint8)
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", bytearray(encode(A, "png")))],
+        "image_id string, bytes binary",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    with pytest.raises(ConfigError, match="tile-grid"):
+        cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                  "--detector", "tilephash", "--tile-grid", "0"])
+    assert cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                     "--detector", "tilephash", "--tile-grid", "3"]) == 0
+    with pytest.raises(Exception, match="config"):
+        cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                  "--detector", "tilephash"])
+
+
 def test_cli_strip_lines(spark, tmp_path, monkeypatch, capsys):
     """strip-lines subcommand: shared chrome stripped in place, audit
     only covers touched docs, schema preserved."""

@@ -283,6 +283,18 @@ class TestSemDedupNew:
         assert out.overcap_known and out.overcap_known[0]["bucket_size"] == 30
         assert hasattr(out, "overcap_within")
 
+    def test_overlapping_id_namespaces_refused(self, spark):
+        """known/new id overlap would duplicate _id rows in the unioned
+        u-frame and fan out the verify joins — refused loudly."""
+        rows = [(i, [0.1 * (i + 1), 0.2]) for i in range(5)]
+        new = [(4, [0.5, 0.2]), (100, [0.3, 0.1])]  # id 4 on both sides
+        from dude_spark.functions.clustering import semdedup_new
+
+        with pytest.raises(ValueError, match="overlap"):
+            semdedup_new(
+                _df(spark, rows), _df(spark, new), k=2, iters=1
+            )
+
     def test_empty_new_batch(self, spark):
         rows = [(i, [0.1 * (i + 1), 0.2]) for i in range(5)]
         from dude_spark.functions.clustering import semdedup_new

@@ -352,6 +352,47 @@ class TestCentroidSimilarity:
         with pytest.raises(ValueError, match="scale"):
             centroid_similarity(df, scale=0)
 
+    def test_nan_component_quantizes_to_zero(self, spark):
+        """A NaN embedding component must not poison the ANSI cast
+        (floor(NaN)->long errors the whole job); nanvl maps it to 0,
+        matching clustering.quantized's convention.  Row 1's NaN'd
+        vector therefore scores exactly like the zero-padded vector
+        row 3 carries explicitly."""
+        from dude_spark.functions.embedding import centroid_similarity
+
+        rows = [
+            (1, [float("nan"), 0.4], 0),
+            (2, [0.3, 0.1], 0),
+            (3, [0.0, 0.4], 1),
+            (4, [0.3, 0.1], 1),
+        ]
+        # build WITHOUT pandas: the Arrow path rewrites NaN -> null,
+        # which is a different degenerate case than the one under test
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label long"
+        )
+        got = {
+            r["vec_id"]: r["sim_x1000"]
+            for r in centroid_similarity(df).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        assert got[1] == got[3] and got[2] == got[4]
+
+    def test_null_group_rows_vanish(self, spark):
+        """NULL group key never matches the centroid equi-join — the
+        row is dropped, per the documented degenerate-input contract."""
+        from dude_spark.functions.embedding import centroid_similarity
+
+        pdf = pd.DataFrame(
+            {"vec_id": [1, 2], "embedding": [[0.1, 0.2], [0.1, 0.2]],
+             "label": [0.0, None]}
+        )
+        df = spark.createDataFrame(pdf).select(
+            "vec_id", F.col("embedding").cast("array<float>"),
+            F.col("label").cast("long").alias("label"),
+        )
+        assert [r["vec_id"] for r in centroid_similarity(df).collect()] == [1]
+
     def test_centroid_join_is_broadcast(self, spark):
         from dude_spark.functions.embedding import centroid_similarity
 
