@@ -107,6 +107,15 @@ def _parser() -> argparse.ArgumentParser:
                     help="tilephash detector: pyramid grid (must match "
                          "any batch run being resumed — pinned in the "
                          "state config id)")
+    st.add_argument("--tile-radius", type=int, default=0,
+                    help="tilephash detector: per-tile Hamming "
+                         "tolerance; 0 = exact key equality (default), "
+                         ">0 = pigeonhole candidates + exact "
+                         "bit_count(xor) verify (re-encoded crops "
+                         "pair) — pinned in the state config id")
+    st.add_argument("--tile-segments", type=int, default=8,
+                    help="tilephash detector: pigeonhole segment count "
+                         "for --tile-radius > 0 (must divide 64)")
     st.add_argument("--bucket-cap", type=int, default=64)
     st.add_argument("--overcap-mode", choices=("star", "exhaustive"),
                     default="star",
@@ -455,6 +464,14 @@ def _parser() -> argparse.ArgumentParser:
                     help="output dir: pairs/ + overcap/ (hot-key audit)")
     tp.add_argument("--grid", type=int, default=2)
     tp.add_argument("--bucket-cap", type=int, default=64)
+    tp.add_argument("--radius", type=int, default=0,
+                    help="per-tile Hamming tolerance: 0 = exact key "
+                         "equality (default); >0 routes tiles through "
+                         "the pigeonhole tables so a JPEG-re-encoded "
+                         "crop (a few flipped phash bits) still pairs")
+    tp.add_argument("--segments", type=int, default=8,
+                    help="pigeonhole segment count for --radius > 0 "
+                         "(must divide 64)")
     tp.add_argument("--cpus", type=int, default=0)
     tp.add_argument("--local", action="store_true")
 
@@ -585,17 +602,47 @@ def main(argv: list[str] | None = None) -> int:
             kw = {}
             det_cfg = None
             if a.detector == "tilephash":
-                from .streaming import tilephash_ingest
-
                 if a.tile_grid < 1:
                     raise ConfigError(
                         f"--tile-grid must be >= 1, got {a.tile_grid}"
                     )
-                bucket_fn, verify_fn, state_cols = tilephash_ingest(
-                    grid=a.tile_grid
-                )
-                det_cfg = {"grid": a.tile_grid}
-                kw = dict(bucket_fn=bucket_fn, state_cols=state_cols)
+                if a.tile_radius > 0:
+                    if a.tile_segments not in (1, 2, 4, 8, 16):
+                        raise ConfigError(
+                            "--tile-segments must divide 64, got "
+                            f"{a.tile_segments}"
+                        )
+                    if a.tile_radius >= a.tile_segments:
+                        raise ConfigError(
+                            "--tile-radius must be < --tile-segments, "
+                            f"got {a.tile_radius} >= {a.tile_segments}"
+                        )
+                    from .streaming import tilephash_hamming_ingest
+
+                    bucket_fn, verify_fn, state_cols, rows_fn = (
+                        tilephash_hamming_ingest(
+                            grid=a.tile_grid,
+                            segments=a.tile_segments,
+                            radius=a.tile_radius,
+                        )
+                    )
+                    det_cfg = {
+                        "grid": a.tile_grid,
+                        "segments": a.tile_segments,
+                        "radius": a.tile_radius,
+                    }
+                    kw = dict(
+                        bucket_fn=bucket_fn, verify_fn=verify_fn,
+                        state_cols=state_cols, rows_fn=rows_fn,
+                    )
+                else:
+                    from .streaming import tilephash_ingest
+
+                    bucket_fn, verify_fn, state_cols = tilephash_ingest(
+                        grid=a.tile_grid
+                    )
+                    det_cfg = {"grid": a.tile_grid}
+                    kw = dict(bucket_fn=bucket_fn, state_cols=state_cols)
             elif a.detector == "embedding":
                 if a.centroids is None:
                     raise ConfigError(
@@ -1092,17 +1139,36 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "tilephash":
         if a.grid < 1:
             raise ConfigError(f"--grid must be >= 1, got {a.grid}")
+        if a.radius > 0:
+            if a.segments not in (1, 2, 4, 8, 16):
+                raise ConfigError(
+                    f"--segments must divide 64, got {a.segments}"
+                )
+            if a.radius >= a.segments:
+                raise ConfigError(
+                    "--radius must be < --segments, got "
+                    f"{a.radius} >= {a.segments}"
+                )
         spark = get_spark(
             "dude_spark_tilephash",
             master=_local_master(a.cpus) if a.local else None,
         )
         try:
-            from .operators.multimodal import tile_phash_pairs
+            if a.radius > 0:
+                from .operators.multimodal import tile_phash_pairs_hamming
 
-            pairs, overcap = tile_phash_pairs(
-                spark.read.parquet(a.input),
-                grid=a.grid, bucket_cap=a.bucket_cap,
-            )
+                pairs, overcap = tile_phash_pairs_hamming(
+                    spark.read.parquet(a.input),
+                    grid=a.grid, segments=a.segments, radius=a.radius,
+                    bucket_cap=a.bucket_cap,
+                )
+            else:
+                from .operators.multimodal import tile_phash_pairs
+
+                pairs, overcap = tile_phash_pairs(
+                    spark.read.parquet(a.input),
+                    grid=a.grid, bucket_cap=a.bucket_cap,
+                )
             pairs.write.mode("overwrite").parquet(f"{a.out}/pairs")
             overcap.write.mode("overwrite").parquet(f"{a.out}/overcap")
             n = spark.read.parquet(f"{a.out}/pairs").count()

@@ -355,3 +355,114 @@ def tile_phash_pairs(
     return pairs_from_buckets(
         feats, bucket_cap=bucket_cap, overcap_mode="exhaustive"
     )
+
+
+def tile_hamming_match(pairs: DataFrame, tiles: DataFrame, radius: int) -> DataFrame:
+    """Keep candidate (a, b) pairs where SOME tile-phash of a is within
+    Hamming ``radius`` of SOME tile-phash of b.
+
+    ``tiles`` is (image_id, tile_keys array<long>) — the pyramid key
+    set per image (1 + grid² entries).  The existence check is a nested
+    ``F.exists`` over the two small arrays with a JVM-side
+    ``bit_count(xor)`` — whole-stage codegen, no Python, and at
+    (1+grid²)² ≤ ~289 comparisons per pair (grid ≤ 4) it is a
+    per-row constant, not a join blowup.  The shared exact-Hamming
+    predicate for the batch operator and the streaming preset — change
+    the match contract here and both move together.
+    """
+    a_keys = tiles.select(
+        F.col("image_id").alias("a"), F.col("tile_keys").alias("_ka")
+    )
+    b_keys = tiles.select(
+        F.col("image_id").alias("b"), F.col("tile_keys").alias("_kb")
+    )
+    hit = F.exists(
+        F.col("_ka"),
+        lambda ka: F.exists(
+            F.col("_kb"),
+            lambda kb: F.bit_count(ka.bitwiseXOR(kb)) <= F.lit(radius),
+        ),
+    )
+    return (
+        pairs.join(a_keys, "a")
+        .join(b_keys, "b")
+        .where(hit)
+        .select("a", "b")
+    )
+
+
+def tile_phash_pairs_hamming(
+    images: DataFrame,
+    grid: int = 2,
+    segments: int = 8,
+    radius: int = 3,
+    bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, overcap): distinct (a, b) image pairs where some pyramid
+    tile-phash of a is within Hamming ``radius`` of some tile-phash of
+    b — the NEAR-equality generalization of ``tile_phash_pairs``.
+
+    Why it exists: ``tile_phash_pairs`` matches tiles by EXACT key
+    equality, and D2's pigeonhole runs on the full-image phash channel
+    only — so a JPEG-re-encoded crop (requantization perturbs the
+    crop's phash by a few bits versus the source's tile phash) falls
+    through both.  This operator closes that gap, the image analogue
+    of the reference's content-equality semantics
+    (/root/reference/internal/processing/hashing.go:289-319) under
+    lossy re-encoding.
+
+    Composition — both halves are existing, audited machinery:
+
+    * candidates: every pyramid key (full + tiles, one shared hash
+      space — the containment trick unchanged) goes through D2's
+      generalized pigeonhole (``detectors.simhash.pigeonhole_key_array``,
+      Manku WWW'07): C(m, r) subset keys per tile, exact recall within
+      the Hamming ball — two tiles ≤ r bits apart ALWAYS share a
+      bucket.  Keys are salted with tag "tileham" so they can never
+      collide with D2's own channels.
+    * verify: pigeonhole buckets overgenerate (a shared (m−r)-segment
+      subset bounds nothing about the other r segments), so candidates
+      are rechecked exactly via ``tile_hamming_match`` — JVM
+      ``bit_count(xor)`` over the two per-image key arrays.
+
+    Scale shape: ONE decode pass (the checkpointed feats frame feeds
+    candidate generation and the verify attach); the explode ships
+    C(m,r)·(1+grid²) 8-byte keys per image; constant-tile hot buckets
+    (black borders) hit ``pairs_from_buckets``'s salted exhaustive
+    grid and are recorded in ``overcap``, never silent.  radius=0
+    with segments=1 degenerates to the exact operator (kept separate
+    because exact needs no verify join at all).
+    """
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    if segments not in (1, 2, 4, 8, 16):
+        raise ValueError(f"segments must divide 64, got {segments}")
+    if not 0 <= radius < segments:
+        raise ValueError(
+            f"radius must be in [0, segments), got {radius} (segments={segments})"
+        )
+    from ..detectors.simhash import pigeonhole_key_array
+    from .candidates import pairs_from_buckets
+
+    feats = (
+        extract_tile_features(images, grid)
+        .where(F.col("ok"))
+        .select("image_id", F.col("keys").alias("tile_keys"))
+        .localCheckpoint(eager=True)
+    )
+    buckets = (
+        feats.select("image_id", F.explode("tile_keys").alias("_tile"))
+        .select(
+            "image_id",
+            F.explode(
+                pigeonhole_key_array(
+                    F.col("_tile"), segments, radius, tag="tileham"
+                )
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    cands, overcap = pairs_from_buckets(
+        buckets, bucket_cap=bucket_cap, overcap_mode="exhaustive"
+    )
+    return tile_hamming_match(cands, feats, radius), overcap

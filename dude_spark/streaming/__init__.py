@@ -9,6 +9,7 @@ from .ingest import (  # noqa: F401
     simhash_ingest,
     start_incremental_dedup,
     suffix_ingest,
+    tilephash_hamming_ingest,
     tilephash_ingest,
 )
 from .monitor import hot_bucket_alerts  # noqa: F401

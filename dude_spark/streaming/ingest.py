@@ -293,6 +293,87 @@ def tilephash_ingest(
     return bucket_fn, None, ()
 
 
+def tilephash_hamming_ingest(
+    grid: int = 2, segments: int = 8, radius: int = 3
+) -> tuple[BucketFn, VerifyFn, tuple[str, ...], Callable[[DataFrame], DataFrame]]:
+    """Hamming-tolerant pyramid tile-phash preset: a JPEG-re-encoded
+    crop of a KNOWN image (requantization perturbs each 64-bit tile
+    phash by a few bits) still pairs as it streams in — the near-
+    equality generalization of ``tilephash_ingest``, streaming twin of
+    ``operators.multimodal.tile_phash_pairs_hamming``.
+
+    Returns ``(bucket_fn, verify_fn, state_cols, rows_fn)`` — a
+    4-tuple: unlike every other preset, the verification payload here
+    is a DERIVED column (the per-image pyramid key array), not a raw
+    input column, so ``rows_fn`` projects the batch to
+    ``(image_id, tile_keys)`` for the rows state
+    (``start_incremental_dedup``'s ``rows_fn`` hook).  State stores
+    8-byte key arrays — never image bytes, the tilephash storage
+    contract unchanged.
+
+    bucket_fn: pyramid keys → D2's generalized pigeonhole
+    (``pigeonhole_key_array``, tag "tileham" — the same salt as the
+    batch operator, so batch and stream agree on the key space) —
+    exact recall within the per-tile Hamming ball.  verify_fn: exact
+    JVM ``bit_count(xor)`` recheck over the two key arrays via the
+    shared ``tile_hamming_match`` predicate.
+
+    Decode-once: bucket_fn and rows_fn both need the tile features of
+    the SAME micro-batch frame; a per-batch memo (keyed on the batch
+    DataFrame's identity, holding one localCheckpointed feats frame)
+    makes the expensive decode pass run once per epoch regardless of
+    how many consumers ask.
+    """
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    if segments not in (1, 2, 4, 8, 16):
+        raise ValueError(f"segments must divide 64, got {segments}")
+    if not 0 <= radius < segments:
+        raise ValueError(
+            f"radius must be in [0, segments), got {radius} (segments={segments})"
+        )
+    from ..detectors.simhash import pigeonhole_key_array
+    from ..operators.multimodal import extract_tile_features, tile_hamming_match
+
+    memo: dict = {}
+
+    def _feats(batch: DataFrame) -> DataFrame:
+        if memo.get("key") is not batch:
+            memo["key"] = batch
+            memo["df"] = (
+                extract_tile_features(batch, grid)
+                .where(F.col("ok"))
+                .select("image_id", F.col("keys").alias("tile_keys"))
+                .localCheckpoint(eager=True)
+            )
+        return memo["df"]
+
+    def bucket_fn(batch: DataFrame) -> DataFrame:
+        return (
+            _feats(batch)
+            .select("image_id", F.explode("tile_keys").alias("_tile"))
+            .select(
+                "image_id",
+                F.explode(
+                    pigeonhole_key_array(
+                        F.col("_tile"), segments, radius, tag="tileham"
+                    )
+                ).alias("bucket"),
+            )
+            .distinct()
+        )
+
+    def rows_fn(batch: DataFrame) -> DataFrame:
+        return _feats(batch)
+
+    def verify_fn(pairs: DataFrame, rows: DataFrame) -> DataFrame:
+        return tile_hamming_match(
+            pairs, rows.select("image_id", "tile_keys"), radius
+        ).select("a", "b")
+
+    return bucket_fn, verify_fn, ("tile_keys",), rows_fn
+
+
 def simhash_ingest(
     cfg: SimHashConfig | None = None,
 ) -> tuple[BucketFn, VerifyFn, tuple[str, ...]]:
@@ -378,6 +459,7 @@ def start_incremental_dedup(
     bucket_fn: BucketFn = exact_buckets,
     verify_fn: VerifyFn | None = None,
     state_cols: Sequence[str] = ("caption",),
+    rows_fn: Callable[[DataFrame], DataFrame] | None = None,
     bucket_cap: int = 64,
     overcap_mode: str = "star",
     prefilter_fn: Callable[[DataFrame], tuple[DataFrame, DataFrame]] | None = None,
@@ -586,7 +668,11 @@ def start_incremental_dedup(
             # verify join) — checkpoint so the bucket joins run once;
             # bounded: this is the epoch's candidate-pair table
             pairs = pairs.localCheckpoint(eager=True)
-            new_rows = batch_df.select("image_id", *state_cols)
+            # rows_fn: presets whose verification payload is DERIVED
+            # (e.g. tilephash_hamming's per-image key arrays) project
+            # the batch here; default is the raw-column selection.
+            rows_src = batch_df if rows_fn is None else rows_fn(batch_df)
+            new_rows = rows_src.select("image_id", *state_cols)
             # pruned rows read: only shards holding a PAIR MEMBER are
             # opened — the verify attach needs exactly those payloads
             members = pairs.select(F.col("a").alias("image_id")).unionByName(

@@ -673,6 +673,45 @@ def test_cli_tilephash(spark, tmp_path, monkeypatch, capsys):
         cli.main(["tilephash", "--input", inp, "--out", out, "--grid", "0"])
 
 
+def test_cli_tilephash_radius(spark, tmp_path, monkeypatch, capsys):
+    """tilephash --radius: a JPEG-re-encoded crop pairs (exact run
+    misses it); bad radius/segments refused before Spark work."""
+    import numpy as np
+    import pytest
+
+    from dude_spark.config import ConfigError
+    from dude_spark.imagecodec import encode
+
+    rng = np.random.RandomState(2)
+    A = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+    inp = str(tmp_path / "imgs")
+    spark.createDataFrame(
+        [("a", bytearray(encode(A, "png"))),
+         ("crop", bytearray(encode(A[:64, :64].copy(), "jpeg")))],
+        "image_id string, bytes binary",
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    out = str(tmp_path / "tp_exact")
+    assert cli.main(["tilephash", "--input", inp, "--out", out]) == 0
+    assert spark.read.parquet(f"{out}/pairs").count() == 0
+
+    out2 = str(tmp_path / "tp_ham")
+    assert cli.main(["tilephash", "--input", inp, "--out", out2,
+                     "--radius", "3"]) == 0
+    pairs = {(r["a"], r["b"])
+             for r in spark.read.parquet(f"{out2}/pairs").collect()}
+    assert pairs == {("a", "crop")}
+
+    with pytest.raises(ConfigError, match="--segments"):
+        cli.main(["tilephash", "--input", inp, "--out", out2,
+                  "--radius", "3", "--segments", "7"])
+    with pytest.raises(ConfigError, match="--radius"):
+        cli.main(["tilephash", "--input", inp, "--out", out2,
+                  "--radius", "4", "--segments", "4"])
+
+
 def test_cli_stream_tilephash_detector(spark, tmp_path, monkeypatch):
     """stream --detector tilephash: crop of an in-batch image pairs."""
     import numpy as np
@@ -692,6 +731,38 @@ def test_cli_stream_tilephash_detector(spark, tmp_path, monkeypatch):
 
     assert cli.main(["stream", "--input", input_dir, "--state", state_dir,
                      "--detector", "tilephash"]) == 0
+    pairs = {(r["a"], r["b"])
+             for r in spark.read.parquet(f"{state_dir}/pairs").collect()}
+    assert pairs == {("a", "crop")}
+
+
+def test_cli_stream_tile_radius_flag(spark, tmp_path, monkeypatch):
+    """stream --detector tilephash --tile-radius N routes through the
+    Hamming preset: a JPEG-re-encoded crop of an in-batch image pairs
+    (the exact preset would miss it); bad values refused up front."""
+    import numpy as np
+    import pytest
+
+    from dude_spark.config import ConfigError
+    from dude_spark.imagecodec import encode
+
+    rng = np.random.RandomState(2)
+    A = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    spark.createDataFrame(
+        [("a", bytearray(encode(A, "png"))),
+         ("crop", bytearray(encode(A[:64, :64].copy(), "jpeg")))],
+        "image_id string, bytes binary",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    with pytest.raises(ConfigError, match="tile-segments"):
+        cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                  "--detector", "tilephash", "--tile-radius", "3",
+                  "--tile-segments", "7"])
+    assert cli.main(["stream", "--input", input_dir, "--state", state_dir,
+                     "--detector", "tilephash", "--tile-radius", "3"]) == 0
     pairs = {(r["a"], r["b"])
              for r in spark.read.parquet(f"{state_dir}/pairs").collect()}
     assert pairs == {("a", "crop")}

@@ -434,6 +434,75 @@ class TestTilePhash:
         # exhaustive grid still emits every pair through the hot key
         assert pairs.count() == 12 * 11 // 2
 
+    def test_jpeg_requantized_crop_needs_hamming(self, spark):
+        """A JPEG-re-encoded crop perturbs the crop's phash by a few
+        bits vs the source's tile phash: exact tile equality misses it,
+        the pigeonhole + bit_count(xor) path recovers it."""
+        from dude_spark.imagecodec import decode, encode, phash64, pyramid_phash64
+        from dude_spark.operators.multimodal import (
+            tile_phash_pairs,
+            tile_phash_pairs_hamming,
+        )
+
+        rng = np.random.RandomState(2)
+        A = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+        crop_jpeg = encode(A[:64, :64].copy(), "jpeg")
+        # the premise, asserted: requantization flipped SOME bits but
+        # stayed inside the default radius-3 ball
+        d = bin(
+            (phash64(decode(crop_jpeg)[0]) ^ pyramid_phash64(A, 2)[1])
+            & ((1 << 64) - 1)
+        ).count("1")
+        assert 1 <= d <= 3, d
+        E = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+        df = spark.createDataFrame(
+            [("a", bytearray(encode(A, "png"))),
+             ("crop", bytearray(crop_jpeg)),
+             ("e", bytearray(encode(E, "png")))],
+            "image_id string, bytes binary",
+        )
+        exact, _ = tile_phash_pairs(df)
+        assert ("a", "crop") not in {
+            (r["a"], r["b"]) for r in exact.collect()
+        }
+        fuzzy, _ = tile_phash_pairs_hamming(df, radius=3)
+        got = {(r["a"], r["b"]) for r in fuzzy.collect()}
+        assert ("a", "crop") in got
+        assert not any("e" in p for p in got)
+
+    def test_hamming_hot_bucket_capped_and_recorded(self, spark):
+        # shared all-black tile -> every pigeonhole subset key is hot;
+        # caps recorded, exhaustive grid still emits every pair and the
+        # distance-0 verify keeps them all
+        rng = np.random.RandomState(10)
+        items = []
+        for i in range(12):
+            p = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+            p[:16, :16] = 0
+            items.append((f"i{i:02d}", p))
+        from dude_spark.operators.multimodal import tile_phash_pairs_hamming
+
+        pairs, overcap = tile_phash_pairs_hamming(
+            self._img_df(spark, items), bucket_cap=4
+        )
+        oc = overcap.collect()
+        assert oc and max(r["bucket_size"] for r in oc) == 12
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        assert len(got) == 12 * 11 // 2
+
+    def test_hamming_param_validation(self, spark):
+        import pytest as _pytest
+
+        from dude_spark.operators.multimodal import tile_phash_pairs_hamming
+
+        df = self._img_df(spark, [])
+        with _pytest.raises(ValueError, match="segments"):
+            tile_phash_pairs_hamming(df, segments=7)
+        with _pytest.raises(ValueError, match="radius"):
+            tile_phash_pairs_hamming(df, segments=4, radius=4)
+        with _pytest.raises(ValueError, match="grid"):
+            tile_phash_pairs_hamming(df, grid=0)
+
     def test_small_image_emits_full_hash_only(self, spark):
         from dude_spark.operators.multimodal import extract_tile_features
 

@@ -746,3 +746,65 @@ def test_incremental_dedup_stream_tilephash(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="grid"):
         tilephash_ingest(grid=0)
+
+
+def test_incremental_dedup_stream_tilephash_hamming(spark, tmp_path):
+    """Hamming-tolerant tile-phash at ingest: a JPEG-re-encoded crop of
+    a KNOWN image (a few flipped tile-phash bits — exact key equality
+    would miss it) pairs cross-epoch; rows state holds the derived
+    tile_keys arrays (rows_fn hook), never image bytes."""
+    import numpy as np
+
+    from dude_spark.imagecodec import decode, encode, phash64, pyramid_phash64
+    from dude_spark.streaming import (
+        start_incremental_dedup,
+        tilephash_hamming_ingest,
+    )
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary"
+    rng = np.random.RandomState(2)
+    A = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+    crop_jpeg = encode(A[:64, :64].copy(), "jpeg")
+    d = bin(
+        (phash64(decode(crop_jpeg)[0]) ^ pyramid_phash64(A, 2)[1])
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert 1 <= d <= 3, d  # exact equality would NOT have matched
+    E = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+    bucket_fn, verify_fn, state_cols, rows_fn = tilephash_hamming_ingest()
+    assert verify_fn is not None and state_cols == ("tile_keys",)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def drain():
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn,
+            state_cols=state_cols, rows_fn=rows_fn,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    write([("a", bytearray(encode(A, "png"))), ("e", bytearray(encode(E, "png")))])
+    drain()
+    pairs_path = os.path.join(state_dir, "pairs")
+    assert spark.read.parquet(pairs_path).count() == 0
+
+    write([("crop", bytearray(crop_jpeg))])
+    drain()
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("a", "crop")}
+    # rows state exists and holds key ARRAYS, not image bytes
+    rows_state = spark.read.parquet(os.path.join(state_dir, "rows"))
+    assert "tile_keys" in rows_state.columns
+    assert "bytes" not in rows_state.columns
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="segments"):
+        tilephash_hamming_ingest(segments=7)
+    with _pt.raises(ValueError, match="radius"):
+        tilephash_hamming_ingest(segments=4, radius=4)
