@@ -928,10 +928,14 @@ def q_sliding_window_stats(spark, sf_dir):
 
 
 def q_user_sessions(spark, sf_dir):
-    """Gap-based sessionization (30-min inactivity) per user — lag +
-    running-sum windows PARTITIONED BY USER, no global-order window;
-    microsecond-exact interval comparison so any engine agrees."""
-    return sessionize(_events(spark, sf_dir))
+    """Gap-based sessionization (30-min inactivity) per user.  Runs
+    the TIME-SLICED (bucket_seconds=6 h) scale path — gap detection
+    inside (user, bucket) window slices, boundary sessions stitched
+    through the per-user bucket-summary carry — so the oracle gates
+    the cross-bucket merge machinery, not just the plain per-user
+    window (the asof_attribution convention).  Microsecond-exact
+    interval comparison so any engine agrees."""
+    return sessionize(_events(spark, sf_dir), bucket_seconds=6 * 3600)
 
 
 def q_asof_attribution(spark, sf_dir):

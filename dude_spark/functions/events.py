@@ -113,46 +113,178 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     value_col: str = "value",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap
     to the previous event of the SAME user exceeds ``gap_minutes``.
     Returns one row per session: (user, session_start epoch seconds,
     n_events, sum_value_x100).
 
-    lag + running-sum windows partitioned by user — per-user task
-    locality, no SinglePartition exchange; at 10^12 events the shuffle
-    key is the user id and the cost profile is an ordinary keyed
-    window."""
+    Plain path (``bucket_seconds=None``): lag + running-sum windows
+    partitioned by user — per-user task locality, no SinglePartition
+    exchange.  The per-user window streams ALL of one user's events
+    through one task, so a bot identity with 10^9 events is a
+    straggler/spill at 10^12-event scale — the same hot-key failure
+    class ``asof_join`` bounds with its time-sliced path.
+
+    ``bucket_seconds`` bounds it with the SAME summary-carry shape:
+
+    1. events slice into (user, time-bucket) window partitions; gap
+       detection + a local running session index run inside each slice
+       — no task ever sees more than one key-bucket of rows;
+    2. local sessions reduce to one row each (min ts, count, value
+       sum) — a combinable aggregate;
+    3. per (user, bucket) a 3-long summary (first ts, last ts, #local
+       sessions) feeds a per-user window over the SUMMARY frame
+       (#buckets rows per user, never #events): a bucket whose first
+       event is within ``gap_minutes`` of the previous non-empty
+       bucket's last event MERGES its first local session into that
+       bucket's last (lag), and a running offset of
+       (#local − merged) renumbers local → global session ids in
+       closed form — chains of merges across empty buckets compose
+       through the offsets;
+    4. one final (user, global-session) combinable aggregate.
+
+    Semantics are IDENTICAL to the plain path (the driver query
+    ``user_sessions`` runs the bucketed path against the plain-SQL
+    oracle, hash-green); full-precision microsecond timestamp
+    comparisons in both (second-truncating epoch arithmetic would
+    disagree with any oracle at sub-second boundaries).  Pick
+    ``bucket_seconds`` ≫ the gap (e.g. hours vs a 30-minute gap) so
+    merges stay rare; correctness never depends on the choice.
+    """
+    return _sessionize_impl(
+        events, gap_minutes, ts_col, user_col, value_col, bucket_seconds
+    )
+
+
+def _sessionize_impl(
+    events: DataFrame,
+    gap_minutes: int,
+    ts_col: str,
+    user_col: str,
+    value_col: str,
+    bucket_seconds: int | None,
+    _checkpoint: bool = True,
+) -> DataFrame:
+    """Body of ``sessionize``.  ``_checkpoint=False`` skips the lazy
+    localCheckpoint of the per-session frame so plan tests can assert
+    the event-level window shape (a checkpoint truncates the visible
+    plan to a Scan ExistingRDD); production keeps the default."""
     ts = F.col(ts_col).cast("timestamp")
-    # order by the CAST column: ordering and gap arithmetic must see
-    # the same chronology (a raw string ts_col would sort
-    # lexicographically — '2024-9…' > '2024-10…' — and lag() would
-    # pick the wrong previous event)
-    per_user = Window.partitionBy(user_col).orderBy(ts)
-    # full-precision timestamp comparison (microseconds): second-
-    # truncating epoch arithmetic here would disagree with any oracle
-    # (or any other engine) at sub-second boundaries
-    prev = F.lag(ts).over(per_user)
-    new_sess = F.when(
-        prev.isNull()
-        | (ts > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    with_sess = events.withColumn("_new", new_sess).withColumn(
-        "_sess",
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    if bucket_seconds is None:
+        # order by the CAST column: ordering and gap arithmetic must
+        # see the same chronology (a raw string ts_col would sort
+        # lexicographically — '2024-9…' > '2024-10…' — and lag() would
+        # pick the wrong previous event)
+        per_user = Window.partitionBy(user_col).orderBy(ts)
+        prev = F.lag(ts).over(per_user)
+        new_sess = F.when(
+            prev.isNull() | (ts > prev + gap), F.lit(1)
+        ).otherwise(F.lit(0))
+        with_sess = events.withColumn("_new", new_sess).withColumn(
+            "_sess",
+            F.sum("_new").over(
+                per_user.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        return (
+            with_sess.groupBy(user_col, "_sess")
+            .agg(
+                F.unix_timestamp(F.min(ts)).cast("long").alias("session_start"),
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(value_x100(F.col(value_col))).cast("long").alias(
+                    "sum_value_x100"
+                ),
+            )
+            .select(
+                F.col(user_col).cast("long").alias(user_col),
+                "session_start",
+                "n_events",
+                "sum_value_x100",
+            )
+        )
+
+    bucket_us = int(bucket_seconds) * 1_000_000
+    ev = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            ts.alias("_ats"),
+            value_x100(F.col(value_col)).alias("_vx"),
+        )
+        .withColumn(
+            "_b", F.floor(F.unix_micros(F.col("_ats")) / F.lit(bucket_us))
+        )
+    )
+    # gap detection + local session index WITHIN each (user, bucket)
+    # slice — task size bounded by the bucket, not the user's history
+    wub = Window.partitionBy("_u", "_b").orderBy("_ats")
+    prev = F.lag("_ats").over(wub)
+    ev = ev.withColumn(
+        "_new",
+        F.when(
+            prev.isNull() | (F.col("_ats") > prev + gap), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_ls",
         F.sum("_new").over(
-            per_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            wub.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # ONE event pass: the local-session reduction; the (user, bucket)
+    # window's hash partitioning already clusters (_u, _b, _ls) groups,
+    # so this aggregate adds no exchange.  The bucket summary below
+    # derives from THIS frame (agg-of-agg over #sessions rows), so the
+    # raw events are never read twice.
+    loc = ev.groupBy("_u", "_b", "_ls").agg(
+        F.min("_ats").alias("_s_start"),
+        F.max("_ats").alias("_s_end"),
+        F.count("*").alias("_n"),
+        F.sum("_vx").alias("_v"),
+    )
+    if _checkpoint:
+        # two consumers (bucket summary + final join) — lazy checkpoint
+        # the SMALL per-session frame so the event windows run once
+        loc = loc.localCheckpoint(eager=False)
+    summ = loc.groupBy("_u", "_b").agg(
+        F.min("_s_start").alias("_bmin"),
+        F.max("_s_end").alias("_bmax"),
+        F.count("*").alias("_nls"),
+    )
+    # SUMMARY-frame windows: #buckets rows per user, never #events
+    ws = Window.partitionBy("_u").orderBy("_b")
+    prev_max = F.lag("_bmax").over(ws)
+    summ = summ.withColumn(
+        "_mrg",
+        F.when(
+            prev_max.isNotNull() & (F.col("_bmin") <= prev_max + gap),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_off",
+        F.coalesce(
+            F.sum(F.col("_nls") - F.col("_mrg")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    keyed = loc.join(summ.select("_u", "_b", "_mrg", "_off"), ["_u", "_b"])
     return (
-        with_sess.groupBy(user_col, "_sess")
+        keyed.withColumn("_gid", F.col("_off") + F.col("_ls") - F.col("_mrg"))
+        .groupBy("_u", "_gid")
         .agg(
-            F.unix_timestamp(F.min(ts)).cast("long").alias("session_start"),
-            F.count("*").cast("long").alias("n_events"),
-            F.sum(value_x100(F.col(value_col))).cast("long").alias("sum_value_x100"),
+            F.unix_timestamp(F.min("_s_start")).cast("long").alias(
+                "session_start"
+            ),
+            F.sum("_n").cast("long").alias("n_events"),
+            F.sum("_v").cast("long").alias("sum_value_x100"),
         )
         .select(
-            F.col(user_col).cast("long").alias(user_col),
+            F.col("_u").cast("long").alias(user_col),
             "session_start",
             "n_events",
             "sum_value_x100",

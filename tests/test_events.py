@@ -66,6 +66,87 @@ def test_sessionize_plans_no_single_partition(spark):
     assert "SinglePartition" not in plan
 
 
+def test_sessionize_bucketed_equals_plain(spark):
+    """Time-sliced sessionize ≡ plain per-user windows, including
+    sub-second boundaries, sessions spanning bucket edges, chain
+    merges across EMPTY buckets, and a tiny bucket (every session
+    crosses many bucket edges)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for u in range(6):
+        t = float(rng.randint(0, 3600))
+        for _ in range(rng.randint(30, 80)):
+            # gaps straddle the 30-min threshold, some sub-second
+            t += float(rng.choice(
+                [1, 59, 600, 1799.999999, 1800.000001, 5400, 12000]
+            ))
+            rows.append((u, t, "a", float(rng.randint(0, 10)) / 4))
+    df = _events(spark, rows)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value_x100"])
+        for r in sessionize(df).collect()
+    }
+    for bucket in (60, 3600, 86400):
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"],
+             r["sum_value_x100"])
+            for r in sessionize(df, bucket_seconds=bucket).collect()
+        }
+        assert got == want, f"bucket_seconds={bucket}"
+
+
+def test_sessionize_hot_user_bounded(spark):
+    """Planted single-user 10^6-event history: the bucketed path's
+    event-level windows partition on (user, bucket) — no window task
+    receives the full user (plan-asserted) — and the cross-bucket
+    stitch still reproduces the exact 4 planted sessions."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    n, seg = 1_000_000, 125_000
+    base = 1_700_000_000
+    # two 500k-event hot users (a LITERAL user id would be constant-
+    # folded out of the window partition spec and defeat the assert)
+    j = F.floor(F.col("id") / 2)
+    ev = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 2).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(base) + j * 5 + F.floor(j / seg) * 10_000
+            ).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    from dude_spark.functions.events import _sessionize_impl
+
+    # plan shape on the un-checkpointed twin (the checkpoint truncates
+    # the visible plan): event-level windows must slice by (_u, _b) — a
+    # spec partitioned by _u alone and ordered by _ats would stream the
+    # whole user through one task (the plain path's shape)
+    plan = (
+        _sessionize_impl(ev, 30, "ts", "user_id", "value", 3600,
+                         _checkpoint=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.search(r"windowspecdefinition\(_u#\d+L?, _ats", plan), plan
+    assert re.search(r"windowspecdefinition\(_u#\d+L?, _b#\d+L?, _ats", plan)
+    out = sessionize(ev, bucket_seconds=3600)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value_x100"])
+        for r in out.collect()
+    )
+    want = sorted(
+        (u, base + k * seg * 5 + k * 10_000, seg, seg * 100)
+        for u in (0, 1)
+        for k in range(4)
+    )
+    assert got == want
+
+
 def test_tumbling_window_day_boundaries(spark):
     rows = [
         (1, 10, "a", 1.0),               # day 0
