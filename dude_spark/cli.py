@@ -34,6 +34,7 @@ local[N] session is built from --cpus.
 from __future__ import annotations
 
 import argparse
+import os
 import shutil
 import sys
 
@@ -474,6 +475,47 @@ def _parser() -> argparse.ArgumentParser:
                          "(must divide 64)")
     tp.add_argument("--cpus", type=int, default=0)
     tp.add_argument("--local", action="store_true")
+
+    ab = sub.add_parser(
+        "ann-build",
+        help="build + persist an IVF ANN index over an embedding "
+             "column: spherical-k-means centroids (.npy) + the "
+             "cell-assignment posting-list parquet, manifest-after-"
+             "data (functions/embedding.train_ivf_centroids + "
+             "ann_assign)",
+    )
+    ab.add_argument("--input", required=True, help="embeddings parquet path")
+    ab.add_argument("--index-dir", required=True,
+                    help="index root: centroids.npy + stages/ann_cells "
+                         "(+ manifest)")
+    ab.add_argument("--n-cells", type=int, default=32)
+    ab.add_argument("--assign-cells", type=int, default=3)
+    ab.add_argument("--train-sample", type=int, default=65536)
+    ab.add_argument("--kmeans-iters", type=int, default=15)
+    ab.add_argument("--seed", type=int, default=42)
+    ab.add_argument("--id-col", default="vec_id")
+    ab.add_argument("--vec-col", default="embedding")
+    ab.add_argument("--cpus", type=int, default=0)
+    ab.add_argument("--local", action="store_true")
+
+    aq = sub.add_parser(
+        "ann-query",
+        help="approximate top-k against a persisted ann-build index — "
+             "no retrain, no corpus re-assignment "
+             "(functions/embedding.ann_query)",
+    )
+    aq.add_argument("--index-dir", required=True,
+                    help="index root produced by ann-build")
+    aq.add_argument("--queries", required=True,
+                    help="query embeddings parquet path")
+    aq.add_argument("--out", required=True,
+                    help="output dir (query_id, neighbor_id, rank)")
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=12)
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--vec-col", default="embedding")
+    aq.add_argument("--cpus", type=int, default=0)
+    aq.add_argument("--local", action="store_true")
 
     nv = sub.add_parser(
         "novelty",
@@ -1176,6 +1218,98 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"{n} tile-phash pair(s), {oc} hot key(s) capped "
                 f"-> {a.out}"
+            )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "ann-build":
+        if a.n_cells < 1 or a.assign_cells < 1:
+            raise ConfigError(
+                f"--n-cells/--assign-cells must be >= 1, got "
+                f"{a.n_cells}/{a.assign_cells}"
+            )
+        spark = get_spark(
+            "dude_spark_ann_build",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            import numpy as _np
+
+            from .functions.embedding import ann_assign, train_ivf_centroids
+            from .storage import ParquetManifestStore
+
+            embs = spark.read.parquet(a.input)
+            cent = train_ivf_centroids(
+                embs, a.n_cells, a.id_col, a.vec_col,
+                a.train_sample, a.kmeans_iters, a.seed,
+            )
+            if cent.size == 0:
+                raise ConfigError(
+                    f"--input {a.input} has no usable embeddings"
+                )
+            store = ParquetManifestStore(spark, a.index_dir)
+            # data first, manifest last: a crash between the two leaves
+            # an index ann-query REFUSES (no manifest), never a stale
+            # half-index served silently
+            assigned = store.write(
+                ann_assign(embs, cent, a.assign_cells, a.id_col, a.vec_col),
+                "ann_cells",
+            )
+            n_rows = assigned.count()
+            os.makedirs(a.index_dir, exist_ok=True)
+            _np.save(os.path.join(a.index_dir, "centroids.npy"), cent)
+            store.publish_manifest(
+                "ann_cells",
+                {
+                    "n_cells": int(cent.shape[0]),
+                    "dim": int(cent.shape[1]),
+                    "assign_cells": int(a.assign_cells),
+                    "train_sample": int(a.train_sample),
+                    "kmeans_iters": int(a.kmeans_iters),
+                    "seed": int(a.seed),
+                    "posting_rows": int(n_rows),
+                },
+            )
+            print(
+                f"IVF index built: {cent.shape[0]} cells x dim "
+                f"{cent.shape[1]}, {n_rows} posting row(s) -> {a.index_dir}"
+            )
+            return 0
+        finally:
+            spark.stop()
+
+    if a.cmd == "ann-query":
+        spark = get_spark(
+            "dude_spark_ann_query",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            import numpy as _np
+
+            from .functions.embedding import ann_query
+            from .storage import ParquetManifestStore
+
+            store = ParquetManifestStore(spark, a.index_dir)
+            meta = store.manifest("ann_cells")
+            if meta is None:
+                raise ConfigError(
+                    f"--index-dir {a.index_dir} has no published "
+                    "ann_cells manifest — run ann-build (a missing "
+                    "manifest means the build never committed)"
+                )
+            cent = _np.load(os.path.join(a.index_dir, "centroids.npy"))
+            out = ann_query(
+                store.read("ann_cells"), cent,
+                spark.read.parquet(a.queries),
+                k=a.k, nprobe=a.nprobe,
+                id_col=a.id_col, vec_col=a.vec_col,
+            )
+            out.write.mode("overwrite").parquet(a.out)
+            n = spark.read.parquet(a.out).count()
+            print(
+                f"{n} neighbor row(s) (k={a.k}, nprobe={a.nprobe}, "
+                f"{meta['n_cells']} cells) -> {a.out}"
             )
             return 0
         finally:

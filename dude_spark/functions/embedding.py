@@ -229,6 +229,96 @@ def train_ivf_centroids(
     return _spherical_kmeans(sample, n_cells, kmeans_iters, seed)
 
 
+def ann_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    assign_cells: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF posting-list frame: every corpus vector exploded into its
+    ``assign_cells`` nearest cells — ``(neighbor_id, c_emb, c_norm,
+    cell)``.
+
+    This is the INDEX-BUILD stage factored out of ``ann_topk``: at
+    10^12 rows the cell assignment is one full-corpus matmul scan, a
+    stage you run once and persist (CLI ``ann-build`` stores this
+    frame plus the centroid matrix through the StageStore
+    manifest-after-data contract), not a query prefix to re-pay per
+    lookup.  ``ann_query`` serves any number of query batches against
+    the persisted frame.
+    """
+    from ..session import ensure_min_partitions
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim != 2 or not cent.size:
+        raise ValueError(f"centroids must be a non-empty matrix, got {cent.shape}")
+    assign_cells = min(assign_cells, len(cent))
+    c_cells = _cells_udf(cent, assign_cells)
+    # partition floor before the cell-assignment matmul UDF over the
+    # corpus scan
+    return ensure_min_partitions(
+        corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        norm_col(F.col(vec_col)).alias("c_norm"),
+        F.explode(c_cells(F.col(vec_col))).alias("cell"),
+    )
+
+
+def ann_query(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k lookup against a prebuilt IVF index (``ann_assign``'s
+    frame + its centroid matrix): probe the query's ``nprobe`` nearest
+    cells, score candidates with exact cosine, rank.
+
+    The query side is broadcast exploded ×nprobe; the join is
+    cell-equi against the (possibly persisted) posting-list frame, so
+    each task scores only its cells' candidates — the per-query cost
+    is independent of how the index was produced.
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+    if cent.ndim != 2 or not cent.size:
+        raise ValueError(f"centroids must be a non-empty matrix, got {cent.shape}")
+    nprobe = min(nprobe, len(cent))
+    q_cells = _cells_udf(cent, nprobe)
+    qb = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        norm_col(F.col(vec_col)).alias("q_norm"),
+        F.explode(q_cells(F.col(vec_col))).alias("cell"),
+    )
+    # dedupe on the id pair alone: the embedding/norm columns are
+    # functionally determined by the ids, and hashing 2·dim doubles
+    # per candidate row through a distinct() buys nothing
+    cands = (
+        assigned.join(F.broadcast(qb), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm"
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "sim",
+        F.round(
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ),
+            9,
+        ),
+    )
+    return _rank_topk(scored, k)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -242,6 +332,8 @@ def ann_topk(
     train_sample: int = 65536,
     kmeans_iters: int = 15,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: probe nearby cells, re-rank
     exactly.
@@ -262,9 +354,26 @@ def ann_topk(
     scores only its cells' candidates.  Scanned fraction ≈
     assign_cells·nprobe/n_cells — at 10^12 rows raise n_cells to
     ~10^5-10^6 and the fraction drops to ~10^-3 for the same knobs.
+
+    The body is the composition ``train_ivf_centroids → ann_assign →
+    ann_query`` — the per-call convenience over the factored stages.
+    At production scale pass a PREBUILT index instead (``centroids``
+    trained once, and optionally the persisted ``assigned`` frame from
+    CLI ``ann-build``): the index build is a stage, not a query
+    prefix, and re-paying the full-corpus assignment scan per lookup
+    would dominate every query.
     """
-    cent = train_ivf_centroids(
-        corpus, n_cells, id_col, vec_col, train_sample, kmeans_iters, seed
+    if assigned is not None and centroids is None:
+        raise ValueError(
+            "assigned requires centroids (queries probe the same cell "
+            "space the index was built in)"
+        )
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, n_cells, id_col, vec_col, train_sample, kmeans_iters, seed
+        )
     )
     if cent.size == 0:  # empty corpus → zero result rows, not a crash
         return queries.sparkSession.createDataFrame(
@@ -279,50 +388,9 @@ def ann_topk(
         raise ValueError(
             f"corpus embeddings have dim {cent.shape[1]}, expected dim={dim}"
         )
-    nprobe = min(nprobe, len(cent))
-    assign_cells = min(assign_cells, len(cent))
-
-    from ..session import ensure_min_partitions
-
-    c_cells = _cells_udf(cent, assign_cells)
-    q_cells = _cells_udf(cent, nprobe)
-    # partition floor before the cell-assignment matmul UDF over the
-    # corpus scan (queries are small + broadcast — no floor needed)
-    cb = ensure_min_partitions(
-        corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_emb"),
-        norm_col(F.col(vec_col)).alias("c_norm"),
-        F.explode(c_cells(F.col(vec_col))).alias("cell"),
-    )
-    qb = queries.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_emb"),
-        norm_col(F.col(vec_col)).alias("q_norm"),
-        F.explode(q_cells(F.col(vec_col))).alias("cell"),
-    )
-    # dedupe on the id pair alone: the embedding/norm columns are
-    # functionally determined by the ids, and hashing 2·dim doubles
-    # per candidate row through a distinct() buys nothing
-    cands = (
-        cb.join(F.broadcast(qb), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", "q_emb", "c_emb", "q_norm", "c_norm"
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.withColumn(
-        "sim",
-        F.round(
-            cosine(
-                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
-            ),
-            9,
-        ),
-    )
-    return _rank_topk(scored, k)
+    if assigned is None:
+        assigned = ann_assign(corpus, cent, assign_cells, id_col, vec_col)
+    return ann_query(assigned, cent, queries, k, nprobe, id_col, vec_col)
 
 
 # ----------------------------------------------------- cosine dup pairs

@@ -520,6 +520,67 @@ def test_cli_cluster(spark, tmp_path, monkeypatch, capsys):
                   "--k", "2", "--iters", "-1"])
 
 
+def test_cli_ann_build_query_roundtrip(spark, tmp_path, monkeypatch, capsys):
+    """ann-build once, ann-query twice against the persisted index:
+    results match the per-call ann_topk at the same knobs, the second
+    query reuses the index (no retrain — centroids.npy untouched), and
+    a manifest-less index dir is refused."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from dude_spark.config import ConfigError
+    from dude_spark.functions.embedding import ann_topk
+
+    inp = str(tmp_path / "embs")
+    rng = np.random.RandomState(33)
+    pdf = pd.DataFrame({
+        "vec_id": list(range(200)),
+        "embedding": [
+            rng.uniform(-0.5, 0.5, 8).astype("float32").tolist()
+            for _ in range(200)
+        ],
+    })
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    ).write.parquet(inp)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    idx = str(tmp_path / "ivf")
+    qdir, out1, out2 = (str(tmp_path / d) for d in ("q", "o1", "o2"))
+    spark.read.parquet(inp).where("vec_id < 4").write.parquet(qdir)
+
+    with pytest.raises(ConfigError, match="manifest"):
+        cli.main(["ann-query", "--index-dir", idx, "--queries", qdir,
+                  "--out", out1])
+
+    assert cli.main(["ann-build", "--input", inp, "--index-dir", idx]) == 0
+    assert "IVF index built" in capsys.readouterr().out
+    cent_mtime = os.path.getmtime(os.path.join(idx, "centroids.npy"))
+
+    assert cli.main(["ann-query", "--index-dir", idx, "--queries", qdir,
+                     "--out", out1, "--k", "5"]) == 0
+    assert cli.main(["ann-query", "--index-dir", idx, "--queries", qdir,
+                     "--out", out2, "--k", "5"]) == 0
+    r1 = {(r["query_id"], r["rank"], r["neighbor_id"])
+          for r in spark.read.parquet(out1).collect()}
+    r2 = {(r["query_id"], r["rank"], r["neighbor_id"])
+          for r in spark.read.parquet(out2).collect()}
+    want = {(r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ann_topk(
+                spark.read.parquet(inp), spark.read.parquet(qdir),
+                k=5, dim=8,
+            ).collect()}
+    assert r1 == r2 == want and len(want) == 4 * 5
+    # queries never rebuild the index
+    assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == cent_mtime
+
+    with pytest.raises(ConfigError, match="n-cells"):
+        cli.main(["ann-build", "--input", inp, "--index-dir", idx,
+                  "--n-cells", "0"])
+
+
 def test_cli_semdedup_modes(spark, tmp_path, monkeypatch, capsys):
     """semdedup subcommand: batch mode emits keep/remove assignments,
     --new mode emits cross pairs only; bad threshold refused."""

@@ -122,6 +122,45 @@ def test_ann_topk_driver_planted_slice_is_live(spark):
         assert nbrs == {400000 + q * 10 + i for i in range(10)}
 
 
+def test_ann_prebuilt_index_parity(planted, tmp_path):
+    """ann_fit/ann_assign/ann_query factored stages ≡ the per-call
+    ann_topk — including a parquet round trip of the posting-list
+    frame (the persisted-index path CLI ann-build/ann-query uses)."""
+    from dude_spark.functions.embedding import (
+        ann_assign,
+        ann_query,
+        train_ivf_centroids,
+    )
+
+    df, _ = planted
+    queries = df.where(F.col("vec_id") < 5)
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk(df, queries, k=5, dim=DIM).collect()
+    }
+    cent = train_ivf_centroids(df, n_cells=32)
+    assigned = ann_assign(df, cent)
+    # persist + reload: what ann-query serves is the parquet frame
+    p = str(tmp_path / "cells")
+    assigned.write.parquet(p)
+    reloaded = df.sparkSession.read.parquet(p)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_query(reloaded, cent, queries, k=5).collect()
+    }
+    assert got == want
+    # prebuilt args on ann_topk short-circuit train AND assignment
+    got2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk(
+            df, queries, k=5, dim=DIM, centroids=cent, assigned=reloaded
+        ).collect()
+    }
+    assert got2 == want
+    with pytest.raises(ValueError, match="centroids"):
+        ann_topk(df, queries, assigned=reloaded)
+
+
 def test_ann_topk_empty_corpus_returns_empty(spark, planted):
     df, _ = planted
     empty = df.where(F.col("vec_id") < 0)
