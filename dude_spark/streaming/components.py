@@ -51,6 +51,15 @@ write per-epoch overwrite partitions, and every state read excludes
 the in-flight epoch, so a crashed attempt's half-written output is
 invisible to its own replay.
 
+Rewrite-the-losers' worst case is OBSERVABLE, not silent: every
+component rewrite is recorded durably under ``<state>/merges/epoch=N``
+as (epoch, winning_cluster, losing_cluster, rewritten_members) — the
+overcap-record convention applied to the one unbounded-looking cost
+here (a late tiny id arriving next to a 10^8-member component costs
+that component's full membership rewrite in one epoch; the audit rows
+make the spike visible before it hurts, and the per-epoch scan audit
+carries the totals).
+
 Reference parity: the reference groups duplicates per run in memory
 (``/root/reference/internal/processing/runner.go`` result maps); the
 streaming generalization — groups that stay current as files keep
@@ -59,6 +68,8 @@ view-maintenance shape instead.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,6 +109,7 @@ def update_assignments(
     pruned-scan stats).  Caller contract: ``pairs`` is this epoch's
     final pair table (bounded), ideally localCheckpointed — it feeds
     several actions here."""
+    merge_stats = None
     ids = (
         pairs.select(F.col("a").alias("image_id"))
         .unionByName(pairs.select(F.col("b").alias("image_id")))
@@ -161,7 +173,7 @@ def update_assignments(
         member_rows = members_store.read_for_shards(member_shards)
         members_scan = members_store.scan_stats(member_rows, member_shards)
         if member_rows is not None:
-            moved = (
+            moved_keyed = (
                 member_rows.where(F.col("epoch") != F.lit(epoch))
                 .select("cluster_id", "image_id")
                 .distinct()
@@ -169,10 +181,45 @@ def update_assignments(
                     losers,
                     F.col("cluster_id") == F.col("old_cluster"),
                 )
-                .select(
-                    F.col("image_id"),
-                    F.col("new_cluster").alias("cluster_id"),
+                .select("image_id", "old_cluster", "new_cluster")
+                # two consumers: the assignment delta and the merge-
+                # size audit below — materialize the membership lookup
+                # once
+                .localCheckpoint(eager=True)
+            )
+            # merge-size audit (the overcap-record convention applied
+            # to the one unbounded-looking cost in the streaming path):
+            # rewrite-the-losers means a late tiny id next to a huge
+            # component rewrites that component's FULL membership in
+            # one epoch — record (winner, loser, rewritten_members)
+            # durably so the spike is observable BEFORE it hurts.
+            # Combinable count agg; per-epoch overwrite (replay-
+            # idempotent like every other epoch dir).
+            merge_audit = (
+                moved_keyed.groupBy(
+                    F.col("new_cluster").alias("winning_cluster"),
+                    F.col("old_cluster").alias("losing_cluster"),
                 )
+                .agg(F.count("*").cast("long").alias("rewritten_members"))
+                .withColumn("epoch", F.lit(epoch).cast("long"))
+            )
+            merge_audit.write.mode("overwrite").parquet(
+                os.path.join(
+                    os.path.dirname(assign_store.base),
+                    "merges",
+                    f"epoch={epoch}",
+                )
+            )
+            _ms = merge_audit.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("rewritten_members"), F.lit(0)).alias("m"),
+            ).first()
+            merge_stats = {
+                "n_merges": int(_ms["n"]),
+                "rewritten_members": int(_ms["m"]),
+            }
+            moved = moved_keyed.select(
+                "image_id", F.col("new_cluster").alias("cluster_id")
             )
             assign_delta = new_nodes.unionByName(moved)
         else:
@@ -190,6 +237,7 @@ def update_assignments(
         "assign_rows_written": assign_delta.count(),
         "assign_scan": assign_scan,
         "members_scan": members_scan,
+        "merges": merge_stats,
     }
 
 

@@ -67,6 +67,49 @@ def test_incremental_cc_equals_batch_cc(spark, tmp_path):
     assert audit["assign_rows_written"] == 0
 
 
+def test_incremental_cc_merge_size_audit(spark, tmp_path):
+    """Every component rewrite is durably recorded under merges/ —
+    (epoch, winning_cluster, losing_cluster, rewritten_members), the
+    overcap-record convention applied to the one unbounded-looking
+    cost in the streaming path.  Chain-merge fixture; no behavior
+    change (assignments still equal batch CC)."""
+    a_store, m_store = assignment_stores(spark, str(tmp_path), n_shards=4)
+    epochs = [
+        [("n", "m"), ("o", "n"), ("x", "y")],   # {m,n,o}, {x,y}
+        [("a", "o")],                           # tiny id rewrites {m,n,o}
+        [("m", "x")],                           # {a..o} ∪ {x,y}: x loses
+    ]
+    audits = []
+    for e, pairs in enumerate(epochs):
+        pdf = spark.createDataFrame(pairs, "a string, b string")
+        audits.append(update_assignments(spark, a_store, m_store, pdf, e))
+
+    def merges(e):
+        return {
+            (r["winning_cluster"], r["losing_cluster"],
+             r["rewritten_members"], r["epoch"])
+            for r in spark.read.parquet(
+                os.path.join(str(tmp_path), "merges", f"epoch={e}")
+            ).collect()
+        }
+
+    # epoch 0: no prior state — no merges dir at all
+    assert not os.path.exists(
+        os.path.join(str(tmp_path), "merges", "epoch=0")
+    )
+    assert audits[0]["merges"] is None
+    # epoch 1: "a" wins cluster m, all 3 members rewritten
+    assert merges(1) == {("a", "m", 3, 1)}
+    assert audits[1]["merges"] == {"n_merges": 1, "rewritten_members": 3}
+    # epoch 2: cluster a absorbs cluster x (2 members rewritten)
+    assert merges(2) == {("a", "x", 2, 2)}
+    assert audits[2]["merges"] == {"n_merges": 1, "rewritten_members": 2}
+    # behavior unchanged
+    assert _assign_map(spark, a_store) == _batch_cc_map(
+        spark, [p for ep in epochs for p in ep]
+    )
+
+
 def test_incremental_cc_replay_idempotent(spark, tmp_path):
     """A replayed epoch (same id, same pairs — the foreachBatch crash
     contract) must leave the state byte-identical: epoch-partition
