@@ -534,6 +534,29 @@ def _parser() -> argparse.ArgumentParser:
     nv.add_argument("--cpus", type=int, default=0)
     nv.add_argument("--local", action="store_true")
 
+    mg = sub.add_parser(
+        "migrate-centroids",
+        help="sanctioned centroid refresh for an embedding-detector "
+             "stream state: re-bucket persisted sigs under new k-means "
+             "centroids in one batch job (new state generation) and "
+             "flip the config-id pin (streaming/migrate.py) — run with "
+             "the stream STOPPED",
+    )
+    mg.add_argument("--state", required=True, help="ingest state dir")
+    mg.add_argument("--old-centroids", required=True,
+                    help=".npy the state is currently pinned to "
+                         "(verified against the pin before touching "
+                         "anything)")
+    mg.add_argument("--new-centroids", required=True,
+                    help=".npy to re-bucket under (from a fresh "
+                         "'cluster --save-centroids' run)")
+    mg.add_argument("--sem-threshold", type=int, default=950,
+                    help="the stream's cosine threshold (part of the "
+                         "pinned config id — must match the running "
+                         "stream's)")
+    mg.add_argument("--cpus", type=int, default=0)
+    mg.add_argument("--local", action="store_true")
+
     s = sub.add_parser("reset", help="truncate checkpoint state (FullReset)")
     s.add_argument("--checkpoint", required=True)
 
@@ -629,6 +652,45 @@ def _local_master(cpus: int) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     a = _parser().parse_args(argv)
+
+    if a.cmd == "migrate-centroids":
+        import hashlib as _hl
+
+        import numpy as _np
+
+        def _emb_cfg_id(path: str) -> str:
+            c = _np.load(path)
+            return _stream_config_id(
+                "embedding",
+                {
+                    "threshold_x1000": a.sem_threshold,
+                    "centroids_sha256": _hl.sha256(
+                        _np.ascontiguousarray(c).tobytes()
+                    ).hexdigest()[:16],
+                },
+            )
+
+        spark = get_spark(
+            "dude_spark_migrate",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .streaming import migrate_embedding_centroids
+
+            audit = migrate_embedding_centroids(
+                spark, a.state, _np.load(a.new_centroids),
+                expected_config_id=_emb_cfg_id(a.old_centroids),
+                new_config_id=_emb_cfg_id(a.new_centroids),
+            )
+            print(
+                f"migrated {audit['migrated_images']} image(s) to "
+                f"{audit['n_cells']} new cells (sigs generation "
+                f"{audit['sigs_generation']['gen']}, pin "
+                f"{audit['old_config_id']} -> {audit['new_config_id']})"
+            )
+            return 0
+        finally:
+            spark.stop()
 
     if a.cmd == "reset":
         shutil.rmtree(a.checkpoint, ignore_errors=True)

@@ -634,6 +634,77 @@ class ShardedEpochStore:
         }
 
 
+def _rewrite_base(store: ShardedEpochStore, df: DataFrame, upto_epoch: int) -> dict:
+    """Replace ALL live state of ``store`` up to ``upto_epoch`` (base
+    generation + committed epochs) with ``df``, as one new base
+    generation — the state-MIGRATION primitive (e.g. re-bucketing
+    persisted signatures under refreshed centroids, where every key
+    moves shards and merged content differs from what compaction would
+    have produced).
+
+    Same generation-versioned commit protocol as ``compact`` (cleanup
+    strays → tmp write → rename to ``epoch=-(gen+1)`` → atomic meta =
+    the commit point → delete superseded), so a crash at any step
+    leaves a consistent reader view: before the meta commit readers
+    still see the old generation; after it the migration is fully
+    live.  Epochs ABOVE ``upto_epoch`` (in-flight) stay live and
+    unchanged.  ``df`` carries key + payload columns only (no
+    epoch/shard — the base partition value takes over, keeping the
+    ingest replay guard trivially true for base rows).
+
+    Module-level function rather than a method so the migration tool's
+    dependency on store internals is explicit and greppable.
+    """
+    from pyspark.sql import functions as F
+
+    gen, merged_upto = store._compact_meta()
+    for d in _hadoop_glob(store.spark, os.path.join(store.base, "epoch=*")):
+        e = store._epoch_of(d)
+        if e is not None and not store._is_live(e, gen, merged_upto):
+            _hadoop_delete(store.spark, d)
+    _hadoop_delete(store.spark, os.path.join(store.base, store._TMP_DIR))
+    superseded = [
+        d
+        for d in _hadoop_glob(store.spark, os.path.join(store.base, "epoch=*"))
+        if (e := store._epoch_of(d)) is not None
+        and ((gen > 0 and e == -gen) or merged_upto < e <= upto_epoch)
+    ]
+    drop = [c for c in ("epoch", "shard") if c in df.columns]
+    tmp = os.path.join(store.base, store._TMP_DIR)
+    (
+        df.drop(*drop)
+        .withColumn("shard", store._shard_expr())
+        .repartition(F.col("shard"))
+        .sortWithinPartitions(store.key_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    new_gen = gen + 1
+    new_base = os.path.join(store.base, f"epoch=-{new_gen}")
+    _hadoop_rename(store.spark, tmp, new_base)
+    _hadoop_write_text_atomic(
+        store.spark,
+        os.path.join(store.base, f"compact_meta.gen={new_gen}.json"),
+        json.dumps(
+            {"gen": new_gen, "merged_upto": upto_epoch, "version": 1}
+        ),
+    )
+    for d in superseded:
+        _hadoop_delete(store.spark, d)
+    for p in _hadoop_glob(
+        store.spark, os.path.join(store.base, "compact_meta.gen=*.json")
+    ):
+        m = re.search(r"compact_meta\.gen=(\d+)\.json$", p)
+        if m and int(m.group(1)) < new_gen:
+            _hadoop_delete(store.spark, p)
+    return {
+        "gen": new_gen,
+        "merged_upto": upto_epoch,
+        "dirs_replaced": len(superseded),
+    }
+
+
 class IcebergStageStore(StageStore):
     """Iceberg tables: ``<catalog>.<namespace>.<stage>`` per stage and
     ``<catalog>.<namespace>.manifests(stage, meta)`` for manifests.

@@ -679,6 +679,77 @@ def test_cli_stream_embedding_detector(spark, tmp_path, monkeypatch, capsys):
                   "--schema", schema, "--detector", "embedding"])
 
 
+def test_cli_migrate_centroids(spark, tmp_path, monkeypatch, capsys):
+    """Sanctioned centroid refresh: restart with new centroids is
+    refused until migrate-centroids re-buckets the sigs state and
+    flips the pin; post-migration, new epochs pair against
+    PRE-migration state; the refusal still guards both the stale
+    centroids and a wrong --old-centroids."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    rng = np.random.RandomState(58)
+    vecs = [rng.uniform(-0.5, 0.5, 8).astype("float32").tolist()
+            for _ in range(24)]
+    boot = str(tmp_path / "boot")
+    pdf = pd.DataFrame({"vec_id": list(range(24)), "embedding": vecs})
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    ).write.parquet(boot)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    c1, c2 = str(tmp_path / "c1.npy"), str(tmp_path / "c2.npy")
+    assert cli.main(["cluster", "--input", boot, "--out",
+                     str(tmp_path / "a1"), "--k", "3", "--iters", "1",
+                     "--save-centroids", c1]) == 0
+    assert cli.main(["cluster", "--input", boot, "--out",
+                     str(tmp_path / "a2"), "--k", "4", "--iters", "2",
+                     "--save-centroids", c2]) == 0
+    capsys.readouterr()
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, embedding array<float>"
+    spark.createDataFrame(
+        [("x1", vecs[0]), ("x2", vecs[0]), ("y", vecs[1])], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream_args = ["stream", "--input", input_dir, "--state", state_dir,
+                   "--schema", schema, "--detector", "embedding",
+                   "--sem-threshold", "990"]
+    assert cli.main(stream_args + ["--centroids", c1]) == 0
+    pairs_path = f"{state_dir}/pairs"
+    assert {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()} \
+        == {("x1", "x2")}
+
+    # un-migrated restart with NEW centroids: refused (the pin)
+    with pytest.raises(ValueError, match="detector config"):
+        cli.main(stream_args + ["--centroids", c2])
+    # migration with the WRONG old centroids: refused (pin mismatch)
+    with pytest.raises(ValueError, match="pinned to config"):
+        cli.main(["migrate-centroids", "--state", state_dir,
+                  "--old-centroids", c2, "--new-centroids", c2,
+                  "--sem-threshold", "990"])
+
+    assert cli.main(["migrate-centroids", "--state", state_dir,
+                     "--old-centroids", c1, "--new-centroids", c2,
+                     "--sem-threshold", "990"]) == 0
+    assert "migrated 3 image(s)" in capsys.readouterr().out
+    assert os.path.isdir(os.path.join(state_dir, "migrations"))
+
+    # epoch 2 under the NEW centroids: x3 duplicates PRE-migration x1/x2
+    spark.createDataFrame(
+        [("x3", vecs[0]), ("z", vecs[2])], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    assert cli.main(stream_args + ["--centroids", c2]) == 0
+    pairs = {(r["a"], r["b"]) for r in spark.read.parquet(pairs_path).collect()}
+    assert pairs == {("x1", "x2"), ("x1", "x3"), ("x2", "x3")}
+
+    # the OLD centroids are now the mismatch: still refused
+    with pytest.raises(ValueError, match="detector config"):
+        cli.main(stream_args + ["--centroids", c1])
+
+
 def test_cli_novelty(spark, tmp_path, monkeypatch, capsys):
     """novelty subcommand: verbatim batch scores 0, fresh batch 1000."""
     ref = str(tmp_path / "ref")

@@ -135,6 +135,37 @@ def test_sharded_store_compaction_merges_and_prunes(spark, tmp_path):
     assert store.compact(3)["epochs_merged"] == 0
 
 
+def test_sharded_store_rewrite_base(spark, tmp_path):
+    """_rewrite_base replaces ALL live state ≤ upto with the given
+    frame as a new generation (the migration primitive): committed
+    epochs AND a previous base vanish, epochs above the watermark stay
+    live, and a subsequent compact rolls the new generation forward."""
+    from dude_spark.storage import ShardedEpochStore, _rewrite_base
+
+    store = ShardedEpochStore(spark, str(tmp_path), "s", "k", n_shards=4)
+    for e in range(2):
+        _mk_epoch(spark, store, e, [(f"k{e}-{i}", e * 10 + i) for i in range(4)])
+    store.compact(1)  # pre-existing base generation (gen 1) to supersede
+    _mk_epoch(spark, store, 2, [("committed", 42)])  # replaced too
+    _mk_epoch(spark, store, 3, [("above", 99)])      # in-flight: survives
+
+    new_rows = [("m0", 1000), ("m1", 1001), ("m2", 1002)]
+    audit = _rewrite_base(
+        store, spark.createDataFrame(new_rows, "k string, v int"), 2
+    )
+    assert audit["gen"] == 2 and audit["merged_upto"] == 2
+    assert _state_rows(store) == sorted(new_rows + [("above", 99)])
+    # superseded dirs are gone; base -2 + epoch 3 remain
+    assert {
+        d.split("epoch=")[-1]
+        for d in os.listdir(str(tmp_path / "s"))
+        if d.startswith("epoch=")
+    } == {"-2", "3"}
+    # the migrated generation composes with normal compaction
+    store.compact(3)
+    assert _state_rows(store) == sorted(new_rows + [("above", 99)])
+
+
 def test_sharded_store_compaction_crash_windows(spark, tmp_path):
     """Every crash window must leave exactly one fully-live reader
     view (class-docstring protocol): a half-built generation (rename
