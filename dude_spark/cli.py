@@ -534,6 +534,39 @@ def _parser() -> argparse.ArgumentParser:
     nv.add_argument("--cpus", type=int, default=0)
     nv.add_argument("--local", action="store_true")
 
+    cu = sub.add_parser(
+        "curate",
+        help="composed curation recipe: filter -> pii -> dedup "
+             "(exact+fuzzy) -> decontam -> mix -> training shards, "
+             "each stage checkpointed + audited through the stage "
+             "store, resumable mid-chain (curate.py)",
+    )
+    cu.add_argument("--input", required=True, help="corpus parquet path")
+    cu.add_argument("--workdir", required=True,
+                    help="stage checkpoints + audits + shards root")
+    cu.add_argument("--id-col", default="image_id")
+    cu.add_argument("--text-col", default="caption")
+    cu.add_argument("--source-col", default="source")
+    cu.add_argument("--langs", default=None,
+                    help="comma-separated allowed language ids for the "
+                         "quality filter (default: no language gate)")
+    cu.add_argument("--ngram", type=int, default=3)
+    cu.add_argument("--jaccard", default="8/10",
+                    help="fuzzy-dup threshold as an exact fraction "
+                         "num/den (default 8/10)")
+    cu.add_argument("--benchmarks", default=None,
+                    help="benchmark parquet for decontamination "
+                         "(stage skipped when absent)")
+    cu.add_argument("--mix", default=None,
+                    help="target domain mixture 'src=share,...' "
+                         "(stage skipped when absent)")
+    cu.add_argument("--rows-per-shard", type=int, default=100_000)
+    cu.add_argument("--no-resume", action="store_true",
+                    help="recompute every stage even if a matching "
+                         "checkpoint exists")
+    cu.add_argument("--cpus", type=int, default=0)
+    cu.add_argument("--local", action="store_true")
+
     mg = sub.add_parser(
         "migrate-centroids",
         help="sanctioned centroid refresh for an embedding-detector "
@@ -652,6 +685,70 @@ def _local_master(cpus: int) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     a = _parser().parse_args(argv)
+
+    if a.cmd == "curate":
+        num, slash, den = a.jaccard.partition("/")
+        try:
+            jn, jd = int(num), int(den)
+            if not slash or jn < 0 or jd <= 0:
+                raise ValueError
+        except ValueError:
+            raise ConfigError(
+                f"--jaccard must be an exact fraction num/den, got "
+                f"{a.jaccard!r}"
+            ) from None
+        if a.rows_per_shard < 1:
+            raise ConfigError(
+                f"--rows-per-shard must be >= 1, got {a.rows_per_shard}"
+            )
+        mix_weights = (
+            _parse_share_list(a.mix, "--mix") if a.mix is not None else None
+        )
+        spark = get_spark(
+            "dude_spark_curate",
+            master=_local_master(a.cpus) if a.local else None,
+        )
+        try:
+            from .curate import curate
+
+            rep = curate(
+                spark,
+                spark.read.parquet(a.input),
+                a.workdir,
+                id_col=a.id_col,
+                text_col=a.text_col,
+                source_col=a.source_col,
+                allowed_langs=(
+                    tuple(s.strip() for s in a.langs.split(","))
+                    if a.langs
+                    else None
+                ),
+                ngram=a.ngram,
+                jaccard_num=jn,
+                jaccard_den=jd,
+                benchmark=(
+                    spark.read.parquet(a.benchmarks)
+                    if a.benchmarks
+                    else None
+                ),
+                mix_weights=mix_weights,
+                rows_per_shard=a.rows_per_shard,
+                resume=not a.no_resume,
+            )
+            for stage, info in rep["stages"].items():
+                state = (
+                    "skipped" if info.get("skipped") else "ran"
+                ) if info.get("rows") is not None else f"skipped ({info['skipped']})"
+                rows = "" if info.get("rows") is None else f" rows={info['rows']}"
+                print(f"stage {stage}: {state}{rows}")
+            print(
+                f"{rep['shards']} shard(s), "
+                f"{rep['shard_verification_failures']} verification "
+                f"failure(s) -> {rep['workdir']}"
+            )
+            return 0 if rep["shard_verification_failures"] == 0 else 1
+        finally:
+            spark.stop()
 
     if a.cmd == "migrate-centroids":
         import hashlib as _hl

@@ -679,6 +679,118 @@ def test_cli_stream_embedding_detector(spark, tmp_path, monkeypatch, capsys):
                   "--schema", schema, "--detector", "embedding"])
 
 
+def test_cli_curate_chain_and_resume(spark, tmp_path, monkeypatch, capsys):
+    """curate: the composed filter → pii → dedup → decontam → mix →
+    shards chain on one fixture corpus — per-stage audits present,
+    planted rows land where they should — and a crash mid-chain
+    (decontam stage dies) resumes without recomputing the completed
+    upstream stages."""
+    import numpy as np
+    import pytest
+
+    from dude_spark.config import ConfigError
+
+    rng = np.random.RandomState(71)
+
+    def sent(n=26):
+        toks = []
+        for i in range(n):
+            toks.append(f"w{rng.randint(0, 5000):04d}")
+            if i % 3 == 0:
+                toks.append("the")
+        return " ".join(toks)
+
+    secret = "zq alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = []
+    for i in range(10):
+        rows.append((f"d{i:02d}", sent(), "web" if i % 2 == 0 else "books"))
+    base_text = rows[0][1]
+    rows.append(("d10", base_text, "web"))            # exact dup of d00
+    rows.append(("d11", base_text, "books"))          # exact dup of d00
+    fuzzy = rows[1][1].rsplit(" ", 1)[0] + " zzdiff"  # near-dup of d01
+    rows.append(("d12", fuzzy, "web"))
+    rows.append(("d13", "tiny", "web"))               # rejected: too_short
+    rows.append(
+        ("d14", sent() + " contact me at alice@example.com for it", "books")
+    )
+    rows.append(("d15", sent() + " " + secret, "web"))  # contaminated
+    inp = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "image_id string, caption string, source string"
+    ).write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [("b1", "completely unrelated framing text " + secret)],
+        "image_id string, caption string",
+    ).write.parquet(bench)
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    wd = str(tmp_path / "work")
+    args = ["curate", "--input", inp, "--workdir", wd,
+            "--benchmarks", bench, "--mix", "web=0.5,books=0.5",
+            "--rows-per-shard", "4"]
+
+    # crash mid-chain: decontam stage dies AFTER filter/pii/dedup wrote
+    import dude_spark.operators.decontam as dec_mod
+
+    real_dec = dec_mod.decontaminate
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-chain crash")
+
+    monkeypatch.setattr(dec_mod, "decontaminate", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cli.main(args)
+    monkeypatch.setattr(dec_mod, "decontaminate", real_dec)
+
+    # resume: upstream stages skip, chain completes
+    capsys.readouterr()
+    assert cli.main(args) == 0
+    out = capsys.readouterr().out
+    for stage in ("filtered", "pii", "deduped"):
+        assert f"stage {stage}: skipped" in out, out
+    assert "stage decontam: ran" in out
+    assert "0 verification failure(s)" in out
+
+    # stage results: planted rows landed where they should
+    audits = os.path.join(wd, "audits")
+    rej = spark.read.parquet(os.path.join(audits, "rejected")).collect()
+    assert [(r["image_id"], r["reason"]) for r in rej] == [("d13", "too_short")]
+    pii = spark.read.parquet(os.path.join(audits, "pii")).collect()
+    assert [r["image_id"] for r in pii] == ["d14"] and pii[0]["n_emails"] == 1
+    assigns = {
+        (r["image_id"], r["cluster_id"])
+        for r in spark.read.parquet(
+            os.path.join(audits, "dedup_assignments")
+        ).collect()
+    }
+    assert {("d10", "d00"), ("d11", "d00"), ("d12", "d01")} <= assigns
+    flagged = spark.read.parquet(
+        os.path.join(audits, "decontam_flagged")
+    ).collect()
+    assert [r["doc_id"] for r in flagged] == ["d15"]
+    assert os.path.exists(os.path.join(audits, "mix_fractions.json"))
+    # deduped stage: 15 clean - 3 dup members = 12; decontam: 11
+    dd = spark.read.parquet(os.path.join(wd, "stages", "deduped"))
+    assert dd.count() == 12
+    ids = {r["image_id"] for r in dd.collect()}
+    assert {"d10", "d11", "d12"} & ids == set()
+    assert spark.read.parquet(
+        os.path.join(wd, "stages", "decontam")
+    ).count() == 11
+    # shards carry the final mixed corpus with the input schema
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    assert {"image_id", "caption", "source"} <= set(shards.columns)
+    assert shards.count() == spark.read.parquet(
+        os.path.join(wd, "stages", "mixed")
+    ).count()
+
+    with pytest.raises(ConfigError, match="jaccard"):
+        cli.main(["curate", "--input", inp, "--workdir", wd,
+                  "--jaccard", "0.8"])
+
+
 def test_cli_migrate_centroids(spark, tmp_path, monkeypatch, capsys):
     """Sanctioned centroid refresh: restart with new centroids is
     refused until migrate-centroids re-buckets the sigs state and
