@@ -162,4 +162,15 @@ def get_spark(
         builder = builder.config("spark.driver.memory", "24g")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # experiment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.io.compression.
+    # codec": "zstd", ...}' overrides any builder conf — lets pinned
+    # benchmark subprocesses (scripts/scaling_bench.py workers) trial a
+    # conf change without code edits; applied LAST so the experiment
+    # wins.  Production clusters pass --conf to spark-submit instead.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
