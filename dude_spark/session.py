@@ -160,6 +160,19 @@ def get_spark(
         # local mode: the driver JVM IS the executor — size it for the
         # whole working set (binary payload shuffles in verify joins).
         builder = builder.config("spark.driver.memory", "24g")
+        # Shuffle-bytes diet (round-5 measurement): zstd cuts the
+        # 4-detector pipeline's shuffle write ~25% vs lz4 (645→487 MB
+        # at n=60k), and on the DRAM-bandwidth-saturated 32-wide leg
+        # that buys wall time — interleaved same-window t32 A/B at
+        # n=200k: zstd {46.4, 53.5, 44.9} s vs lz4 {81.0, 56.6, 50.1}
+        # (every adjacent pairing, medians −18%) under an 0.828
+        # hw ceiling — at the cost of ~9% extra compression CPU on the
+        # bandwidth-unbound 8-core leg (medians 84.4 vs 77.4 s).  The
+        # single-box scale proxy is the wide leg, so zstd is the local
+        # default; override via SPARK_GRAFT_EXTRA_CONF.  Cluster
+        # submissions keep their own --conf (network-bound shuffles
+        # usually want compression even more).
+        builder = builder.config("spark.io.compression.codec", "zstd")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # experiment hook: SPARK_GRAFT_EXTRA_CONF='{"spark.io.compression.
