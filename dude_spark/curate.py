@@ -242,10 +242,16 @@ def curate(
     if text_col != "caption":
         final = final.withColumnRenamed("caption", text_col)
     shards_dir = os.path.join(workdir, "shards")
-    c_sh = _cfg_id(stage="shards", rows_per_shard=rows_per_shard)
+    # the shard config folds in every upstream stage's row count, so
+    # any upstream recompute (or flag change) re-shards
+    c_sh = _cfg_id(
+        stage="shards",
+        rows_per_shard=rows_per_shard,
+        upstream={k: v.get("rows") for k, v in runner.report.items()},
+    )
     manifest = runner.run(
         "shards",
-        _cfg_id(upstream_report={k: v.get("rows") for k, v in runner.report.items()}, c=c_sh),
+        c_sh,
         lambda: write_training_shards(
             final, shards_dir, rows_per_shard, id_col=id_col
         ),
