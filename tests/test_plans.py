@@ -309,3 +309,52 @@ def test_embedding_udf_paths_have_partition_floor(spark, tmp_path):
         assert (
             "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
         ), (name, plan)
+
+
+def test_tile_hamming_match_is_jvm_only(spark):
+    """The Hamming tile verify (nested exists + bit_count over two
+    small key arrays) must stay inside JVM codegen — no Python eval
+    node and no cartesian product in the plan."""
+    from dude_spark.operators.multimodal import tile_hamming_match
+
+    pairs = spark.createDataFrame([("a", "b")], "a string, b string")
+    tiles = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3, 4])],
+        "image_id string, tile_keys array<long>",
+    )
+    plan = (
+        tile_hamming_match(pairs, tiles, radius=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_query_joins_broadcast_query_side(spark, tmp_path):
+    """ann_query against a persisted posting list: the (small) query
+    side rides a broadcast — the corpus-sized assignment frame must
+    never shuffle for the cell join."""
+    import numpy as np
+
+    from dude_spark.functions.embedding import ann_assign, ann_query
+
+    pdf = pd.DataFrame({
+        "vec_id": list(range(64)),
+        "embedding": [
+            np.random.RandomState(i).uniform(-0.5, 0.5, 8)
+            .astype("float32").tolist()
+            for i in range(64)
+        ],
+    })
+    df = spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    )
+    cent = np.eye(4, 8)[:4]
+    p = str(tmp_path / "cells")
+    ann_assign(df, cent).write.parquet(p)
+    assigned = spark.read.parquet(p)
+    plan = (
+        ann_query(assigned, cent, df.where("vec_id < 3"), k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
