@@ -242,6 +242,22 @@ def curate(
     if text_col != "caption":
         final = final.withColumnRenamed("caption", text_col)
     shards_dir = os.path.join(workdir, "shards")
+    # every-row-filtered-away corpus: a shard write would produce an
+    # empty parquet dir that the verification read cannot even infer a
+    # schema from — report loudly instead of crashing (the chain's
+    # audits say exactly where the rows went)
+    last = [v["rows"] for v in runner.report.values() if v.get("rows") is not None]
+    if last and last[-1] == 0:
+        runner.report["shards"] = {
+            "rows": 0,
+            "skipped": "upstream corpus is empty — nothing to shard",
+        }
+        return {
+            "stages": runner.report,
+            "shards": 0,
+            "shard_verification_failures": 0,
+            "workdir": workdir,
+        }
     # the shard config folds in every upstream stage's row count, so
     # any upstream recompute (or flag change) re-shards
     c_sh = _cfg_id(
