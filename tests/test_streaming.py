@@ -808,3 +808,77 @@ def test_incremental_dedup_stream_tilephash_hamming(spark, tmp_path):
         tilephash_hamming_ingest(segments=7)
     with _pt.raises(ValueError, match="radius"):
         tilephash_hamming_ingest(segments=4, radius=4)
+
+
+def test_tilephash_hamming_state_compacts_and_radius_is_pinned(
+    spark, tmp_path
+):
+    """The Hamming preset's ARRAY-typed rows state survives compaction
+    (sigs + rows fold to one base generation; later epochs still pair
+    against compacted state), and a restart at a different radius is
+    refused by the config-id pin."""
+    import numpy as np
+
+    from dude_spark.imagecodec import encode
+    from dude_spark.streaming import (
+        start_incremental_dedup,
+        tilephash_hamming_ingest,
+    )
+
+    input_dir, state_dir = str(tmp_path / "in"), str(tmp_path / "state")
+    schema = "image_id string, bytes binary"
+    rng = np.random.RandomState(2)
+    A = rng.randint(0, 256, (128, 128, 3)).astype(np.uint8)
+    crop_jpeg = encode(A[:64, :64].copy(), "jpeg")
+    bucket_fn, verify_fn, state_cols, rows_fn = tilephash_hamming_ingest()
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def drain(config_id):
+        q = start_incremental_dedup(
+            spark, input_dir, state_dir, schema,
+            bucket_fn=bucket_fn, verify_fn=verify_fn,
+            state_cols=state_cols, rows_fn=rows_fn,
+            compact_every=1, state_config_id=config_id,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    write([("a", bytearray(encode(A, "png")))])
+    drain("tileham:g2:s8:r3")
+
+    # radius change on accumulated state: refused (the pin)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="config"):
+        drain("tileham:g2:s8:r2")
+
+    # epoch 1 pairs the re-encoded crop against the known state, then
+    # compaction folds both epochs' ARRAY-typed rows + sigs into one
+    # base generation (single-epoch compaction is a deliberate no-op,
+    # so the base appears only now)
+    write([("crop", bytearray(crop_jpeg))])
+    drain("tileham:g2:s8:r3")
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "pairs")
+        ).collect()
+    }
+    assert pairs == {("a", "crop")}
+    assert os.path.isdir(os.path.join(state_dir, "sigs", "epoch=-1"))
+    assert os.path.isdir(os.path.join(state_dir, "rows", "epoch=-1"))
+
+    # epoch 2: ANOTHER crop pairs against the now-COMPACTED state
+    crop2 = encode(A[:64, 64:].copy(), "jpeg")
+    write([("crop2", bytearray(crop2))])
+    drain("tileham:g2:s8:r3")
+    pairs = {
+        (r["a"], r["b"])
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "pairs")
+        ).collect()
+    }
+    assert ("a", "crop2") in pairs
